@@ -1,0 +1,162 @@
+"""Ingest/serialize: CSV and JSON in, CSV and JSON out — plus parquet.
+
+Mirrors the reference contract:
+- CSV: only the EMPTY STRING is null (`na_values=['']`,
+  `keep_default_na=False` — qcache/qframe/__init__.py:51-55;
+  "N/A"/"nan"/"null" stay strings, test_qframe.py:658-683).
+- Type hints: `string` forces object dtype, `float` forces float64,
+  `enum` forces category (qcache/app.py:150-168). Enum maps to Spark
+  StringType plus an engine-side marker that rejects </> filters
+  (test_qframe.py:627-629); storage-wise parquet/Tungsten dictionary-
+  encode low-cardinality strings already.
+- Stand-in columns: add a missing column as a typed constant or a copy
+  of another column, resolved left-to-right
+  (qcache/qframe/__init__.py:26-38, test_api.py:530-537).
+
+Scale note: HTTP-posted bodies are driver-sized by definition (the
+reference's whole design point); big data enters through
+`spark.read.parquet/csv/json` on a path, which stays fully
+distributed. Both paths end in the same DataFrame-typed world.
+"""
+from __future__ import annotations
+
+import io
+import json
+import math
+from typing import Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..errors import MalformedQueryException, raise_malformed
+
+
+def _parse_type_hints(types: Optional[dict]) -> tuple[dict, set]:
+    """Split hints into pandas dtype overrides + enum column set.
+    Unknown type name → error (qcache/app.py:163-166)."""
+    dtypes: dict = {}
+    enum_columns: set = set()
+    for column, type_name in (types or {}).items():
+        if type_name == "string":
+            dtypes[column] = str
+        elif type_name == "float":
+            dtypes[column] = float
+        elif type_name == "enum":
+            enum_columns.add(column)
+            dtypes[column] = str
+        else:
+            raise MalformedQueryException(
+                f"Invalid type '{type_name}' for column '{column}'"
+            )
+    return dtypes, enum_columns
+
+
+def _stand_in_value_column(df: DataFrame, value: str):
+    """A stand-in value is an int, float, quoted string, or another
+    column's name (qcache/qframe/__init__.py:14-23)."""
+    if value.startswith(("'", '"')):
+        return F.lit(value.strip("'\""))
+    try:
+        return F.lit(int(value))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(value))
+    except ValueError:
+        pass
+    return F.col(value)
+
+
+def apply_stand_in_columns(df: DataFrame, stand_ins: Optional[Iterable[tuple[str, str]]]) -> DataFrame:
+    """Applied at both store and query time (qcache/app.py:170-171,188).
+    Chained definitions resolve left-to-right (test_api.py:530-537)."""
+    if not stand_ins:
+        return df
+    for column, value in stand_ins:
+        if column not in df.columns:
+            df = df.withColumn(column, _stand_in_value_column(df, value))
+    return df
+
+
+def parse_stand_in_header(header: Optional[str]) -> list[tuple[str, str]]:
+    """`X-QCache-stand-in-columns: foo=10;bar=baz` → [(col, value), ...]"""
+    if not header:
+        return []
+    pairs = []
+    for part in header.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise MalformedQueryException(f"Invalid stand-in column: {part}")
+        column, value = part.split("=", 1)
+        pairs.append((column.strip(), value.strip()))
+    return pairs
+
+
+def from_csv(
+    spark: SparkSession,
+    csv_text: str,
+    types: Optional[dict] = None,
+    stand_in_columns: Optional[list[tuple[str, str]]] = None,
+) -> tuple[DataFrame, set]:
+    """CSV body → DataFrame (Arrow-accelerated createDataFrame).
+    Returns (df, enum_columns)."""
+    dtypes, enum_columns = _parse_type_hints(types)
+    pdf = pd.read_csv(
+        io.StringIO(csv_text),
+        na_values=[""],
+        keep_default_na=False,
+        dtype=dtypes or None,
+    )
+    # pandas upcasts int columns with nulls to float; Spark keeps
+    # nullable long — preserve pandas-visible behavior by letting the
+    # inferred dtype stand (SURVEY.md §7 "hard parts").
+    df = spark.createDataFrame(pdf)
+    df = apply_stand_in_columns(df, stand_in_columns)
+    return df, enum_columns
+
+
+def from_json_records(
+    spark: SparkSession,
+    data: str | list,
+    types: Optional[dict] = None,
+    stand_in_columns: Optional[list[tuple[str, str]]] = None,
+) -> tuple[DataFrame, set]:
+    """JSON list-of-objects body → DataFrame
+    (reference from_dicts, qcache/qframe/__init__.py:57-69)."""
+    if isinstance(data, str):
+        data = json.loads(data)
+    if not isinstance(data, list):
+        raise_malformed("JSON body must be a list of records", type(data).__name__)
+    _, enum_columns = _parse_type_hints(types)
+    pdf = pd.DataFrame.from_records(data)
+    for col, type_name in (types or {}).items():
+        if type_name == "string" or type_name == "enum":
+            pdf[col] = pdf[col].astype(str)
+        elif type_name == "float":
+            pdf[col] = pdf[col].astype(float)
+    df = spark.createDataFrame(pdf)
+    df = apply_stand_in_columns(df, stand_in_columns)
+    return df, enum_columns
+
+
+def to_csv(df: DataFrame) -> str:
+    """Result page → CSV string. Results are post-limit and
+    driver-sized (reference to_csv, qcache/qframe/__init__.py:82-83)."""
+    return df.toPandas().to_csv(index=False)
+
+
+def to_json_records(df: DataFrame) -> str:
+    """Result page → JSON records. `inf` serializes as null, matching
+    the reference wire contract (test_api.py:109-116)."""
+    rows = []
+    for row in df.collect():
+        d = {}
+        for k, v in row.asDict().items():
+            if isinstance(v, float) and (math.isinf(v) or math.isnan(v)):
+                v = None
+            d[k] = v
+        rows.append(d)
+    return json.dumps(rows)
