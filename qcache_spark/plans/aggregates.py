@@ -32,6 +32,15 @@ AGGREGATE_FUNCTIONS = {
     "last": F.last,
     "nunique": F.countDistinct,
     "count_distinct": F.countDistinct,
+    # Deterministic money aggregation (beyond reference): float sums
+    # are association-order-dependent, so at scale the same query can
+    # return different last-bits run to run (AQE re-partitioning).
+    # dsum/davg aggregate through DECIMAL(28,6) — exact and
+    # order-independent — then cast back to double.
+    "dsum": lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double"),
+    "davg": lambda c: (
+        F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(c)
+    ),
     # scale-path extensions (beyond reference): sketch aggregates
     "approx_nunique": F.approx_count_distinct,
     "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),

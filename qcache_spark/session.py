@@ -35,6 +35,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
+        # otherwise an illegal type for the Spark reader; read as long
+        # and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -60,7 +64,19 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table. Parquet scan → Catalyst gets column
     pruning + predicate pushdown for free on every query we compile."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
+        # (nanosAsLong), truncate to microseconds for a proper
+        # timestamp column.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
