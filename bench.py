@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Model: like the reference (an in-memory cache server), datasets are
+cached in memory once (persist + materialize), then queries run
+against the cached tables — we time the QUERY path, the analogue of
+the reference's 7-70 ms query latencies (BASELINE.md). Cache warm
+time is reported separately inside the JSON (not part of `value`).
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.storagelevel import StorageLevel
+
+import __spark_entry__ as em
+from qcache_spark.session import get_spark, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q2_filter_comparisons",
+    "q5_filter_like",
+    "q12_distinct",
+    "q13_topk_offset",
+    "q15_from_subquery",
+    "q16_in_subquery",
+    "q20_join_broadcast",
+    "q21_join_multi",
+    "q22_window_rank",
+    "q24_rollup",
+    "q25_time_bucket",
+]
+
+
+class CachedDirLoader:
+    """Serve load_table from a pre-persisted in-memory cache, the
+    engine's operating model (datasets live in the cache, queries hit
+    memory, not cold parquet)."""
+
+    def __init__(self, spark, sf_dir: str):
+        self.cache = {}
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def warm(self, names):
+        t0 = time.perf_counter()
+        for name in names:
+            df = load_table(self.spark, self.sf_dir, name)
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # materialize
+            self.cache[name] = df
+        return time.perf_counter() - t0
+
+    def __call__(self, spark, sf_dir, name):
+        if sf_dir == self.sf_dir and name in self.cache:
+            return self.cache[name]
+        return load_table(spark, sf_dir, name)
+
+
+def main() -> None:
+    spark = get_spark(app_name="qcache-spark-bench", cpus=CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    loader = CachedDirLoader(spark, SF_DIR)
+    warm_sec = loader.warm(
+        ["lineitem", "orders", "customer", "part", "nation", "region", "events",
+         "documents", "embeddings"]
+    )
+    # Route the entry queries' load_table through the cache
+    em.load_table = lambda spark, sf_dir, name: loader(spark, sf_dir, name)
+
+    queries = em.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        fn = queries[name]
+        fn(spark, SF_DIR).collect()  # warmup/plan-compile run
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "qcache_spark headline query suite (median per query, tables cached in memory)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cache_warm_sec": round(warm_sec, 3),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
