@@ -348,6 +348,107 @@ def q25_time_bucket(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# North-star data-pipeline operators (dedup / text analysis / similarity)
+# over the documents & embeddings tables.
+# ---------------------------------------------------------------------------
+
+from qcache_spark.operators import dedup as _dedup
+from qcache_spark.operators import similarity as _similarity
+from qcache_spark.operators import text as _text
+
+
+def q26_dedup_exact_text(spark, sf_dir):
+    """Exact dedup on whitespace/case-normalized text: 8-byte
+    fingerprint shuffle key, min(doc_id) representative."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return _dedup.exact_dedup_representatives(docs, key).select("keep_id", "n_members")
+
+
+def q27_dedup_token_set(spark, sf_dir):
+    """Bag-of-words dedup: identical distinct-token SETS are
+    permutation duplicates (catches shuffled boilerplate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.array_join(
+        F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))),
+        " ",
+    )
+    return _dedup.exact_dedup_representatives(docs, key).select("keep_id", "n_members")
+
+
+def q28_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _text.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        _text.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q29_lang_id(spark, sf_dir):
+    """Language ID via stopword-hit argmax heuristic (all codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.language_id(docs).select("doc_id", "lang_pred")
+
+
+def q30_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding
+    (TakeOrderedAndProject — per-partition k-heaps, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return _similarity.cosine_topk(emb, list(qvec), k=10)
+
+
+def q31_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs with exact-Jaccard verify
+    (not SQL-expressible: rows-only driver check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q32_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over a blocked candidate set (doc_id<150
+    all-pairs), threshold 0.3."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    ids = docs.select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return _dedup.ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.3)
+
+
+def q33_simhash(spark, sf_dir):
+    """64-bit SimHash sketch per document (JVM aggregate expression;
+    xxhash64-based → rows-only driver check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.simhash(docs).select("doc_id", "simhash")
+
+
+def q34_embedding_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane LSH + exact cosine
+    verify (LSH recall < 1 → rows-only driver check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _similarity.embedding_dup_pairs(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q35_quality_score(spark, sf_dir):
+    """Quality scoring: punctuation/digit/stopword ratios + composite."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.quality_score(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "mean_token_len", "quality_score",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -374,11 +475,135 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_window_running_sum": q23_window_running_sum,
     "q24_rollup": q24_rollup,
     "q25_time_bucket": q25_time_bucket,
+    "q26_dedup_exact_text": q26_dedup_exact_text,
+    "q27_dedup_token_set": q27_dedup_token_set,
+    "q28_text_token_stats": q28_text_token_stats,
+    "q29_lang_id": q29_lang_id,
+    "q30_cosine_topk": q30_cosine_topk,
+    "q31_minhash_lsh_pairs": q31_minhash_lsh_pairs,
+    "q32_ngram_jaccard": q32_ngram_jaccard,
+    "q33_simhash": q33_simhash,
+    "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
+    "q35_quality_score": q35_quality_score,
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
+
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replica of text.language_id, generated from the same
+    lexicons so the heuristic and the oracle cannot drift."""
+    score_exprs = []
+    for lang, words in _text.LANGUAGE_STOPWORDS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        score_exprs.append(
+            f"len(regexp_extract_all(lower(text), '{pattern}')) AS s_{lang}"
+        )
+    langs = list(_text.LANGUAGE_STOPWORDS.keys())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case_branches = "\n".join(
+        f"           WHEN s_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, text, {", ".join(score_exprs)} FROM documents
+        ), ranked AS (
+            SELECT doc_id, text, {best} AS best, * FROM scored
+        )
+        SELECT doc_id,
+           CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+                WHEN best < 1 THEN 'und'
+{case_branches}
+           END AS lang_pred
+        FROM ranked
+    """
+
+
+_TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(" + _TOKENS_SQL + ") - 1, 1)), "
+    "i -> array_to_string(list_slice(" + _TOKENS_SQL + ", i, i + 2), ' ')))"
+)
+
+OPERATOR_ORACLES: dict[str, str] = {
+    "q26_dedup_exact_text": """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+        FROM documents
+        GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+    "q27_dedup_token_set": """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+        FROM documents
+        GROUP BY array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')
+    """,
+    "q28_text_token_stats": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "q30_cosine_topk": """
+        WITH q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings
+        )
+        SELECT vec_id,
+               list_dot_product(ev, qv) /
+               (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cosine
+        FROM e, q
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "q32_ngram_jaccard": f"""
+        WITH s AS (
+            SELECT doc_id, {_SHINGLES_SQL} AS sh
+            FROM documents WHERE doc_id < 150
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+    """,
+    "q35_quality_score": """
+        WITH feat AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[\\.,;:!\\?"''\\(\\)\\[\\]\\{}]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|with|for|was)\\b')) AS n_stop
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, n_tokens,
+                   n_punct / GREATEST(n_chars, 1)::DOUBLE AS raw_punct,
+                   n_digits / GREATEST(n_chars, 1)::DOUBLE AS raw_digit,
+                   n_stop / GREATEST(n_tokens, 1)::DOUBLE AS raw_stop,
+                   (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1)::DOUBLE AS raw_mtl
+            FROM feat
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(raw_punct, 6) AS punct_ratio,
+               ROUND(raw_digit, 6) AS digit_ratio,
+               ROUND(raw_stop, 6) AS stopword_ratio,
+               ROUND(raw_mtl, 6) AS mean_token_len,
+               ROUND(
+                   0.25 * LEAST(raw_stop * 2, 1.0)
+                 + 0.25 * (1 - LEAST(raw_digit * 5, 1.0))
+                 + 0.25 * (1 - LEAST(raw_punct * 5, 1.0))
+                 + 0.25 * (CASE WHEN raw_mtl >= 3 AND raw_mtl <= 10 THEN 1.0 ELSE 0.0 END),
+               6) AS quality_score
+        FROM ratios
+    """,
+}
 
 
 ORACLES: dict[str, str] = {
@@ -521,4 +746,7 @@ ORACLES: dict[str, str] = {
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out.update(OPERATOR_ORACLES)
+    out["q29_lang_id"] = _lang_id_oracle_sql()
+    return out

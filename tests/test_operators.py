@@ -1,0 +1,205 @@
+"""Tests for the north-star operators (dedup / similarity / text)."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcache_spark.operators import dedup, similarity, text
+from qcache_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ---------------------------------------------------------------- text
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("hello, world! 42",)], ["text"]
+    )
+    rows = df.select(
+        text.whitespace_token_count(F.col("text")).alias("ws"),
+        text.bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in rows] == [3, 0, 0, 3]
+    # "hello" "," "world" "!" "4" "2" -> 6 bpe-ish tokens
+    assert rows[3]["bpe"] == 6
+
+
+def test_quality_score_range(docs):
+    scored = text.quality_score(docs.limit(50))
+    rows = scored.select("quality_score", "n_tokens", "punct_ratio").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house with food"),
+            (2, "der hund und die katze ist nicht ein problem"),
+            (3, "le chat est dans la maison pour les enfants"),
+            (4, "el perro es una mascota para los niños en casa"),
+            (5, "你好 世界"),
+            (6, "zzz qqq xxx"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")], ["id", "text"]
+    )
+    rows = text.fingerprint(df).select("id", "fingerprint").collect()
+    fp = {r["id"]: r["fingerprint"] for r in rows}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], ["text"])
+    rows = df.select(dedup.shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["x y"]  # shorter than n -> whole doc
+
+
+def test_exact_dedup_representatives(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")], ["doc_id", "text"]
+    )
+    reps = dedup.exact_dedup_representatives(df, F.col("text")).collect()
+    by_keep = {r["keep_id"]: r["n_members"] for r in reps}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("runs", "walks")
+    other = "completely different content about spark sql engines and distributed query processing systems"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_lsh_pairs(df, verify_threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup
+    assert (1, 2) in got  # near dup
+    assert all(3 not in p for p in got)
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (1, 4)][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_sensitivity(docs):
+    # sanity at testdata scale: runs, returns plausible jaccards
+    pairs = dedup.minhash_lsh_pairs(
+        docs.limit(200), verify_threshold=0.2, shingle_size=3
+    )
+    rows = pairs.collect()
+    assert all(0.2 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_simhash_and_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running through the forest"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),  # tiny edit -> small hamming
+            (3, "totally unrelated document talking about database engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = dedup.simhash(df).select("doc_id", "simhash").collect()
+    vals = {r["doc_id"]: r["simhash"] for r in sh}
+    assert len(set(vals.values())) == 3  # distinct hashes
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(vals[1], vals[2]) < hamming(vals[1], vals[3])
+
+    pairs = dedup.simhash_pairs(df, max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "z z z")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, cand).collect()
+    }
+    # shingles(3): {abc,bcd,cde} vs {abc,bcd,cdf}: inter 2, union 4
+    assert rows[(1, 2)] == 0.5
+    assert rows[(1, 3)] == 0.0
+
+
+def test_dedup_clusters(spark):
+    pairs = spark.createDataFrame([(1, 4), (1, 2)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs, ids).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 1}
+
+
+# ------------------------------------------------------------ similarity
+
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = similarity.cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in rows] == [1, 2]
+    assert rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_cosine_topk_on_testdata(embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rows = similarity.cosine_topk(embeddings, list(q), k=5).collect()
+    assert rows[0]["vec_id"] == 0
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert all(rows[i]["cosine"] >= rows[i + 1]["cosine"] for i in range(4))
+
+
+def test_ivf_matches_brute_force_top1(embeddings):
+    sample = embeddings.limit(300).cache()
+    q = sample.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    index = similarity.IVFIndex(sample, n_centroids=8, iters=1)
+    ivf_top = index.search(list(q), k=3, n_probe=3).collect()
+    brute_top = similarity.cosine_topk(sample, list(q), k=1).collect()
+    assert ivf_top[0]["vec_id"] == brute_top[0]["vec_id"] == 7
+
+
+def test_embedding_dup_pairs(spark):
+    v = [1.0, 2.0, 3.0, 4.0]
+    v_near = [1.01, 2.0, 3.0, 4.0]
+    v_far = [-4.0, 3.0, -2.0, 1.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v_near), (3, v_far)], ["vec_id", "embedding"]
+    )
+    rows = similarity.embedding_dup_pairs(df, threshold=0.99, bands=4, n_planes=16)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in rows.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.999
+    assert all(3 not in k for k in got)
