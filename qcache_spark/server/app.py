@@ -1,0 +1,343 @@
+"""HTTP API layer with the reference's endpoint/header/error contract
+(qcache/app.py:307-320 route table):
+
+    POST   /qcache/dataset/<key>      store CSV/JSON body → 201
+    GET    /qcache/dataset/<key>?q=…  run query → 200/400/404
+    POST   /qcache/dataset/<key>/q    query-by-POST (big queries)
+    DELETE /qcache/dataset/<key>      drop dataset
+    GET    /qcache/status             liveness ("OK")
+    GET    /qcache/statistics         metrics JSON (reset on read)
+
+Headers: `X-QCache-types` (type hints), `X-QCache-stand-in-columns`,
+`X-QCache-unsliced-length` (pre-slice count, README.rst:398-405).
+Content negotiation CSV/JSON both directions (app.py:116-137);
+gzip (stdlib) and LZ4 (if importable) request/response codecs
+(qcache/compression.py:24-67). Errors: MalformedQueryException → 400
+with {"error": msg}; unknown key → 404; bad content type → 415;
+bad accept → 406; non-UTF-8 charset → 400 (README.rst:429-431).
+
+This layer is deliberately thin driver-side code: every query body is
+compiled to a lazy plan and only the result PAGE (post-limit) is
+collected — the reference's whole-table-in-one-process constraint is
+replaced by Spark's distributed execution underneath the same API.
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from ..cache import DatasetCatalog
+from ..errors import (
+    DatasetTooLargeException,
+    MalformedQueryException,
+    UnknownDatasetException,
+)
+from ..plans import compile_query, compile_update
+from ..sources import (
+    apply_stand_in_columns,
+    from_csv,
+    from_json_records,
+    parse_stand_in_header,
+    to_csv,
+    to_json_records,
+)
+from .statistics import Statistics
+
+try:  # optional codec, preferred by the reference when available
+    import lz4.frame as _lz4
+
+    HAS_LZ4 = True
+except Exception:  # pragma: no cover - lz4 not installed in this env
+    _lz4 = None
+    HAS_LZ4 = False
+
+CONTENT_TYPE_CSV = "text/csv"
+CONTENT_TYPE_JSON = "application/json"
+ACCEPTED_TYPES = {CONTENT_TYPE_CSV, CONTENT_TYPE_JSON}
+
+
+def _decode_body(raw: bytes, encoding: str | None) -> bytes:
+    if not encoding or encoding == "identity":
+        return raw
+    if encoding == "gzip":
+        return gzip.decompress(raw)
+    if encoding == "lz4" and HAS_LZ4:
+        return _lz4.decompress(raw)
+    raise MalformedQueryException(f"Unsupported Content-Encoding: {encoding}")
+
+
+def _encode_body(raw: bytes, accept_encoding: str) -> tuple[bytes, str | None]:
+    encodings = [e.strip().split(";")[0] for e in (accept_encoding or "").split(",")]
+    if "lz4" in encodings and HAS_LZ4:
+        return _lz4.compress(raw), "lz4"
+    if "gzip" in encodings:
+        return gzip.compress(raw), "gzip"
+    return raw, None
+
+
+def _parse_types_header(header: str | None) -> dict:
+    """`X-QCache-types: foo=string;bar=float` (qcache/app.py:150-168)."""
+    if not header:
+        return {}
+    types = {}
+    for part in header.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise MalformedQueryException(f"Invalid type hint: {part}")
+        column, type_name = part.split("=", 1)
+        types[column.strip()] = type_name.strip()
+    return types
+
+
+class QCacheHandler(BaseHTTPRequestHandler):
+    server_version = "qcache-spark/0.1"
+    protocol_version = "HTTP/1.1"
+
+    # injected by make_server
+    spark: SparkSession = None
+    catalog: DatasetCatalog = None
+    stats: Statistics = None
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    # -- plumbing -----------------------------------------------------
+
+    def _send(self, code: int, body: bytes = b"", content_type: str = CONTENT_TYPE_JSON,
+              extra_headers: dict | None = None) -> None:
+        body_out, encoding = _encode_body(body, self.headers.get("Accept-Encoding", "")) if body else (body, None)
+        self.send_response(code)
+        self.send_header("Content-Type", f"{content_type}; charset=utf-8")
+        self.send_header("Content-Length", str(len(body_out)))
+        if encoding:
+            self.send_header("Content-Encoding", encoding)
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        if body_out:
+            self.wfile.write(body_out)
+
+    def _error(self, code: int, message: str) -> None:
+        self._send(code, json.dumps({"error": message}).encode())
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(length)
+        return _decode_body(raw, self.headers.get("Content-Encoding"))
+
+    def _content_type(self) -> str:
+        header = self.headers.get("Content-Type", CONTENT_TYPE_CSV)
+        parts = [p.strip() for p in header.split(";")]
+        ctype = parts[0] or CONTENT_TYPE_CSV
+        for p in parts[1:]:
+            if p.lower().startswith("charset=") and p.split("=", 1)[1].lower() not in (
+                "utf-8",
+                "utf8",
+            ):
+                raise MalformedQueryException(f"Unsupported charset: {p}")
+        if ctype not in ACCEPTED_TYPES:
+            raise _UnsupportedMediaType(ctype)
+        return ctype
+
+    def _accept_type(self) -> str:
+        accept = self.headers.get("Accept", "*/*")
+        for part in accept.split(","):
+            mt = part.strip().split(";")[0]
+            if mt in ACCEPTED_TYPES:
+                return mt
+            if mt in ("*/*", "text/*", "application/*", ""):
+                return CONTENT_TYPE_JSON
+        raise _NotAcceptable(accept)
+
+    # -- routing ------------------------------------------------------
+
+    def _route(self):
+        parsed = urllib.parse.urlparse(self.path)
+        parts = [p for p in parsed.path.split("/") if p]
+        query = urllib.parse.parse_qs(parsed.query)
+        if len(parts) >= 2 and parts[0] == "qcache":
+            if parts[1] == "status" and len(parts) == 2:
+                return ("status", None, query)
+            if parts[1] == "statistics" and len(parts) == 2:
+                return ("statistics", None, query)
+            if parts[1] == "dataset" and len(parts) == 3:
+                return ("dataset", urllib.parse.unquote(parts[2]), query)
+            if parts[1] == "dataset" and len(parts) == 4 and parts[3] == "q":
+                return ("dataset_q", urllib.parse.unquote(parts[2]), query)
+        return (None, None, query)
+
+    def _guard(self, fn):
+        """Last-resort handler: any uncaught error must still produce
+        an HTTP response (a silent connection drop was observed with
+        an empty CSV body before this guard)."""
+        try:
+            fn()
+        except _UnsupportedMediaType as e:
+            self._error(415, f"Unsupported media type: {e}")
+        except _NotAcceptable as e:
+            self._error(406, f"Not acceptable: {e}")
+        except DatasetTooLargeException as e:
+            self._error(413, str(e))
+        except MalformedQueryException as e:
+            self._error(400, str(e))
+        except Exception as e:  # noqa: BLE001
+            self._error(500, f"{type(e).__name__}: {e}")
+
+    def do_GET(self):
+        self._guard(self._do_get)
+
+    def _do_get(self):
+        try:
+            route, key, query = self._route()
+            if route == "status":
+                self._send(200, b"OK", "text/plain")
+            elif route == "statistics":
+                t0 = time.perf_counter()
+                snap = self.stats.snapshot_and_reset()
+                snap["dataset_count"] = len(self.catalog)
+                snap["cache_size"] = self.catalog.size
+                self.stats.inc("statistics_duration", 0)
+                self._send(200, json.dumps(snap).encode())
+            elif route == "dataset":
+                if "q" not in query:
+                    self._error(400, "Missing query parameter q")
+                    return
+                self._run_query(key, query["q"][0])
+            else:
+                self._error(404, "Not found")
+        except _NotAcceptable as e:
+            self._error(406, f"Not acceptable: {e}")
+        except MalformedQueryException as e:
+            self._error(400, str(e))
+
+    def do_POST(self):
+        self._guard(self._do_post)
+
+    def _do_post(self):
+        route, key, _ = self._route()
+        if route == "dataset_q":
+            body = self._read_body().decode("utf-8")
+            self._run_query(key, body)
+        elif route == "dataset":
+            self._store_dataset(key)
+        else:
+            self._error(404, "Not found")
+
+    def do_DELETE(self):
+        self._guard(self._do_delete)
+
+    def _do_delete(self):
+        route, key, _ = self._route()
+        if route == "dataset":
+            self.catalog.delete(key)
+            self._send(200)
+        else:
+            # DELETE on /q is 404 (reference app.py:268-271)
+            self._error(404, "Not found")
+
+    # -- handlers -----------------------------------------------------
+
+    def _store_dataset(self, key: str) -> None:
+        t0 = time.perf_counter()
+        ctype = self._content_type()
+        types = _parse_types_header(self.headers.get("X-QCache-types"))
+        stand_ins = parse_stand_in_header(self.headers.get("X-QCache-stand-in-columns"))
+        body = self._read_body().decode("utf-8")
+        if ctype == CONTENT_TYPE_CSV:
+            df, enum_columns = from_csv(self.spark, body, types, stand_ins)
+        else:
+            df, enum_columns = from_json_records(self.spark, body, types, stand_ins)
+        if key in self.catalog:
+            self.stats.inc("replace_count")
+        self.catalog.insert(key, df, enum_columns)
+        self.stats.append("store_durations", time.perf_counter() - t0)
+        self.stats.append("store_row_counts", df.count())
+        self._send(201)
+
+    def _run_query(self, key: str, q_text: str) -> None:
+        t0 = time.perf_counter()
+        accept = self._accept_type()
+        try:
+            q = json.loads(q_text)
+        except json.JSONDecodeError as e:
+            raise MalformedQueryException(f"Invalid query JSON: {e}")
+
+        try:
+            item = self.catalog.get(key)
+        except UnknownDatasetException:
+            self.stats.inc("miss_count")
+            self._error(404, f"Unknown dataset: {key}")
+            return
+        self.stats.inc("hit_count")
+
+        stand_ins = parse_stand_in_header(self.headers.get("X-QCache-stand-in-columns"))
+        df = apply_stand_in_columns(item.df, stand_ins)
+
+        if isinstance(q, dict) and "update" in q:
+            new_df = compile_update(q, df)
+            self.catalog.replace_df(key, new_df)
+            self.stats.append("query_durations", time.perf_counter() - t0)
+            self._send(200)
+            return
+
+        result = compile_query(q, df, enum_columns=item.enum_columns)
+        unsliced_len = result.unsliced_len()
+        if accept == CONTENT_TYPE_CSV:
+            body = to_csv(result.sliced).encode("utf-8")
+        else:
+            body = to_json_records(result.sliced).encode("utf-8")
+        self.stats.append("query_durations", time.perf_counter() - t0)
+        self._send(
+            200,
+            body,
+            accept,
+            extra_headers={"X-QCache-unsliced-length": str(unsliced_len)},
+        )
+
+
+class _UnsupportedMediaType(Exception):
+    pass
+
+
+class _NotAcceptable(Exception):
+    pass
+
+
+def make_server(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_cache_size: int = 1 << 30,
+    max_age: float = 0,
+    statistics_buffer_size: int = 1000,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; port=0 picks an ephemeral
+    port (server.server_address[1])."""
+    catalog = DatasetCatalog(max_cache_size, max_age)
+    stats = Statistics(statistics_buffer_size)
+    catalog.on_evict = lambda count, duration: (
+        stats.inc("size_evict_count", count),
+        stats.append("durations_until_eviction", duration),
+    )
+    catalog.on_age_evict = lambda: stats.inc("age_evict_count")
+
+    handler = type(
+        "BoundQCacheHandler",
+        (QCacheHandler,),
+        {"spark": spark, "catalog": catalog, "stats": stats},
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return thread

@@ -1,0 +1,52 @@
+"""Server metrics: ring-buffered durations + counters, reset on read
+(reference qcache/statistics.py:6-48; key set asserted by
+test/test_api.py:320-340)."""
+from __future__ import annotations
+
+import threading
+from collections import deque
+
+
+class Statistics:
+    COUNTERS = (
+        "hit_count",
+        "miss_count",
+        "size_evict_count",
+        "age_evict_count",
+        "replace_count",
+        "statistics_duration",
+    )
+    BUFFERS = (
+        "query_durations",
+        "store_durations",
+        "store_row_counts",
+        "durations_until_eviction",
+    )
+
+    def __init__(self, buffer_size: int = 1000):
+        self.buffer_size = buffer_size
+        self._lock = threading.Lock()
+        self._reset()
+
+    def _reset(self) -> None:
+        self._counters = {name: 0 for name in self.COUNTERS}
+        self._buffers = {name: deque(maxlen=self.buffer_size) for name in self.BUFFERS}
+
+    def inc(self, name: str, count: int = 1) -> None:
+        with self._lock:
+            self._counters[name] = self._counters.get(name, 0) + count
+
+    def append(self, name: str, value: float) -> None:
+        with self._lock:
+            self._buffers[name].append(value)
+
+    def snapshot_and_reset(self) -> dict:
+        """Read = consume (reference resets stats on every read,
+        qcache/statistics.py:29-33)."""
+        with self._lock:
+            out: dict = dict(self._counters)
+            for name, buf in self._buffers.items():
+                out[name] = list(buf)
+            out["statistics_buffer_size"] = self.buffer_size
+            self._reset()
+            return out

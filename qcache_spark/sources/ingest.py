@@ -104,12 +104,15 @@ def from_csv(
     """CSV body → DataFrame (Arrow-accelerated createDataFrame).
     Returns (df, enum_columns)."""
     dtypes, enum_columns = _parse_type_hints(types)
-    pdf = pd.read_csv(
-        io.StringIO(csv_text),
-        na_values=[""],
-        keep_default_na=False,
-        dtype=dtypes or None,
-    )
+    try:
+        pdf = pd.read_csv(
+            io.StringIO(csv_text),
+            na_values=[""],
+            keep_default_na=False,
+            dtype=dtypes or None,
+        )
+    except (pd.errors.EmptyDataError, pd.errors.ParserError, ValueError) as e:
+        raise MalformedQueryException(f"Invalid CSV body: {e}")
     # pandas upcasts int columns with nulls to float; Spark keeps
     # nullable long — preserve pandas-visible behavior by letting the
     # inferred dtype stand (SURVEY.md §7 "hard parts").

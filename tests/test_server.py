@@ -1,0 +1,237 @@
+"""End-to-end HTTP tests, porting the reference API contract
+(/root/reference/test/test_api.py): store→query round trips in all
+CSV/JSON combos, pagination header, type hints, stand-in columns,
+updates, eviction, statistics, error codes."""
+from __future__ import annotations
+
+import gzip
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from qcache_spark.server import make_server, serve_forever_in_thread
+
+CSV_BODY = "foo,bar\n1,10\n2,20\n3,30\n"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = make_server(spark, max_cache_size=1 << 30)
+    serve_forever_in_thread(srv)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def call(base, method, path, body=None, headers=None):
+    req = urllib.request.Request(
+        base + path, data=body, method=method, headers=headers or {}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def store(base, key, body=CSV_BODY, ctype="text/csv", headers=None):
+    h = {"Content-Type": ctype}
+    h.update(headers or {})
+    return call(base, "POST", f"/qcache/dataset/{key}", body.encode(), h)
+
+
+def query(base, key, q, accept="application/json", headers=None):
+    h = {"Accept": accept}
+    h.update(headers or {})
+    qs = urllib.parse.quote(json.dumps(q))
+    return call(base, "GET", f"/qcache/dataset/{key}?q={qs}", None, h)
+
+
+def test_status(server):
+    code, body, _ = call(server, "GET", "/qcache/status")
+    assert code == 200 and body == b"OK"
+
+
+def test_store_query_roundtrip_csv_json(server):
+    code, _, _ = store(server, "t1")
+    assert code == 201
+    code, body, headers = query(server, "t1", {"where": [">", "bar", 15]})
+    assert code == 200
+    rows = json.loads(body)
+    assert sorted(r["foo"] for r in rows) == [2, 3]
+    assert headers["X-QCache-unsliced-length"] == "2"
+
+    code, body, _ = query(server, "t1", {}, accept="text/csv")
+    assert code == 200
+    assert body.decode().splitlines()[0] == "foo,bar"
+
+
+def test_store_json_query(server):
+    body = json.dumps([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    code, _, _ = store(server, "t2", body, ctype="application/json")
+    assert code == 201
+    code, out, _ = query(server, "t2", {"where": ["==", "b", "'y'"]})
+    assert json.loads(out) == [{"a": 2, "b": "y"}]
+
+
+def test_query_by_post(server):
+    store(server, "t3")
+    code, body, headers = call(
+        server,
+        "POST",
+        "/qcache/dataset/t3/q",
+        json.dumps({"select": [["count"]]}).encode(),
+        {"Accept": "application/json"},
+    )
+    assert code == 200
+    assert json.loads(body) == [{"count": 3}]
+
+
+def test_pagination_header(server):
+    store(server, "t4")
+    code, body, headers = query(
+        server, "t4", {"order_by": ["foo"], "offset": 1, "limit": 1}
+    )
+    assert json.loads(body) == [{"foo": 2, "bar": 20}]
+    assert headers["X-QCache-unsliced-length"] == "3"
+
+
+def test_unknown_dataset_404(server):
+    code, body, _ = query(server, "nope", {})
+    assert code == 404
+    assert "error" in json.loads(body)
+
+
+def test_malformed_query_400(server):
+    store(server, "t5")
+    code, body, _ = query(server, "t5", {"selcet": ["foo"]})
+    assert code == 400
+    assert "selcet" in json.loads(body)["error"]
+
+
+def test_unsupported_content_type_415(server):
+    code, _, _ = store(server, "t6", "x", ctype="text/xml")
+    assert code == 415
+
+
+def test_unsupported_charset_400(server):
+    code, _, _ = store(server, "t7", CSV_BODY, ctype="text/csv; charset=latin-1")
+    assert code == 400
+
+
+def test_not_acceptable_406(server):
+    store(server, "t8")
+    code, _, _ = query(server, "t8", {}, accept="text/xml")
+    assert code == 406
+
+
+def test_delete_dataset(server):
+    store(server, "t9")
+    code, _, _ = call(server, "DELETE", "/qcache/dataset/t9")
+    assert code == 200
+    code, _, _ = query(server, "t9", {})
+    assert code == 404
+
+
+def test_get_on_q_endpoint_is_404(server):
+    store(server, "t10")
+    code, _, _ = call(server, "GET", "/qcache/dataset/t10/q")
+    assert code == 404
+
+
+def test_type_hints(server):
+    # all-digit strings must stay strings with a hint (README.rst:350-376)
+    body = "some_key,value\n123456,1\nabcdef,2\n"
+    store(server, "th", body, headers={"X-QCache-types": "some_key=string"})
+    code, out, _ = query(server, "th", {"where": ["==", "some_key", "'123456'"]})
+    assert code == 200
+    assert json.loads(out) == [{"some_key": "123456", "value": 1}]
+
+
+def test_unknown_type_hint_400(server):
+    code, _, _ = store(
+        server, "th2", CSV_BODY, headers={"X-QCache-types": "foo=bignum"}
+    )
+    assert code == 400
+
+
+def test_stand_in_columns(server):
+    store(
+        server,
+        "si",
+        CSV_BODY,
+        headers={"X-QCache-stand-in-columns": "baz=10;qux=baz"},
+    )
+    code, out, _ = query(server, "si", {"select": ["foo", "baz", "qux"], "limit": 1, "order_by": ["foo"]})
+    assert json.loads(out) == [{"foo": 1, "baz": 10, "qux": 10}]
+
+
+def test_stand_in_at_query_time(server):
+    store(server, "si2")
+    code, out, _ = query(
+        server,
+        "si2",
+        {"select": ["foo", "extra"], "limit": 1, "order_by": ["foo"]},
+        headers={"X-QCache-stand-in-columns": "extra='abc'"},
+    )
+    assert json.loads(out) == [{"foo": 1, "extra": "abc"}]
+
+
+def test_update_statement_roundtrip(server):
+    store(server, "upd")
+    code, body, _ = call(
+        server,
+        "POST",
+        "/qcache/dataset/upd/q",
+        json.dumps({"update": [["+", "bar", 5]], "where": ["==", "foo", 1]}).encode(),
+        {"Accept": "application/json"},
+    )
+    assert code == 200
+    _, out, _ = query(server, "upd", {"order_by": ["foo"]})
+    assert [r["bar"] for r in json.loads(out)] == [15, 20, 30]
+
+
+def test_gzip_roundtrip(server):
+    body = gzip.compress(CSV_BODY.encode())
+    code, _, _ = call(
+        server,
+        "POST",
+        "/qcache/dataset/gz",
+        body,
+        {"Content-Type": "text/csv", "Content-Encoding": "gzip"},
+    )
+    assert code == 201
+    qs = urllib.parse.quote(json.dumps({}))
+    code, out, headers = call(
+        server,
+        "GET",
+        f"/qcache/dataset/gz?q={qs}",
+        None,
+        {"Accept": "application/json", "Accept-Encoding": "gzip"},
+    )
+    assert code == 200
+    assert headers.get("Content-Encoding") == "gzip"
+    assert len(json.loads(gzip.decompress(out))) == 3
+
+
+def test_statistics_reset_on_read(server):
+    store(server, "st")
+    query(server, "st", {})
+    query(server, "nope_missing", {})
+    code, body, _ = call(server, "GET", "/qcache/statistics")
+    snap = json.loads(body)
+    assert snap["hit_count"] >= 1
+    assert snap["miss_count"] >= 1
+    assert len(snap["query_durations"]) >= 1
+    code, body, _ = call(server, "GET", "/qcache/statistics")
+    snap2 = json.loads(body)
+    assert snap2["hit_count"] == 0 and snap2["query_durations"] == []
+
+
+def test_replace_key(server):
+    store(server, "rk")
+    store(server, "rk", "foo,bar\n9,90\n")
+    code, out, _ = query(server, "rk", {})
+    assert json.loads(out) == [{"foo": 9, "bar": 90}]
