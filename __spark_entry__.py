@@ -449,6 +449,39 @@ def q35_quality_score(spark, sf_dir):
     )
 
 
+
+def q36_sessionize(spark, sf_dir):
+    """Session windows (10-min gap) over events — batch form of the
+    streaming sessionizer (same plan runs under readStream with a
+    watermark; see qcache_spark.streaming)."""
+    from qcache_spark.streaming import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e, gap="10 minutes", streaming=False).select(
+        "user_id", "session_start", "n_events"
+    )
+
+
+def q37_sliding_windows(spark, sf_dir):
+    """Sliding-window rates (1h window, 15min slide): rows-only check
+    (each event lands in 4 windows)."""
+    from qcache_spark.streaming import sliding_rates
+
+    e = load_table(spark, sf_dir, "events")
+    return sliding_rates(e, "1 hour", "15 minutes", streaming=False)
+
+
+def q38_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic media table → Arrow-batched
+    mapInPandas feature extraction (decode stubbed, deterministic)."""
+    from qcache_spark.operators import multimodal as _mm
+
+    media = _mm.synthetic_media(spark, n=64)
+    return _mm.extract_image_features(media).select(
+        "media_id", "width", "height", "payload_bytes", "payload_sha256"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -485,6 +518,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_simhash": q33_simhash,
     "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
     "q35_quality_score": q35_quality_score,
+    "q36_sessionize": q36_sessionize,
+    "q37_sliding_windows": q37_sliding_windows,
+    "q38_media_features": q38_media_features,
 }
 
 
@@ -572,6 +608,22 @@ OPERATOR_ORACLES: dict[str, str] = {
         WHERE a.doc_id < b.doc_id
           AND len(list_intersect(a.sh, b.sh))::DOUBLE /
               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+    """,
+    "q36_sessionize": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_no
     """,
     "q35_quality_score": """
         WITH feat AS (

@@ -1,0 +1,185 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns with typed metadata, processed via
+Arrow-batched `mapInPandas` — the right Spark shape for decode /
+feature-extract / resize / frame-sample at 100 TB:
+
+- binary payloads stay columnar end-to-end (no per-row Python objects
+  until inside the Arrow batch),
+- each task processes a batch of blobs at a time; `maxRecordsPerBatch`
+  bounds executor memory against large blobs,
+- partitioning is by file/row-group, so decode parallelism is the
+  scan parallelism.
+
+The decode kernels themselves are STUBBED behind
+`decoder_available()` — the image/audio libraries are not in this
+container. `fake_decode=True` substitutes a deterministic,
+schema-correct fake (content-hash-seeded) so the Spark-side plumbing
+(schemas, batch iteration, UDF signatures, partitioning) is fully
+real and tested; swap `_decode_image_real` for a PIL/ffmpeg call to
+go live.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def decoder_available() -> bool:
+    """True when a real image decoder is importable."""
+    try:  # pragma: no cover - not present in this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic schema-correct fake: pseudo-pixels seeded by the
+    content hash. Keeps every byte of the pipeline testable without a
+    codec in the container."""
+    digest = hashlib.sha256(payload or b"").digest()
+    h = 8 + digest[0] % 8
+    w = 8 + digest[1] % 8
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
+    raise NotImplementedError(
+        "Image decoding requires PIL/cv2, not present in this container; "
+        "swap this function for `np.asarray(PIL.Image.open(io.BytesIO(payload)))`."
+    )
+
+
+def synthetic_media(spark: SparkSession, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic media table for tests: payload = hash-derived
+    bytes (schema identical to a real ingested media table)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "mime": ["image/fake"] * len(ids),
+                    "payload": [
+                        hashlib.sha256(str(i).encode()).digest() * 4 for i in ids
+                    ],
+                    "meta": [{"source": f"synthetic-{i % 3}"} for i in ids],
+                }
+            )
+
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .mapInPandas(gen, MEDIA_SCHEMA)
+    )
+
+
+def extract_image_features(
+    media: DataFrame, fake_decode: bool = True, batch_rows: int = 256
+) -> DataFrame:
+    """Decode → per-image features, Arrow-batched. The non-decode
+    features (size, content hash) are real either way; the pixel
+    statistics come from the stub unless a decoder is present."""
+    decode = _fake_decode if (fake_decode or not decoder_available()) else _decode_image_real
+
+    def features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode(payload)
+                out.append(
+                    (
+                        media_id,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.shape[2]),
+                        float(img.mean()),
+                        len(payload or b""),
+                        hashlib.sha256(payload or b"").hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_channels",
+                    "mean_luma", "payload_bytes", "payload_sha256",
+                ],
+            )
+
+    src = media.select("media_id", "payload")
+    return src.mapInPandas(features, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 2, max_frames: int = 4
+) -> DataFrame:
+    """Video frame-sampling plumbing: one input blob → N frame rows
+    (flatMap shape via mapInPandas yielding more rows than input).
+    Frames are byte slices of the payload under the stub; a real
+    implementation replaces the slicing with an ffmpeg seek+decode."""
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, blobs = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                n = min(max_frames, max(len(payload) // max(every_n, 1), 1))
+                for i in range(n):
+                    ids.append(media_id)
+                    idxs.append(i * every_n)
+                    blobs.append(payload[i * every_n: i * every_n + 16])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_payload": blobs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(frames, FRAME_SAMPLE_SCHEMA)
+
+
+def media_dedup_keys(media: DataFrame) -> DataFrame:
+    """Exact byte-level dedup key for media: hash the payload JVM-side
+    (sha2 over binary — no Python touch for the common case)."""
+    return media.select(
+        "media_id",
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        F.length(F.col("payload")).alias("payload_bytes"),
+    )

@@ -23,6 +23,16 @@ def get_spark(
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Python workers (Pandas UDF / mapInPandas) must be able to import
+    # this package regardless of the driver's cwd. Local mode spawns
+    # workers with the driver's environment → extend PYTHONPATH. On a
+    # real cluster, ship a wheel via spark-submit --py-files instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -74,7 +84,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     return df
 

@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: schemas, Arrow batch iteration, and
+determinism of the stubbed decode path."""
+from __future__ import annotations
+
+from qcache_spark.operators import multimodal as mm
+
+
+def test_synthetic_media_schema(spark):
+    media = mm.synthetic_media(spark, n=16)
+    assert media.schema == mm.MEDIA_SCHEMA
+    assert media.count() == 16
+
+
+def test_extract_image_features_deterministic(spark):
+    media = mm.synthetic_media(spark, n=16)
+    a = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+    b = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+    assert len(a) == 16
+    for k in a:
+        assert a[k] == b[k]
+    r = a[0]
+    assert 8 <= r["width"] <= 15 and 8 <= r["height"] <= 15
+    assert r["n_channels"] == 3
+    assert 0 <= r["mean_luma"] <= 255
+    assert r["payload_bytes"] == 128  # sha256 digest * 4
+    assert len(r["payload_sha256"]) == 64
+
+
+def test_sample_frames_flatmap_shape(spark):
+    media = mm.synthetic_media(spark, n=4)
+    frames = mm.sample_frames(media, every_n=2, max_frames=4).collect()
+    assert len(frames) == 16  # 4 frames per media
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 2, 4, 6] for v in per_media.values())
+    assert all(len(r["frame_payload"]) == 16 for r in frames)
+
+
+def test_media_dedup_keys_jvm_side(spark):
+    media = mm.synthetic_media(spark, n=8)
+    keys = mm.media_dedup_keys(media)
+    rows = keys.collect()
+    assert len({r["payload_sha256"] for r in rows}) == 8  # all distinct payloads
+    # identical payload -> identical key
+    dup = media.limit(1).union(media.limit(1))
+    k = mm.media_dedup_keys(dup).collect()
+    assert k[0]["payload_sha256"] == k[1]["payload_sha256"]
+
+
+def test_decoder_gate():
+    # container has no PIL: the stub path must be selected
+    assert mm.decoder_available() is False

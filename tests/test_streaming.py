@@ -1,0 +1,80 @@
+"""Streaming tests: the same window builders must agree between a
+batch run and an incremental availableNow stream run over the same
+parquet — Spark's batch/stream unification, exercised for real."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcache_spark.session import load_table
+from qcache_spark.streaming import (
+    read_event_stream,
+    run_to_memory_sink,
+    sessionize,
+    sliding_rates,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_event_stream(spark, f"{sf_dir}/events.parquet")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_matches_batch_tumbling(spark, events_batch, events_stream):
+    batch = tumbling_counts(events_batch, streaming=False)
+    stream = tumbling_counts(events_stream, streaming=True)
+    run_to_memory_sink(stream, "tumbling_test", output_mode="complete")
+    streamed = spark.table("tumbling_test")
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(batch, cols) == _rows(streamed, cols)
+
+
+def test_stream_matches_batch_sessionize(spark, events_batch, events_stream):
+    batch = sessionize(events_batch, gap="10 minutes", streaming=False)
+    stream = sessionize(events_stream, gap="10 minutes", streaming=True)
+    run_to_memory_sink(stream, "session_test", output_mode="complete")
+    streamed = spark.table("session_test")
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(batch, cols) == _rows(streamed, cols)
+
+
+def test_sliding_windows_multiply_events(events_batch):
+    tumbling = tumbling_counts(events_batch, "1 hour", streaming=False)
+    sliding = sliding_rates(events_batch, "1 hour", "15 minutes", streaming=False)
+    n_tumbling = tumbling.agg(F.sum("n_events")).collect()[0][0]
+    n_sliding = sliding.agg(F.sum("n_events")).collect()[0][0]
+    assert n_sliding == 4 * n_tumbling  # each event in 4 sliding windows
+
+
+def test_session_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:05:00", 1.0),  # same session (< 10 min gap)
+        (1, "2024-01-01 00:30:00", 1.0),  # new session
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = sessionize(df, gap="10 minutes", streaming=False)
+    per_user = {(r["user_id"], str(r["session_start"])): r["n_events"] for r in got.collect()}
+    assert per_user == {
+        (1, "2024-01-01 00:00:00"): 2,
+        (1, "2024-01-01 00:30:00"): 1,
+        (2, "2024-01-01 00:00:00"): 1,
+    }
+
+
+def test_watermark_present_in_stream_plan(events_stream):
+    stream = tumbling_counts(events_stream, watermark="2 hours", streaming=True)
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
