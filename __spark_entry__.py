@@ -499,6 +499,70 @@ def q39_baseline_workload(spark, sf_dir):
     return compile_query(q, o).sliced
 
 
+
+def q40_update_in_where(spark, sf_dir):
+    """§2.8 update: simple assignment with in-list where grammar."""
+    c = load_table(spark, sf_dir, "customer")
+    q = {
+        "update": [["c_mktsegment", "'PRIORITY'"]],
+        "where": ["in", "c_mktsegment", ["'BUILDING'", "'AUTOMOBILE'"]],
+    }
+    return compile_update(q, c).select("c_custkey", "c_mktsegment")
+
+
+def q41_cube(spark, sf_dir):
+    """Cube aggregate (grouping sets family; absent in reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.round(F.col("l_extendedprice") * 10000).cast("long")) / 10000.0).alias("revenue"),
+    )
+
+
+def q42_ivf_search(spark, sf_dir):
+    """IVF ANN search: deterministic centroids, cluster-pruned probe
+    (approximate by design → rows-only driver check)."""
+    from qcache_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    index = IVFIndex(emb, n_centroids=8, iters=1)
+    return index.search(list(qvec), k=10, n_probe=4).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q43_json_extract(spark, sf_dir):
+    """JSON field extraction from the events.props string column
+    (JSON ops are absent in the reference — SURVEY.md §2.9)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.countDistinct(F.get_json_object("props", "$.k")).alias("n_distinct_k"),
+    )
+
+
+def q44_contains(spark, sf_dir):
+    """`contains` filter op — the reference's aspirational substring
+    operator (skipped test test_qframe.py:92-95), realized."""
+    p = load_table(spark, sf_dir, "part")
+    q = {
+        "where": ["contains", "p_name", "'old'"],
+        "select": ["p_partkey", "p_name"],
+    }
+    return compile_query(q, p).sliced
+
+
+def q45_median_agg(spark, sf_dir):
+    """§2.4 duck-typed aggregate: median (pandas groupby method name)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = {
+        "group_by": ["l_returnflag"],
+        "select": ["l_returnflag", ["median", "l_quantity"], ["min", "l_extendedprice"]],
+    }
+    return compile_query(q, li).sliced
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -539,6 +603,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_sliding_windows": q37_sliding_windows,
     "q38_media_features": q38_media_features,
     "q39_baseline_workload": q39_baseline_workload,
+    "q40_update_in_where": q40_update_in_where,
+    "q41_cube": q41_cube,
+    "q42_ivf_search": q42_ivf_search,
+    "q43_json_extract": q43_json_extract,
+    "q44_contains": q44_contains,
+    "q45_median_agg": q45_median_agg,
 }
 
 
@@ -631,6 +701,32 @@ OPERATOR_ORACLES: dict[str, str] = {
         SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority
         FROM orders WHERE o_orderpriority = '2-HIGH'
         ORDER BY o_custkey, o_orderstatus LIMIT 50
+    """,
+    "q40_update_in_where": """
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                    THEN 'PRIORITY' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    """,
+    "q41_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q43_json_extract": """
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k
+        FROM events GROUP BY event_type
+    """,
+    "q44_contains": """
+        SELECT p_partkey, p_name FROM part WHERE contains(p_name, 'old')
+    """,
+    "q45_median_agg": """
+        SELECT l_returnflag,
+               MEDIAN(l_quantity) AS l_quantity,
+               MIN(l_extendedprice) AS l_extendedprice
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q36_sessionize": """
         WITH marked AS (

@@ -146,6 +146,8 @@ class FilterCompiler:
             return self._in(q)
         if op in ("like", "ilike"):
             return self._like(q)
+        if op == "contains":
+            return self._contains(q)
         raise_malformed("Unknown operator", q)
 
     # -- pieces -------------------------------------------------------
@@ -254,6 +256,19 @@ class FilterCompiler:
         # (reference passes the raw list to isin).
         col = self._column(col_name)
         return _false_safe(col.isin(list(args)), col)
+
+    def _contains(self, q) -> Column:
+        """Literal substring containment (the reference's aspirational
+        `contains` op — skipped test at test_qframe.py:92-95; realized
+        here). Unlike like/ilike the pattern is NOT a regex."""
+        assert_len(q, 3)
+        _, column, raw = q
+        if not isinstance(raw, str) or not is_quoted(raw):
+            raise_malformed("contains expects a quoted string as second argument", q)
+        col = self._column(column)
+        if not isinstance(self.df.schema[column].dataType, T.StringType):
+            raise_malformed("Invalid column type for contains", q)
+        return _false_safe(col.contains(unquote(raw)), col)
 
     def _like(self, q) -> Column:
         assert_len(q, 3)

@@ -191,6 +191,27 @@ def test_like_null_cells_never_match(basic_frame):
     assert_rows_unordered(basic_frame, {"where": ["like", "qux", "'qqq'"]}, ["bbb", "aaa"])
 
 
+def test_contains_filter(basic_frame):
+    # the reference's aspirational `contains` op (skipped test
+    # test_qframe.py:92-95), realized here
+    assert_rows_unordered(basic_frame, {"where": ["contains", "foo", "'bb'"]}, ["bbb"])
+    assert_rows_unordered(
+        basic_frame, {"where": ["!", ["contains", "foo", "'bb'"]]}, ["aaa", "ccc"]
+    )
+
+
+def test_contains_is_not_regex(string_frame):
+    # regex metacharacters are literal for contains
+    assert_rows_unordered(string_frame, {"where": ["contains", "bar", "'[a-z]'"]}, [])
+
+
+def test_contains_errors(basic_frame):
+    with pytest.raises(MalformedQueryException):
+        query_rows(basic_frame, {"where": ["contains", "foo", "bb"]})  # unquoted
+    with pytest.raises(MalformedQueryException):
+        query_rows(basic_frame, {"where": ["contains", "baz", "'1'"]})  # int col
+
+
 def test_like_on_nullable_string(spark):
     from tests.conftest import make_frame
 
