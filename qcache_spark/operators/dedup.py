@@ -31,6 +31,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 MERSENNE_PRIME_ISH = 4294967311  # smallest prime > 2^32
 MAX_HASH = 0xFFFFFFFF
@@ -92,22 +93,26 @@ def minhash_signature(
       once per row, not once per permutation (see `let`)."""
     sh = F.array_distinct(shingles(text_col, shingle_size))
     hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(MAX_HASH)))
+    return let(hashes, lambda h: _signature_from_bound_hashes(h, num_perm, seed))
+
+
+def _signature_from_bound_hashes(h: Column, num_perm: int, seed: int) -> Column:
+    """Permutation minima over an already-BOUND hash-array variable
+    (reading a bound lambda variable is free; re-evaluating an inlined
+    expression is not — see `let`)."""
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _perm_params(num_perm, seed)
         ]
     )
-    return let(
-        hashes,
-        lambda h: F.transform(
-            params,
-            lambda p: F.array_min(
-                F.transform(
-                    h,
-                    lambda x: (x * p["a"] + p["b"]) % F.lit(MERSENNE_PRIME_ISH),
-                )
-            ),
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(
+                h,
+                lambda x: (x * p["a"] + p["b"]) % F.lit(MERSENNE_PRIME_ISH),
+            )
         ),
     )
 
@@ -165,11 +170,29 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
 
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_size, seed)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_size)).alias("_shingles"),
-        _band_hashes(sig, bands, r).alias("_bands"),
+    # One let-bound struct computes the distinct shingle set ONCE per
+    # row and derives both outputs (the verify set and the LSH band
+    # hashes) from the bound variable.
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_size))
+    packed = let(
+        sh,
+        lambda s: F.struct(
+            s.alias("sh"),
+            _band_hashes(
+                _signature_from_bound_hashes(
+                    F.transform(s, lambda x: F.xxhash64(x).bitwiseAND(F.lit(MAX_HASH))),
+                    num_perm,
+                    seed,
+                ),
+                bands,
+                r,
+            ).alias("bands"),
+        ),
+    )
+    base = df.select(F.col(id_col).alias("_id"), packed.alias("_p")).select(
+        "_id",
+        F.col("_p.sh").alias("_shingles"),
+        F.col("_p.bands").alias("_bands"),
     )
 
     buckets = base.select(
@@ -190,9 +213,24 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # Materialize: `pairs` is referenced 3x below (verify join +
+        # both sides of the member filter) and Spark shares no common
+        # subplans — without this the whole bucket-join pipeline
+        # re-executes per reference (observed 5x duplication). The
+        # pair set is small by construction (post-cap, post-distinct).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    sets = base.select("_id", "_shingles")
+    # Verify only touches candidate-pair members: the semi-join on the
+    # id column pushes below the shingle projection, so shingle sets
+    # are recomputed for ~2·|pairs| docs, not the whole corpus (the
+    # full-corpus verify join dominated the sf0.1 bench at 26 s).
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sets = base.select("_id", "_shingles").join(cand_ids, "_id", "left_semi")
     a = sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_shingles", "_sa")
     b = sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_shingles", "_sb")
     verified = (
@@ -307,7 +345,7 @@ def simhash_pairs(
         .withColumn("hamming", F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-    )
+    )  # single-reference pipeline: no materialization needed
 
 
 def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id") -> DataFrame:

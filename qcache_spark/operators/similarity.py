@@ -30,6 +30,7 @@ from typing import Iterable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 
 def dot_with_literal(vec_col: Column, query: Sequence[float]) -> Column:
@@ -225,9 +226,17 @@ def embedding_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # referenced 3x below; materialize to avoid subplan re-execution
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    members = base.select("_id", "_v", "_norm").join(cand_ids, "_id", "left_semi")
+    a = members.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    b = members.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
     dot = F.aggregate(
         F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
