@@ -30,6 +30,14 @@ from pyspark.storagelevel import StorageLevel
 from ..errors import DatasetTooLargeException, UnknownDatasetException
 
 
+_VERSION_COUNTER = [0]
+
+
+def _next_version() -> int:
+    _VERSION_COUNTER[0] += 1
+    return _VERSION_COUNTER[0]
+
+
 @dataclass
 class CacheItem:
     df: DataFrame
@@ -38,6 +46,9 @@ class CacheItem:
     creation_time: float = field(default_factory=time.time)
     last_access_time: float = field(default_factory=time.time)
     access_count: int = 0
+    # monotonically increasing across ALL items: changes whenever the
+    # table content changes (store/replace/update) → safe result-cache key
+    version: int = field(default_factory=_next_version)
 
 
 def estimate_size(df: DataFrame) -> int:

@@ -348,25 +348,61 @@ def simhash_pairs(
     )  # single-reference pipeline: no materialization needed
 
 
-def dedup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Greedy single-pass clustering: every id maps to min(neighbor ∪
-    self). One shuffle; an approximation of connected components good
-    enough for keep/drop decisions (full CC needs iteration — see
-    docstring note).
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 5,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph by label
+    propagation to a fixpoint: every node takes the min label in its
+    neighborhood, iterated until no label changes (checked with a
+    cheap sum-of-labels aggregate) or `max_iters`.
 
-    Note: chains a-b, b-c resolve to min over DIRECT neighbors only;
-    for transitive closure run this to a fixpoint (typically ≤ 3
-    iterations on near-dup graphs, which are mostly cliques)."""
-    edges = pairs.select(
-        F.col("id_a").alias(id_col), F.col("id_b").alias("nbr")
-    ).union(pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("nbr")))
-    mins = edges.groupBy(id_col).agg(F.min("nbr").alias("min_nbr"))
-    return (
-        ids.join(mins, id_col, "left")
-        .select(
-            id_col,
-            F.least(
-                F.col(id_col), F.coalesce(F.col("min_nbr"), F.col(id_col))
-            ).alias("cluster_id"),
-        )
+    Near-dup graphs are mostly cliques plus short chains, so this
+    converges in 2-3 iterations in practice; each iteration is one
+    co-partitioned shuffle over the EDGE set only (cluster labels for
+    isolated nodes never shuffle)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .select(
+            F.col("src"),
+            F.least("src", "lbl").alias("lbl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iters):
+        # propagate: each node takes min(own label, neighbors' labels)
+        nbr_lbls = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_lbls, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only ever decrease → fixpoint
+            break
+        prev_sum = new_sum
+    result = ids.join(
+        labels.withColumnRenamed("src", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("lbl", F.col(id_col)).alias("cluster_id"),
+    )
+    return result

@@ -23,11 +23,13 @@ replaced by Spark's distributed execution underneath the same API.
 """
 from __future__ import annotations
 
+import base64
 import gzip
 import json
 import threading
 import time
 import urllib.parse
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
@@ -97,6 +99,33 @@ def _parse_types_header(header: str | None) -> dict:
     return types
 
 
+class ResultCache:
+    """LRU page cache: (dataset version, query text, accept) → rendered
+    body + unsliced length. A dataset's `version` bumps on every
+    store/replace/update, so entries can never serve stale data —
+    this is the qcache value proposition (repeated dashboard queries
+    hit memory, not Spark) made explicit."""
+
+    def __init__(self, max_entries: int = 256):
+        self.max_entries = max_entries
+        self._lock = threading.Lock()
+        self._entries: OrderedDict[tuple, tuple[bytes, int]] = OrderedDict()
+
+    def get(self, key: tuple):
+        with self._lock:
+            entry = self._entries.get(key)
+            if entry is not None:
+                self._entries.move_to_end(key)
+            return entry
+
+    def put(self, key: tuple, body: bytes, unsliced_len: int) -> None:
+        with self._lock:
+            self._entries[key] = (body, unsliced_len)
+            self._entries.move_to_end(key)
+            while len(self._entries) > self.max_entries:
+                self._entries.popitem(last=False)
+
+
 class QCacheHandler(BaseHTTPRequestHandler):
     server_version = "qcache-spark/0.1"
     protocol_version = "HTTP/1.1"
@@ -105,6 +134,24 @@ class QCacheHandler(BaseHTTPRequestHandler):
     spark: SparkSession = None
     catalog: DatasetCatalog = None
     stats: Statistics = None
+    result_cache: ResultCache | None = None
+    basic_auth: str | None = None  # "user:password" or None
+
+    def _check_auth(self) -> bool:
+        """Basic auth parity (reference qcache/app.py:33-85). Returns
+        False (after sending 401) when credentials are required and
+        missing/wrong."""
+        if not self.basic_auth:
+            return True
+        header = self.headers.get("Authorization", "")
+        expected = "Basic " + base64.b64encode(self.basic_auth.encode()).decode()
+        if header == expected:
+            return True
+        self.send_response(401)
+        self.send_header("WWW-Authenticate", 'Basic realm="qcache"')
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+        return False
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -179,6 +226,8 @@ class QCacheHandler(BaseHTTPRequestHandler):
         an HTTP response (a silent connection drop was observed with
         an empty CSV body before this guard)."""
         try:
+            if not self._check_auth():
+                return
             fn()
         except _UnsupportedMediaType as e:
             self._error(415, f"Unsupported media type: {e}")
@@ -288,12 +337,29 @@ class QCacheHandler(BaseHTTPRequestHandler):
             self._send(200)
             return
 
+        cache_key = None
+        if self.result_cache is not None and not stand_ins:
+            cache_key = (key, item.version, q_text, accept)
+            hit = self.result_cache.get(cache_key)
+            if hit is not None:
+                body, unsliced_len = hit
+                self.stats.append("query_durations", time.perf_counter() - t0)
+                self._send(
+                    200,
+                    body,
+                    accept,
+                    extra_headers={"X-QCache-unsliced-length": str(unsliced_len)},
+                )
+                return
+
         result = compile_query(q, df, enum_columns=item.enum_columns)
         unsliced_len = result.unsliced_len()
         if accept == CONTENT_TYPE_CSV:
             body = to_csv(result.sliced).encode("utf-8")
         else:
             body = to_json_records(result.sliced).encode("utf-8")
+        if cache_key is not None:
+            self.result_cache.put(cache_key, body, unsliced_len)
         self.stats.append("query_durations", time.perf_counter() - t0)
         self._send(
             200,
@@ -318,6 +384,8 @@ def make_server(
     max_cache_size: int = 1 << 30,
     max_age: float = 0,
     statistics_buffer_size: int = 1000,
+    result_cache_entries: int = 256,
+    basic_auth: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port=0 picks an ephemeral
     port (server.server_address[1])."""
@@ -332,7 +400,13 @@ def make_server(
     handler = type(
         "BoundQCacheHandler",
         (QCacheHandler,),
-        {"spark": spark, "catalog": catalog, "stats": stats},
+        {
+            "spark": spark,
+            "catalog": catalog,
+            "stats": stats,
+            "result_cache": ResultCache(result_cache_entries) if result_cache_entries else None,
+            "basic_auth": basic_auth,
+        },
     )
     return ThreadingHTTPServer((host, port), handler)
 

@@ -158,6 +158,17 @@ def test_dedup_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 3, 4: 1}
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    # chain 5-6, 6-7, 7-8 must collapse to one cluster (fixpoint)
+    pairs = spark.createDataFrame([(5, 6), (6, 7), (7, 8)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(5,), (6,), (7,), (8,), (9,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs, ids).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5, 9: 9}
+
+
 # ------------------------------------------------------------ similarity
 
 def test_cosine_topk_exact(spark):

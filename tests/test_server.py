@@ -230,6 +230,49 @@ def test_statistics_reset_on_read(server):
     assert snap2["hit_count"] == 0 and snap2["query_durations"] == []
 
 
+def test_result_cache_serves_and_invalidates(server):
+    store(server, "rc", "foo,bar\n1,10\n2,20\n")
+    q = {"select": [["sum", "bar"]]}
+    _, out1, _ = query(server, "rc", q)
+    _, out2, _ = query(server, "rc", q)  # served from the result cache
+    assert json.loads(out1) == json.loads(out2) == [{"bar": 30}]
+    # update bumps the dataset version -> cache must not serve stale
+    call(
+        server,
+        "POST",
+        "/qcache/dataset/rc/q",
+        json.dumps({"update": [["bar", 0]], "where": ["==", "foo", 1]}).encode(),
+        {"Accept": "application/json"},
+    )
+    _, out3, _ = query(server, "rc", q)
+    assert json.loads(out3) == [{"bar": 20}]
+    # replacing the dataset invalidates too
+    store(server, "rc", "foo,bar\n9,5\n")
+    _, out4, _ = query(server, "rc", q)
+    assert json.loads(out4) == [{"bar": 5}]
+
+
+def test_basic_auth(spark):
+    from qcache_spark.server import make_server, serve_forever_in_thread
+
+    srv = make_server(spark, basic_auth="admin:secret")
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, _, headers = call(base, "GET", "/qcache/status")
+        assert code == 401
+        assert "Basic" in headers.get("WWW-Authenticate", "")
+        import base64
+
+        good = {"Authorization": "Basic " + base64.b64encode(b"admin:secret").decode()}
+        code, body, _ = call(base, "GET", "/qcache/status", None, good)
+        assert code == 200 and body == b"OK"
+        bad = {"Authorization": "Basic " + base64.b64encode(b"admin:wrong").decode()}
+        assert call(base, "GET", "/qcache/status", None, bad)[0] == 401
+    finally:
+        srv.shutdown()
+
+
 def test_replace_key(server):
     store(server, "rk")
     store(server, "rk", "foo,bar\n9,90\n")
