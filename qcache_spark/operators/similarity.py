@@ -167,12 +167,33 @@ def _hyperplanes(dim: int, n: int, seed: int) -> list[list[float]]:
 
 def hyperplane_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Pack sign(v·r_i) bits into one BIGINT (random-hyperplane LSH:
-    P[bit match] = 1 - angle/π)."""
+    P[bit match] = 1 - angle/π). JVM-expression form — n_planes
+    aggregate expressions per row; fine for few planes."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         bit = F.when(dot_with_literal(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), i))
     return sig
+
+
+def hyperplane_signature_udf(planes: list[list[float]]):
+    """Arrow-batched variant: ONE numpy matmul per batch computes all
+    plane dots at once ((n×d)@(d×p)), then sign-bits pack into int64.
+    Preferred when n_planes × dim is large — dense linear algebra is
+    exactly the sanctioned Pandas-UDF use case."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # (d, p)
+    weights = (1 << np.arange(P.shape[1], dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf(T.LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, d)
+        bits = (X @ P) >= 0  # (n, p)
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
+
+    return signature
 
 
 def embedding_dup_pairs(
@@ -200,7 +221,7 @@ def embedding_dup_pairs(
     base = df.select(
         F.col(id_col).alias("_id"),
         vec.alias("_v"),
-        hyperplane_signature(vec, planes).alias("_sig"),
+        hyperplane_signature_udf(planes)(vec).alias("_sig"),
         (l2_norm(vec)).alias("_norm"),
     )
     chunk_structs = F.array(

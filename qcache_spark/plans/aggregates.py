@@ -38,8 +38,8 @@ AGGREGATE_FUNCTIONS = {
     # dsum/davg aggregate through DECIMAL(28,6) — exact and
     # order-independent — then cast back to double.
     "dsum": lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double"),
-    "davg": lambda c: (
-        F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(c)
+    "davg": lambda c: F.try_divide(
+        F.sum(F.col(c).cast("decimal(28,6)")).cast("double"), F.count(c)
     ),
     # Fixed-point money aggregation: same exactness/determinism as
     # dsum for values with <= 4 decimals, at long-sum speed (decimal
@@ -48,12 +48,12 @@ AGGREGATE_FUNCTIONS = {
     # |sum| < 2^63 / 10^4 ~ 9.2e14 — fine for money columns even at
     # 100 TB; use dsum beyond that.
     "msum": lambda c: F.sum(F.round(F.col(c) * 10000).cast("long")) / 10000.0,
-    "mavg": lambda c: (
-        F.sum(F.round(F.col(c) * 10000).cast("long")) / 10000.0 / F.count(c)
+    "mavg": lambda c: F.try_divide(
+        F.sum(F.round(F.col(c) * 10000).cast("long")) / 10000.0, F.count(c)
     ),
     # scale-path extensions (beyond reference): sketch aggregates
     "approx_nunique": F.approx_count_distinct,
-    "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
+    "sem": lambda c: F.try_divide(F.stddev_samp(c), F.sqrt(F.count(c))),
     "skew": F.skewness,
     "kurt": F.kurtosis,
 }

@@ -129,15 +129,21 @@ def compile_query(
 
 
 def _classify(project_q):
-    aggregate_entries = []  # (fn, col) in declaration order
+    # Reference stores aggregates as a {column: fn} dict
+    # (query.py:119-130) — a later aggregate on the same column
+    # replaces the earlier one. Mirror that (also required: output
+    # keeps the column name, so duplicates would be ambiguous).
+    aggregate_by_col: dict = {}
     alias_expressions = []
     for expression in project_q:
         if is_aggregate_function(expression):
-            aggregate_entries.append(expression)
+            fn, col = expression
+            aggregate_by_col[col] = fn
         elif is_alias_assignment(expression):
             alias_expressions.append(expression)
         elif type(expression) is list:
             raise_malformed("Invalid expression in select", expression)
+    aggregate_entries = [(fn, col) for col, fn in aggregate_by_col.items()]
     return aggregate_entries, alias_expressions
 
 

@@ -59,14 +59,19 @@ UNARY_FUNCTIONS = {
     "-": lambda c: -c,
 }
 
+# Division/modulo compile to try_divide/try_mod: under Spark's ANSI
+# mode (the 4.x default, kept on) plain `/` RAISES on a zero divisor,
+# but the reference's contract is a value (engine inf, null on the
+# JSON wire — test_api.py:109-116). try_* yields null → matches the
+# wire contract without giving up ANSI's loud failures elsewhere.
 BINARY_OPERATORS = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b,
+    "/": lambda a, b: F.try_divide(a, b),
     "**": lambda a, b: F.pow(a, b),
-    "%": lambda a, b: a % b,
-    "//": lambda a, b: F.floor(a / b),
+    "%": lambda a, b: F.try_mod(a, b),
+    "//": lambda a, b: F.floor(F.try_divide(a, b)),
     "&": lambda a, b: a.bitwiseAND(b),
     "|": lambda a, b: a.bitwiseOR(b),
     "^": lambda a, b: a.bitwiseXOR(b),

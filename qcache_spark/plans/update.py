@@ -31,11 +31,11 @@ SELF_REFERRING_OPERATORS = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b,
+    "/": lambda a, b: F.try_divide(a, b),
     "&": lambda a, b: a.bitwiseAND(b),
     "|": lambda a, b: a.bitwiseOR(b),
     "^": lambda a, b: a.bitwiseXOR(b),
-    "%": lambda a, b: a % b,
+    "%": lambda a, b: F.try_mod(a, b),
     "**": lambda a, b: F.pow(a, b),
 }
 

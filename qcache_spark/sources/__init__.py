@@ -1,3 +1,4 @@
+from .files import read_csv, read_json, read_parquet, write_parquet
 from .ingest import (
     apply_stand_in_columns,
     from_csv,
@@ -8,6 +9,10 @@ from .ingest import (
 )
 
 __all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "write_parquet",
     "apply_stand_in_columns",
     "from_csv",
     "from_json_records",

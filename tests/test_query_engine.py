@@ -341,6 +341,52 @@ def test_group_by_other_fns(calculation_frame, fn, expected):
     assert [(r["foo"], r["bar"]) for r in result.collect()] == expected
 
 
+def test_remaining_aggregate_names(calculation_frame):
+    # the duck-typed pandas-method surface: std/var/prod (first/last
+    # are order-dependent in the reference and partition-dependent in
+    # Spark — covered as "returns a value from the group")
+    # (a later aggregate on the same column replaces the earlier one,
+    # matching the reference's {column: fn} dict — query.py:119-130)
+    got = {
+        r["foo"]: r["bar"]
+        for r in compile_query(
+            {"select": ["foo", ["sum", "bar"], ["max", "bar"]], "group_by": ["foo"]},
+            calculation_frame,
+        ).sliced.collect()
+    }
+    assert got[1] == 11  # max wins, not sum
+
+    import math
+
+    for fn, expected_grp1 in [
+        ("std", math.sqrt(0.5)),  # values 10,11
+        ("var", 0.5),
+        ("prod", 110.0),
+        ("sum", 21),
+        ("median", 10.5),
+    ]:
+        got = {
+            r["foo"]: r["bar"]
+            for r in compile_query(
+                {"select": ["foo", [fn, "bar"]], "group_by": ["foo"]},
+                calculation_frame,
+            ).sliced.collect()
+        }
+        assert got[1] == pytest.approx(expected_grp1), fn
+
+
+def test_first_last_return_group_member(calculation_frame):
+    for fn in ("first", "last"):
+        got = {
+            r["foo"]: r["bar"]
+            for r in compile_query(
+                {"select": ["foo", [fn, "bar"]], "group_by": ["foo"]},
+                calculation_frame,
+            ).sliced.collect()
+        }
+        assert got[1] in (10, 11) and got[2] == 20 and got[3] in (30, 33)
+
+
 def test_unknown_aggregation_fn_raises(calculation_frame):
     with pytest.raises(MalformedQueryException):
         compile_query(
@@ -678,3 +724,35 @@ def test_update_column_value(basic_frame):
     q = {"update": [["baz", "bar"]], "where": ["==", "foo", "'bbb'"]}
     got = {r["foo"]: r["baz"] for r in compile_update(q, basic_frame).collect()}
     assert got["bbb"] == 1.25 or got["bbb"] == 1  # long col may truncate
+
+
+# ------------------------------------------------------- division by zero
+
+def test_division_by_zero_yields_null_not_error(spark):
+    # reference: int/0 -> inf in-engine, null on the JSON wire
+    # (test_api.py:109-116). Under Spark ANSI mode plain `/` raises;
+    # the engine compiles `/` to try_divide -> null, matching the
+    # wire contract (documented deviation for the CSV path).
+    from tests.conftest import make_frame
+    from qcache_spark.sources import to_json_records
+    import json
+
+    frame = make_frame(spark, "foo,bar\n1,0\n1,2\n")
+    result = compile_query(
+        {"select": [["=", "q", ["/", "foo", "bar"]]]}, frame
+    ).sliced
+    values = sorted(
+        (r["q"] is None, r["q"]) for r in result.collect()
+    )
+    assert values[0] == (False, 0.5) and values[1][0] is True
+    wire = json.loads(to_json_records(result))
+    assert sorted(wire, key=repr) == sorted([{"q": 0.5}, {"q": None}], key=repr)
+
+
+def test_update_division_by_zero_yields_null(spark):
+    from tests.conftest import make_frame
+
+    frame = make_frame(spark, "a,b\n4,0\n9,3\n")
+    q = {"update": [["/", "a", "b"]], "where": [">", "a", 0]}
+    got = {r["b"]: r["a"] for r in compile_update(q, frame).collect()}
+    assert got == {0: None, 3: 3.0}
