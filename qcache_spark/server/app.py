@@ -46,8 +46,8 @@ from ..sources import (
     from_csv,
     from_json_records,
     parse_stand_in_header,
-    to_csv,
-    to_json_records,
+    rows_to_csv,
+    rows_to_json,
 )
 from .statistics import Statistics
 
@@ -353,11 +353,16 @@ class QCacheHandler(BaseHTTPRequestHandler):
                 return
 
         result = compile_query(q, df, enum_columns=item.enum_columns)
-        unsliced_len = result.unsliced_len()
-        if accept == CONTENT_TYPE_CSV:
-            body = to_csv(result.sliced).encode("utf-8")
+        rows = result.sliced.collect()
+        if isinstance(q, dict) and (q.get("limit") or q.get("offset")):
+            unsliced_len = result.unsliced_len()  # second job, pre-slice plan
         else:
-            body = to_json_records(result.sliced).encode("utf-8")
+            # no slicing → the page IS the full result; skip the count job
+            unsliced_len = len(rows)
+        if accept == CONTENT_TYPE_CSV:
+            body = rows_to_csv(rows, result.sliced.columns).encode("utf-8")
+        else:
+            body = rows_to_json(rows).encode("utf-8")
         if cache_key is not None:
             self.result_cache.put(cache_key, body, unsliced_len)
         self.stats.append("query_durations", time.perf_counter() - t0)

@@ -4,6 +4,8 @@ from .ingest import (
     from_csv,
     from_json_records,
     parse_stand_in_header,
+    rows_to_csv,
+    rows_to_json,
     to_csv,
     to_json_records,
 )
@@ -17,6 +19,8 @@ __all__ = [
     "from_csv",
     "from_json_records",
     "parse_stand_in_header",
+    "rows_to_csv",
+    "rows_to_json",
     "to_csv",
     "to_json_records",
 ]

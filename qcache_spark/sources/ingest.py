@@ -145,6 +145,25 @@ def from_json_records(
     return df, enum_columns
 
 
+def rows_to_csv(rows: list, columns: list[str]) -> str:
+    """Serialize already-collected rows (single job for the whole
+    request when the caller also needs the row count)."""
+    pdf = pd.DataFrame.from_records([r.asDict() for r in rows], columns=columns)
+    return pdf.to_csv(index=False)
+
+
+def rows_to_json(rows: list) -> str:
+    out = []
+    for row in rows:
+        d = {}
+        for k, v in row.asDict().items():
+            if isinstance(v, float) and (math.isinf(v) or math.isnan(v)):
+                v = None
+            d[k] = v
+        out.append(d)
+    return json.dumps(out, default=str)
+
+
 def to_csv(df: DataFrame) -> str:
     """Result page → CSV string. Results are post-limit and
     driver-sized (reference to_csv, qcache/qframe/__init__.py:82-83)."""
