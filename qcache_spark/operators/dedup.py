@@ -58,6 +58,35 @@ def shingles(col: Column, n: int = 3, lowercase: bool = True) -> Column:
     )
 
 
+def shingle_hashes(col: Column, n: int = 3, lowercase: bool = True) -> Column:
+    """32-bit n-gram shingle hashes WITHOUT materializing shingle
+    strings: hash each token once, combine n consecutive token hashes
+    polynomially. array<bigint>, values in [0, 2^32)."""
+    tokens = tokenize(col, lowercase)
+    # mask to 32 bits up front and after every combine step: inputs
+    # stay < 2^32, products < 2^52 — no ANSI long overflow
+    th = F.transform(tokens, lambda t: F.xxhash64(t).bitwiseAND(F.lit(MAX_HASH)))
+    prime = F.lit(1000003)
+
+    def step(acc: Column, h: Column) -> Column:
+        return (acc * prime + h).bitwiseAND(F.lit(MAX_HASH))
+
+    def combine(h_arr: Column) -> Column:
+        def shingle_at(i: Column) -> Column:
+            acc = F.element_at(h_arr, i + 1)
+            for j in range(1, n):
+                acc = step(acc, F.element_at(h_arr, i + 1 + j))
+            return acc
+
+        whole_doc = F.array(
+            F.aggregate(h_arr, F.lit(0).cast("long"), step)
+        )
+        ngrams = F.transform(F.sequence(F.lit(0), F.size(h_arr) - n), shingle_at)
+        return F.when(F.size(h_arr) < n, whole_doc).otherwise(ngrams)
+
+    return let(th, combine)
+
+
 def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     # a*h fits in int64: a < 2^28, h < 2^32 → product < 2^60
@@ -170,20 +199,21 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
 
-    # One let-bound struct computes the distinct shingle set ONCE per
-    # row and derives both outputs (the verify set and the LSH band
-    # hashes) from the bound variable.
-    sh = F.array_distinct(shingles(F.col(text_col), shingle_size))
+    # One let-bound struct computes the distinct shingle-HASH set once
+    # per row and derives both outputs (the verify set and the LSH
+    # band hashes) from the bound variable. Shingle hashes combine
+    # token hashes polynomially instead of building n-gram STRINGS —
+    # hashing T tokens once beats allocating T shingle strings of n
+    # tokens each (the string construction dominated the signature
+    # stage). Jaccard over 32-bit shingle-hash sets equals string-set
+    # Jaccard up to negligible collision probability (~1e-5/doc).
+    sh_hashes = F.array_distinct(shingle_hashes(F.col(text_col), shingle_size))
     packed = let(
-        sh,
+        sh_hashes,
         lambda s: F.struct(
             s.alias("sh"),
             _band_hashes(
-                _signature_from_bound_hashes(
-                    F.transform(s, lambda x: F.xxhash64(x).bitwiseAND(F.lit(MAX_HASH))),
-                    num_perm,
-                    seed,
-                ),
+                _signature_from_bound_hashes(s, num_perm, seed),
                 bands,
                 r,
             ).alias("bands"),
