@@ -563,6 +563,23 @@ def q45_median_agg(spark, sf_dir):
     return compile_query(q, li).sliced
 
 
+
+def q46_stateful_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    drain the event stream with per-user running-profile state, return
+    the final per-user state — oracle-checkable as a batch GROUP BY."""
+    from qcache_spark.streaming import read_event_stream, run_to_memory_sink, user_profiles_stateful
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory_sink(user_profiles_stateful(stream), "q46_profiles", "update")
+    final = spark.table("q46_profiles").groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 6).alias("total_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return final
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -609,6 +626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_json_extract": q43_json_extract,
     "q44_contains": q44_contains,
     "q45_median_agg": q45_median_agg,
+    "q46_stateful_stream": q46_stateful_stream,
 }
 
 
@@ -727,6 +745,13 @@ OPERATOR_ORACLES: dict[str, str] = {
                MEDIAN(l_quantity) AS l_quantity,
                MIN(l_extendedprice) AS l_extendedprice
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q46_stateful_stream": """
+        SELECT user_id,
+               COUNT(value) AS n_events,
+               ROUND(SUM(value), 6) AS total_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id
     """,
     "q36_sessionize": """
         WITH marked AS (

@@ -343,6 +343,7 @@ class QCacheHandler(BaseHTTPRequestHandler):
             hit = self.result_cache.get(cache_key)
             if hit is not None:
                 body, unsliced_len = hit
+                self.stats.inc("result_cache_hit_count")
                 self.stats.append("query_durations", time.perf_counter() - t0)
                 self._send(
                     200,
@@ -391,9 +392,15 @@ def make_server(
     statistics_buffer_size: int = 1000,
     result_cache_entries: int = 256,
     basic_auth: str | None = None,
+    certfile: str | None = None,
+    keyfile: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port=0 picks an ephemeral
-    port (server.server_address[1])."""
+    port (server.server_address[1]).
+
+    TLS parity (reference qcache/app.py:323-341): pass certfile (+
+    optional keyfile) to serve HTTPS; basic auth should only be used
+    with TLS, as in the reference."""
     catalog = DatasetCatalog(max_cache_size, max_age)
     stats = Statistics(statistics_buffer_size)
     catalog.on_evict = lambda count, duration: (
@@ -413,7 +420,14 @@ def make_server(
             "basic_auth": basic_auth,
         },
     )
-    return ThreadingHTTPServer((host, port), handler)
+    server = ThreadingHTTPServer((host, port), handler)
+    if certfile:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile, keyfile)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    return server
 
 
 def serve_forever_in_thread(server: ThreadingHTTPServer) -> threading.Thread:

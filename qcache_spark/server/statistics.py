@@ -14,6 +14,7 @@ class Statistics:
         "size_evict_count",
         "age_evict_count",
         "replace_count",
+        "result_cache_hit_count",
         "statistics_duration",
     )
     BUFFERS = (

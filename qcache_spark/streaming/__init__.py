@@ -1,3 +1,4 @@
+from .stateful import user_profiles_batch, user_profiles_stateful
 from .windows import (
     read_event_stream,
     run_to_memory_sink,
@@ -7,6 +8,8 @@ from .windows import (
 )
 
 __all__ = [
+    "user_profiles_batch",
+    "user_profiles_stateful",
     "read_event_stream",
     "run_to_memory_sink",
     "sessionize",

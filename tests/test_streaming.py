@@ -78,3 +78,41 @@ def test_session_gap_semantics(spark):
 def test_watermark_present_in_stream_plan(events_stream):
     stream = tumbling_counts(events_stream, watermark="2 hours", streaming=True)
     assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
+
+
+def test_stateful_user_profiles(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): final state
+    after draining the stream must equal the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from qcache_spark.streaming import (
+        user_profiles_batch,
+        user_profiles_stateful,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_memory_sink(
+        user_profiles_stateful(stream), "stateful_profiles", output_mode="update"
+    )
+    # update mode emits one row per user per trigger; last row per user
+    # is the final state (single availableNow trigger here)
+    final = (
+        spark.table("stateful_profiles")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    batch = user_profiles_batch(load_table(spark, sf_dir, "events"))
+    f_rows = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        for r in final.collect()
+    }
+    b_rows = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        for r in batch.collect()
+    }
+    assert f_rows == b_rows
+    assert len(f_rows) > 0
