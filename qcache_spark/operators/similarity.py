@@ -157,6 +157,36 @@ class IVFIndex:
         pruned = self.assigned.filter(F.col("cluster_id").isin(probes))
         return cosine_topk(pruned, q, k, self.id_col, self.vec_col)
 
+    def write(self, spark, path: str) -> None:
+        """Persist the assigned table partitioned by cluster_id: a
+        probe then reads only n_probe/n_centroids of the FILES
+        (partition prune on the file index — the IVF scale story)."""
+        import json as _json
+
+        self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        meta = {
+            "centroids": self.centroids,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "n_centroids": self.n_centroids,
+        }
+        spark.sparkContext.parallelize([_json.dumps(meta)], 1).saveAsTextFile(
+            path + "_meta"
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        import json as _json
+
+        meta = _json.loads(spark.sparkContext.textFile(path + "_meta").collect()[0])
+        index = cls.__new__(cls)
+        index.centroids = meta["centroids"]
+        index.id_col = meta["id_col"]
+        index.vec_col = meta["vec_col"]
+        index.n_centroids = meta["n_centroids"]
+        index.assigned = spark.read.parquet(path)
+        return index
+
 
 # ------------------------------------------------- cosine near-dup pairs
 

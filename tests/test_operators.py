@@ -214,3 +214,37 @@ def test_embedding_dup_pairs(spark):
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in rows.collect()}
     assert (1, 2) in got and got[(1, 2)] > 0.999
     assert all(3 not in k for k in got)
+
+
+def test_ivf_partitioned_write_prunes(spark, embeddings, tmp_path):
+    sample = embeddings.limit(200)
+    index = similarity.IVFIndex(sample, n_centroids=4, iters=0)
+    out = str(tmp_path / "ivf")
+    index.write(spark, out)
+    loaded = similarity.IVFIndex.load(spark, out)
+    assert loaded.centroids == index.centroids
+    q = sample.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    res = loaded.search(list(q), k=1, n_probe=1)
+    assert res.collect()[0]["vec_id"] == 3
+    # the probe must be a partition PRUNE on the file index
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster_id" in plan or "PartitionFilters: [isnotnull(cluster_id" in plan or "cluster_id#" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """SCALING.md §3 evidence: co-bucketed tables join without an
+    Exchange (the 100 TB fact-fact join strategy)."""
+    a = spark.range(1000).selectExpr("id as k", "id * 2 as v1")
+    b = spark.range(1000).selectExpr("id as k", "id * 3 as v2")
+    a.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bj_a")
+    b.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bj_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bj_a").join(spark.table("bj_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
