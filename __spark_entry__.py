@@ -580,6 +580,52 @@ def q46_stateful_stream(spark, sf_dir):
     return final
 
 
+
+def q47_union(spark, sf_dir):
+    """Set op (absent in the single-table reference, SURVEY §2.5):
+    union of two engine-compiled slices."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = compile_query(
+        {"where": [">", "o_totalprice", 450000], "select": ["o_orderkey", "o_totalprice"]}, o
+    ).sliced
+    urgent = compile_query(
+        {"where": ["&", ["==", "o_orderpriority", "'1-URGENT'"], ["<", "o_totalprice", 10000]],
+         "select": ["o_orderkey", "o_totalprice"]}, o
+    ).sliced
+    return hi.unionByName(urgent)
+
+
+def q48_intersect(spark, sf_dir):
+    """INTERSECT (distinct) of two customer-key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return big.intersect(urgent)
+
+
+def q49_except(spark, sf_dir):
+    """EXCEPT (distinct): customers with orders but never urgent ones."""
+    o = load_table(spark, sf_dir, "orders")
+    all_c = o.select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics; exceptAll would only
+    # remove one occurrence per match)
+    return all_c.subtract(urgent)
+
+
+def q50_argmin_argmax(spark, sf_dir):
+    """Deterministic first/last alternative: min_by/max_by (the
+    reference's first/last are input-order-dependent; at scale
+    arg-min/max by an explicit ordering column is the reproducible
+    form)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -627,6 +673,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_contains": q44_contains,
     "q45_median_agg": q45_median_agg,
     "q46_stateful_stream": q46_stateful_stream,
+    "q47_union": q47_union,
+    "q48_intersect": q48_intersect,
+    "q49_except": q49_except,
+    "q50_argmin_argmax": q50_argmin_argmax,
 }
 
 
@@ -752,6 +802,29 @@ OPERATOR_ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS total_value,
                MAX(value) AS max_value
         FROM events GROUP BY user_id
+    """,
+    "q47_union": """
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 10000
+    """,
+    "q48_intersect": """
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "q49_except": """
+        SELECT o_custkey FROM orders
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "q50_argmin_argmax": """
+        SELECT o_custkey,
+               ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+               ARG_MAX(o_orderkey, o_totalprice) AS priciest_order,
+               MIN(o_totalprice) AS min_price
+        FROM orders GROUP BY o_custkey
     """,
     "q36_sessionize": """
         WITH marked AS (
