@@ -249,11 +249,9 @@ class QCacheHandler(BaseHTTPRequestHandler):
             if route == "status":
                 self._send(200, b"OK", "text/plain")
             elif route == "statistics":
-                t0 = time.perf_counter()
                 snap = self.stats.snapshot_and_reset()
                 snap["dataset_count"] = len(self.catalog)
                 snap["cache_size"] = self.catalog.size
-                self.stats.inc("statistics_duration", 0)
                 self._send(200, json.dumps(snap).encode())
             elif route == "dataset":
                 if "q" not in query:
@@ -306,6 +304,7 @@ class QCacheHandler(BaseHTTPRequestHandler):
             df, enum_columns = from_json_records(self.spark, body, types, stand_ins)
         if key in self.catalog:
             self.stats.inc("replace_count")
+        self.stats.inc("store_count")
         self.catalog.insert(key, df, enum_columns)
         self.stats.append("store_durations", time.perf_counter() - t0)
         self.stats.append("store_row_counts", df.count())

@@ -13,9 +13,9 @@ class Statistics:
         "miss_count",
         "size_evict_count",
         "age_evict_count",
+        "store_count",
         "replace_count",
         "result_cache_hit_count",
-        "statistics_duration",
     )
     BUFFERS = (
         "query_durations",
@@ -43,11 +43,21 @@ class Statistics:
 
     def snapshot_and_reset(self) -> dict:
         """Read = consume (reference resets stats on every read,
-        qcache/statistics.py:29-33)."""
+        qcache/statistics.py:29-33). Matching the reference's key
+        contract (test_api.py:320-340): zero counters and empty
+        buffers are OMITTED, so right after a reset only the standing
+        keys (dataset_count, cache_size, statistics_duration,
+        statistics_buffer_size — the first two added by the server)
+        remain."""
+        import time
+
+        t0 = time.perf_counter()
         with self._lock:
-            out: dict = dict(self._counters)
+            out: dict = {k: v for k, v in self._counters.items() if v}
             for name, buf in self._buffers.items():
-                out[name] = list(buf)
+                if buf:
+                    out[name] = list(buf)
             out["statistics_buffer_size"] = self.buffer_size
             self._reset()
+            out["statistics_duration"] = time.perf_counter() - t0
             return out

@@ -224,10 +224,16 @@ def test_statistics_reset_on_read(server):
     snap = json.loads(body)
     assert snap["hit_count"] >= 1
     assert snap["miss_count"] >= 1
+    assert snap["store_count"] >= 1
     assert len(snap["query_durations"]) >= 1
+    assert snap["statistics_duration"] >= 0.0
+    # after a read everything resets: only the standing keys remain
+    # (reference contract, test_api.py:338-340)
     code, body, _ = call(server, "GET", "/qcache/statistics")
     snap2 = json.loads(body)
-    assert snap2["hit_count"] == 0 and snap2["query_durations"] == []
+    assert set(snap2.keys()) == {
+        "dataset_count", "cache_size", "statistics_duration", "statistics_buffer_size",
+    }
 
 
 def test_result_cache_serves_and_invalidates(server):
