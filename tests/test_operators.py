@@ -248,3 +248,45 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bj_a")
         spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_salted_aggregate_matches_direct(spark, sf_dir):
+    from qcache_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "qty": ("sum", "l_quantity"),
+            "n": ("count", "l_orderkey"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+            "avg_qty": ("avg", "l_quantity"),
+        },
+        salt_buckets=8,
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.count("l_orderkey").alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.avg("l_quantity").alias("avg_qty"),
+    )
+    s = {r["l_returnflag"]: r for r in salted.collect()}
+    d = {r["l_returnflag"]: r for r in direct.collect()}
+    assert s.keys() == d.keys()
+    for k in s:
+        assert s[k]["qty"] == d[k]["qty"]  # integral-valued -> exact
+        assert s[k]["n"] == d[k]["n"]
+        assert s[k]["min_price"] == d[k]["min_price"]
+        assert s[k]["max_price"] == d[k]["max_price"]
+        assert s[k]["avg_qty"] == pytest.approx(d[k]["avg_qty"], rel=1e-12)
+
+
+def test_salted_aggregate_rejects_nondecomposable(spark, sf_dir):
+    from qcache_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        salted_aggregate(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
