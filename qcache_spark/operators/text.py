@@ -30,6 +30,9 @@ LANGUAGE_STOPWORDS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
     "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que", "des"],
     "es": ["el", "los", "las", "es", "en", "una", "para", "con", "por", "del"],
+    "it": ["il", "di", "che", "non", "gli", "della", "sono", "questo", "anche", "più"],
+    "pt": ["o", "os", "um", "uma", "não", "são", "como", "mais", "foi", "pelo"],
+    "nl": ["de", "het", "een", "niet", "ook", "maar", "zijn", "voor", "naar", "deze"],
 }
 
 

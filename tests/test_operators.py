@@ -51,11 +51,17 @@ def test_language_id_heuristic(spark):
             (4, "el perro es una mascota para los niños en casa"),
             (5, "你好 世界"),
             (6, "zzz qqq xxx"),
+            (7, "il problema non sono gli anni ma questo tempo che passa più veloce"),
+            (8, "o problema não são os anos mas como foi mais difícil pelo tempo"),
+            (9, "het is niet een probleem maar ook deze keer zijn er voor naar"),
         ],
         ["id", "text"],
     )
     got = {r["id"]: r["lang_pred"] for r in text.language_id(df).collect()}
-    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+    assert got == {
+        1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und",
+        7: "it", 8: "pt", 9: "nl",
+    }
 
 
 def test_fingerprint_normalization(spark):
