@@ -74,6 +74,12 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table. Parquet scan → Catalyst gets column
     pruning + predicate pushdown for free on every query we compile."""
+    if name == "events":
+        # The caller may hand us a session that was NOT built by
+        # get_spark() (e.g. an external harness); nanosAsLong is
+        # runtime-settable, so set it here so the TIMESTAMP(NANOS)
+        # column is readable on any session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos

@@ -37,6 +37,9 @@ def read_event_stream(
     (The synthetic events table ships nanosecond timestamps, which the
     streaming parquet source reads as long under nanosAsLong — convert
     like session.load_table does.)"""
+    # Self-provision the nanos conf so a caller-supplied session (not
+    # built by get_spark()) can read the TIMESTAMP(NANOS) files too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(
         # ts arrives as long nanos under nanosAsLong
         T.StructType(

@@ -756,3 +756,20 @@ def test_update_division_by_zero_yields_null(spark):
     q = {"update": [["/", "a", "b"]], "where": [">", "a", 0]}
     got = {r["b"]: r["a"] for r in compile_update(q, frame).collect()}
     assert got == {0: None, 3: 3.0}
+
+
+def test_load_table_events_on_foreign_session(spark, sf_dir):
+    """load_table must self-provision nanosAsLong so a caller-supplied
+    session (e.g. the driver harness, which does not use get_spark())
+    can read events.parquet TIMESTAMP(NANOS). VERDICT r1 item 1."""
+    from pyspark.sql import types as T
+
+    from qcache_spark.session import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, sf_dir, "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert df.limit(1).count() == 1
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
