@@ -392,7 +392,12 @@ def dedup_clusters(
     Near-dup graphs are mostly cliques plus short chains, so this
     converges in 2-3 iterations in practice; each iteration is one
     co-partitioned shuffle over the EDGE set only (cluster labels for
-    isolated nodes never shuffle)."""
+    isolated nodes never shuffle).
+
+    The returned DataFrame carries a ``converged`` attribute: True if
+    a fixpoint was reached, False if iteration stopped at `max_iters`
+    with labels still changing (long chains may then remain split —
+    callers needing exactness should re-run with a higher budget)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -408,6 +413,7 @@ def dedup_clusters(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         # propagate: each node takes min(own label, neighbors' labels)
         nbr_lbls = (
@@ -427,6 +433,7 @@ def dedup_clusters(
         labels.unpersist(blocking=False)
         labels = new_labels
         if new_sum == prev_sum:  # labels only ever decrease → fixpoint
+            converged = True
             break
         prev_sum = new_sum
     result = ids.join(
@@ -435,4 +442,5 @@ def dedup_clusters(
         id_col,
         F.coalesce("lbl", F.col(id_col)).alias("cluster_id"),
     )
+    result.converged = converged
     return result

@@ -170,15 +170,19 @@ class IVFIndex:
             "vec_col": self.vec_col,
             "n_centroids": self.n_centroids,
         }
-        spark.sparkContext.parallelize([_json.dumps(meta)], 1).saveAsTextFile(
-            path + "_meta"
-        )
+        # Single-row DataFrame write (not saveAsTextFile) so rewriting
+        # an index to the same path is idempotent: mode("overwrite")
+        # replaces an existing _meta instead of throwing
+        # FileAlreadyExistsException after the data was already replaced.
+        spark.createDataFrame(
+            [(_json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFIndex":
         import json as _json
 
-        meta = _json.loads(spark.sparkContext.textFile(path + "_meta").collect()[0])
+        meta = _json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
         index = cls.__new__(cls)
         index.centroids = meta["centroids"]
         index.id_col = meta["id_col"]

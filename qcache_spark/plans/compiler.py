@@ -214,10 +214,14 @@ def _order_by(df: DataFrame, order_q) -> DataFrame:
 
 
 def _do_slice(df: DataFrame, offset, limit) -> DataFrame:
-    if offset:
+    # Validate BEFORE the falsy check: offset=0.0 / limit=0.0 must 400
+    # like the reference (qcache/qframe/common.py:12-14), not no-op.
+    if offset is not None:
         assert_integer("offset", offset)
-        df = df.offset(offset)
-    if limit:
+        if offset:
+            df = df.offset(offset)
+    if limit is not None:
         assert_integer("limit", limit)
-        df = df.limit(limit)
+        if limit:
+            df = df.limit(limit)
     return df

@@ -4,6 +4,7 @@ test/test_api.py:320-340)."""
 from __future__ import annotations
 
 import threading
+import time
 from collections import deque
 
 
@@ -32,6 +33,10 @@ class Statistics:
     def _reset(self) -> None:
         self._counters = {name: 0 for name in self.COUNTERS}
         self._buffers = {name: deque(maxlen=self.buffer_size) for name in self.BUFFERS}
+        # statistics_duration is wall-clock time covered by the snapshot,
+        # i.e. now - last reset (reference qcache/statistics.py snapshot),
+        # so clients can compute rates like hit_count/statistics_duration.
+        self._since = time.time()
 
     def inc(self, name: str, count: int = 1) -> None:
         with self._lock:
@@ -49,15 +54,12 @@ class Statistics:
         keys (dataset_count, cache_size, statistics_duration,
         statistics_buffer_size — the first two added by the server)
         remain."""
-        import time
-
-        t0 = time.perf_counter()
         with self._lock:
             out: dict = {k: v for k, v in self._counters.items() if v}
             for name, buf in self._buffers.items():
                 if buf:
                     out[name] = list(buf)
             out["statistics_buffer_size"] = self.buffer_size
+            out["statistics_duration"] = time.time() - self._since
             self._reset()
-            out["statistics_duration"] = time.perf_counter() - t0
             return out

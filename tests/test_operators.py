@@ -296,3 +296,33 @@ def test_salted_aggregate_rejects_nondecomposable(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     with pytest.raises(ValueError):
         salted_aggregate(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
+
+
+def test_dedup_clusters_converged_flag(spark):
+    # min-label propagation moves one hop per iteration on a path
+    # graph: an 8-node chain cannot converge in 2 iterations, and the
+    # result must say so instead of silently under-merging.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 17)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(10, 18)], ["doc_id"])
+    res_short = dedup.dedup_clusters(pairs, ids, max_iters=2)
+    res_short.collect()
+    assert res_short.converged is False
+    res_full = dedup.dedup_clusters(pairs, ids, max_iters=10)
+    got = {r["doc_id"]: r["cluster_id"] for r in res_full.collect()}
+    assert res_full.converged is True
+    assert set(got.values()) == {10}
+
+
+def test_ivf_write_is_idempotent(spark, embeddings, tmp_path):
+    # rewriting an index to the same path must overwrite _meta too
+    # (regression: saveAsTextFile threw FileAlreadyExistsException)
+    sample = embeddings.limit(50)
+    index = similarity.IVFIndex(sample, n_centroids=2, iters=0)
+    out = str(tmp_path / "ivf_rw")
+    index.write(spark, out)
+    index.write(spark, out)
+    loaded = similarity.IVFIndex.load(spark, out)
+    assert loaded.n_centroids == 2
+    assert loaded.centroids == index.centroids

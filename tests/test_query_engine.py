@@ -773,3 +773,14 @@ def test_load_table_events_on_foreign_session(spark, sf_dir):
         assert df.limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_zero_float_offset_limit_raise(basic_frame):
+    # falsy-but-wrong-typed slice params must 400, not no-op
+    # (reference qcache/qframe/common.py:12-14)
+    with pytest.raises(MalformedQueryException):
+        compile_query({"offset": 0.0}, basic_frame)
+    with pytest.raises(MalformedQueryException):
+        compile_query({"limit": 0.0}, basic_frame)
+    with pytest.raises(MalformedQueryException):
+        compile_query({"offset": True}, basic_frame)

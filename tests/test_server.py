@@ -284,3 +284,16 @@ def test_replace_key(server):
     store(server, "rk", "foo,bar\n9,90\n")
     code, out, _ = query(server, "rk", {})
     assert json.loads(out) == [{"foo": 9, "bar": 90}]
+
+
+def test_statistics_duration_is_time_since_reset(server):
+    import time as _t
+
+    # drain whatever the previous tests accumulated → resets the clock
+    call(server, "GET", "/qcache/statistics")
+    _t.sleep(0.3)
+    _, body, _ = call(server, "GET", "/qcache/statistics")
+    snap = json.loads(body)
+    # reference semantics (qcache/statistics.py): duration covers the
+    # whole window since the last reset, not the snapshot call itself
+    assert snap["statistics_duration"] >= 0.25
