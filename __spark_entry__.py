@@ -426,15 +426,25 @@ def q32_ngram_jaccard(spark, sf_dir):
 
 
 def q33_simhash(spark, sf_dir):
-    """64-bit SimHash sketch per document (JVM aggregate expression;
-    xxhash64-based → rows-only driver check)."""
+    """64-bit SimHash sketch per document. The gate variant uses the
+    md5-derived 60-bit token hash so the DuckDB oracle computes the
+    IDENTICAL sketch value (full hash_match gate); production callers
+    default to the faster xxhash64 (dedup.simhash)."""
     docs = load_table(spark, sf_dir, "documents")
-    return _dedup.simhash(docs).select("doc_id", "simhash")
+    return _dedup.simhash(docs, hash_fn="md5").select("doc_id", "simhash")
 
 
 def q34_embedding_dup_pairs(spark, sf_dir):
     """Embedding near-dup pairs via hyperplane LSH + exact cosine
-    verify (LSH recall < 1 → rows-only driver check)."""
+    verify. Deliberately the ONE remaining rows-only check: the
+    synthetic embeddings contain only threshold-marginal pairs
+    (cosine 0.40-0.51, measured at sf0.001/0.01), where exact-recall
+    LSH is mathematically impossible without near-all-pairs candidate
+    generation — an O(n^2) scale-killer. The verify arithmetic this
+    query shares with the gated paths is exact-matched by
+    q51_embedding_pairs_exact (same cosine kernel) and q30; recall
+    behaviour is pytest-gated with planted dups
+    (tests/test_operators.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = _similarity.embedding_dup_pairs(emb, threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -472,11 +482,15 @@ def q37_sliding_windows(spark, sf_dir):
 
 
 def q38_media_features(spark, sf_dir):
-    """Multimodal plumbing: synthetic media table → Arrow-batched
-    mapInPandas feature extraction (decode stubbed, deterministic)."""
+    """Multimodal plumbing: media table derived from documents
+    (payload = UTF-8 text bytes) → Arrow-batched mapInPandas feature
+    extraction. Deriving from parquet makes every output column —
+    including the fake-decode dims, which are seeded by the sha256
+    content digest — reproducible by the DuckDB oracle (full gate)."""
     from qcache_spark.operators import multimodal as _mm
 
-    media = _mm.synthetic_media(spark, n=64)
+    docs = load_table(spark, sf_dir, "documents")
+    media = _mm.media_from_documents(docs)
     return _mm.extract_image_features(media).select(
         "media_id", "width", "height", "payload_bytes", "payload_sha256"
     )
@@ -520,14 +534,19 @@ def q41_cube(spark, sf_dir):
 
 
 def q42_ivf_search(spark, sf_dir):
-    """IVF ANN search: deterministic centroids, cluster-pruned probe
-    (approximate by design → rows-only driver check)."""
+    """IVF ANN search, gated: probe ALL clusters so the result must
+    equal the brute-force top-k exactly — this exact-matches the
+    whole IVF machinery (assignment partitions the corpus without
+    dropping/duplicating vectors, per-cluster exact cosine, top-k
+    merge). The approximate n_probe<n_centroids path and its
+    partition-prune plan are pytest-gated
+    (tests/test_operators.py::test_ivf_partitioned_write_prunes)."""
     from qcache_spark.operators.similarity import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     index = IVFIndex(emb, n_centroids=8, iters=1)
-    return index.search(list(qvec), k=10, n_probe=4).select(
+    return index.search(list(qvec), k=10, n_probe=8).select(
         "vec_id", F.round("cosine", 6).alias("cosine")
     )
 
@@ -626,6 +645,22 @@ def q50_argmin_argmax(spark, sf_dir):
     )
 
 
+def q51_embedding_pairs_exact(spark, sf_dir):
+    """Exact pairwise cosine over a blocked candidate set (vec_id <
+    300 all-pairs), threshold 0.4 — gates the shared cosine verify
+    kernel (similarity.cosine_pairs, the same arithmetic
+    embedding_dup_pairs applies to its LSH candidates) against a
+    brute-force SQL oracle. The q32 pattern, for embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ids = emb.select("vec_id")
+    cand = (
+        ids.select(F.col("vec_id").alias("id_a"))
+        .join(ids.select(F.col("vec_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return _similarity.cosine_pairs(emb, cand).filter(F.col("cosine") >= 0.4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -677,6 +712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_intersect": q48_intersect,
     "q49_except": q49_except,
     "q50_argmin_argmax": q50_argmin_argmax,
+    "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
 }
 
 
@@ -751,6 +787,96 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM e, q
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
+    """,
+    # q31: brute-force all-pairs string-shingle Jaccard. Valid as an
+    # exact oracle because (a) the LSH band config (64 perms / 16
+    # bands) has recall 1.0 on this corpus's >=0.5 pairs — verified
+    # deterministically at sf0.001/0.01 — and (b) Jaccard over 32-bit
+    # shingle-hash sets equals string-set Jaccard absent collisions
+    # (none at these scales).
+    "q31_minhash_lsh_pairs": """
+        WITH t AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                   END AS sh
+            FROM t
+        ), j AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, ROUND(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.5
+    """,
+    # q33: identical SimHash arithmetic on both engines — the token
+    # hash is the first 15 hex chars of md5 (60 bits), which DuckDB
+    # parses with the same value Spark's conv(substr(md5..)) yields.
+    "q33_simhash": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '')) AS t
+            FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+        ), votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+            GROUP BY doc_id, b
+        ), packed AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN packed p USING (doc_id)
+    """,
+    # q38: the media table is DERIVED from documents (payload = UTF-8
+    # text bytes), so every feature — including the fake-decode dims,
+    # seeded by sha256(payload) bytes 0/1 — reproduces from parquet.
+    "q38_media_features": """
+        SELECT doc_id AS media_id,
+               8 + (('0x' || substr(sha256(coalesce(text, '')), 3, 2))::INT % 8) AS width,
+               8 + (('0x' || substr(sha256(coalesce(text, '')), 1, 2))::INT % 8) AS height,
+               octet_length(encode(coalesce(text, ''))) AS payload_bytes,
+               sha256(coalesce(text, '')) AS payload_sha256
+        FROM documents
+    """,
+    # q42: probing all clusters makes IVF exactly equal brute force —
+    # gates that assignment partitions without loss/duplication.
+    "q42_ivf_search": """
+        WITH q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings
+        )
+        SELECT vec_id, ROUND(c, 6) AS cosine FROM (
+            SELECT vec_id,
+                   list_dot_product(ev, qv) /
+                   (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS c
+            FROM e, q
+            ORDER BY c DESC, vec_id ASC
+            LIMIT 10
+        )
+    """,
+    "q51_embedding_pairs_exact": """
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id < 300
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
     "q32_ngram_jaccard": f"""
         WITH s AS (
@@ -1004,6 +1130,20 @@ ORACLES: dict[str, str] = {
                SUM(l_quantity) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    # q37: Spark's sliding window(1h, 15min) assigns each event to the
+    # 4 slide-aligned windows covering it; replicate by expanding each
+    # event into bucket-k*slide for k in 0..3 (both engines' 15-min
+    # grids sit on the same epoch-aligned boundaries).
+    "q37_sliding_windows": """
+        SELECT window_start, event_type, COUNT(*) AS n_events
+        FROM (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k * INTERVAL '15 minutes' AS window_start,
+                   event_type
+            FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+        )
+        GROUP BY 1, 2
     """,
     "q25_time_bucket": """
         SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,

@@ -309,15 +309,26 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_column(text_col: str) -> Column:
+def simhash_column(text_col: str, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash via a single JVM aggregate expression: each
-    token's xxhash64 votes ±1 per bit position; the sign vector packs
+    token's hash votes ±1 per bit position; the sign vector packs
     back into one BIGINT. No Python in the loop. `text_col` is a
-    column NAME (spliced into a SQL expression)."""
+    column NAME (spliced into a SQL expression).
+
+    hash_fn: "xxhash64" (default, fastest) or "md5" — a 60-bit hash
+    from the first 15 hex chars of md5(token), chosen because an
+    external SQL engine (DuckDB oracle) can compute the identical
+    value; bits 60-63 then never win a vote and pack to 0."""
     tokens_sql = f"filter(split(lower(trim(`{text_col}`)), '\\\\s+'), t -> t != '')"
+    if hash_fn == "md5":
+        token_hash = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+    elif hash_fn == "xxhash64":
+        token_hash = "xxhash64(t)"
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     expr = (
         "aggregate("
-        "  transform(" + tokens_sql + ", t -> xxhash64(t)),"
+        "  transform(" + tokens_sql + ", t -> " + token_hash + "),"
         "  array_repeat(0L, 64),"
         "  (acc, h) -> zip_with(acc, transform(sequence(0, 63),"
         "      j -> CASE WHEN ((h >> j) & 1) = 1 THEN 1L ELSE -1L END),"
@@ -329,8 +340,13 @@ def simhash_column(text_col: str) -> Column:
     return F.expr(expr)
 
 
-def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, simhash_column(text_col))
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    return df.withColumn(out_col, simhash_column(text_col, hash_fn))
 
 
 def simhash_pairs(

@@ -114,6 +114,34 @@ def synthetic_media(spark: SparkSession, n: int = 64, partitions: int = 4) -> Da
     )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table DERIVED from the documents table: payload =
+    UTF-8-encoded text, media_id = doc_id. Built for the correctness
+    gate: every downstream feature (payload_bytes, payload_sha256,
+    fake-decode dims seeded by the content digest) is then
+    reproducible by an external SQL oracle from the same parquet —
+    sha256(text) over UTF-8 bytes is engine-independent. Same schema
+    and mapInPandas plumbing as a real ingested media table."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "mime": ["image/fake"] * len(pdf),
+                    "payload": [
+                        (t or "").encode("utf-8") for t in pdf["text"]
+                    ],
+                    "meta": [
+                        {"source": s or ""} for s in pdf["source"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def extract_image_features(
     media: DataFrame, fake_decode: bool = True, batch_rows: int = 256
 ) -> DataFrame:

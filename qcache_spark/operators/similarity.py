@@ -192,6 +192,37 @@ class IVFIndex:
         return index
 
 
+def cosine_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact pairwise cosine for an arbitrary candidate pair set
+    (columns id_a, id_b) — the verify kernel of embedding_dup_pairs
+    exposed standalone (mirrors dedup.ngram_jaccard_pairs). Cost is
+    |candidates| dot products; candidate generation (LSH, blocking)
+    is the caller's concern."""
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("_id"), vec.alias("_v"), l2_norm(vec).alias("_n")
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
+    )
+
+
 # ------------------------------------------------- cosine near-dup pairs
 
 def _hyperplanes(dim: int, n: int, seed: int) -> list[list[float]]:

@@ -326,3 +326,55 @@ def test_ivf_write_is_idempotent(spark, embeddings, tmp_path):
     loaded = similarity.IVFIndex.load(spark, out)
     assert loaded.n_centroids == 2
     assert loaded.centroids == index.centroids
+
+
+def test_simhash_md5_variant_matches_reimplementation(spark):
+    # the md5 hash_fn exists solely for oracle replication: check the
+    # sketch against an independent python reimplementation
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "a b a")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, hash_fn="md5").collect()}
+
+    def py_simhash(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        acc = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(64) if acc[j] > 0)
+
+    for doc_id, text in [(1, "the quick brown fox"), (2, ""), (3, "a b a")]:
+        assert got[doc_id] == py_simhash(text), doc_id
+
+
+def test_cosine_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in similarity.cosine_pairs(df, cand).collect()}
+    assert abs(got[(1, 2)] - 1.0) < 1e-12
+    assert abs(got[(1, 3)]) < 1e-12
+
+
+def test_media_from_documents_features(spark, sf_dir):
+    import hashlib
+
+    from qcache_spark.operators import multimodal as mm
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    feats = mm.extract_image_features(mm.media_from_documents(docs))
+    texts = {r["doc_id"]: r["text"] or "" for r in docs.collect()}
+    for r in feats.collect():
+        payload = texts[r["media_id"]].encode("utf-8")
+        digest = hashlib.sha256(payload).digest()
+        assert r["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+        assert r["payload_bytes"] == len(payload)
+        assert r["height"] == 8 + digest[0] % 8
+        assert r["width"] == 8 + digest[1] % 8
