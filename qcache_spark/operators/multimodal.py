@@ -22,6 +22,7 @@ go live.
 from __future__ import annotations
 
 import hashlib
+import sys
 from typing import Iterator
 
 import numpy as np
@@ -29,6 +30,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# The mapInPandas closures below capture module-level helpers (e.g.
+# _fake_decode); by default cloudpickle serializes those BY REFERENCE,
+# which requires `qcache_spark` to be importable inside the Python
+# worker — true for get_spark() sessions (session.py exports
+# PYTHONPATH) but NOT for a caller-supplied session. Registering the
+# module for by-value pickling ships the function bodies with the
+# task, so the operators run under ANY SparkSession.
+try:
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older cloudpickle
+    pass
 
 MEDIA_SCHEMA = T.StructType(
     [
