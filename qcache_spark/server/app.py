@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import base64
 import gzip
+import hmac
 import json
 import threading
 import time
@@ -145,7 +146,8 @@ class QCacheHandler(BaseHTTPRequestHandler):
             return True
         header = self.headers.get("Authorization", "")
         expected = "Basic " + base64.b64encode(self.basic_auth.encode()).decode()
-        if header == expected:
+        # constant-time compare: a == on secrets leaks a timing oracle
+        if hmac.compare_digest(header.encode(), expected.encode()):
             return True
         self.send_response(401)
         self.send_header("WWW-Authenticate", 'Basic realm="qcache"')
@@ -393,13 +395,22 @@ def make_server(
     basic_auth: str | None = None,
     certfile: str | None = None,
     keyfile: str | None = None,
+    cafile: str | None = None,
+    allow_plaintext_auth: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port=0 picks an ephemeral
     port (server.server_address[1]).
 
     TLS parity (reference qcache/app.py:323-341): pass certfile (+
-    optional keyfile) to serve HTTPS; basic auth should only be used
-    with TLS, as in the reference."""
+    optional keyfile) to serve HTTPS; `cafile` additionally turns on
+    client-certificate verification (verify_mode=CERT_REQUIRED), the
+    reference's ssl_options(certfile, cafile) behavior. Basic auth
+    without TLS is refused like the reference's run() ("TLS must be
+    enabled to use basic auth!", qcache/app.py:338-341) unless
+    `allow_plaintext_auth` explicitly opts in (tests / reverse-proxy
+    deployments that terminate TLS upstream)."""
+    if basic_auth and not certfile and not allow_plaintext_auth:
+        raise ValueError("TLS must be enabled to use basic auth")
     catalog = DatasetCatalog(max_cache_size, max_age)
     stats = Statistics(statistics_buffer_size)
     catalog.on_evict = lambda count, duration: (
@@ -425,6 +436,11 @@ def make_server(
 
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.load_cert_chain(certfile, keyfile)
+        if cafile:
+            # client-certificate verification (reference
+            # qcache/app.py:329-333: CERT_REQUIRED when a CA is given)
+            ctx.load_verify_locations(cafile)
+            ctx.verify_mode = ssl.CERT_REQUIRED
         server.socket = ctx.wrap_socket(server.socket, server_side=True)
     return server
 

@@ -261,7 +261,9 @@ def test_result_cache_serves_and_invalidates(server):
 def test_basic_auth(spark):
     from qcache_spark.server import make_server, serve_forever_in_thread
 
-    srv = make_server(spark, basic_auth="admin:secret")
+    # plaintext basic auth needs the explicit opt-in (the TLS-required
+    # refusal is covered in test_tls_cli.py)
+    srv = make_server(spark, basic_auth="admin:secret", allow_plaintext_auth=True)
     serve_forever_in_thread(srv)
     base = f"http://127.0.0.1:{srv.server_address[1]}"
     try:
