@@ -729,12 +729,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _lang_id_oracle_sql() -> str:
     """DuckDB replica of text.language_id, generated from the same
-    lexicons so the heuristic and the oracle cannot drift."""
+    lexicons AND the same tokenizer regex so the heuristic and the
+    oracle cannot drift: tokens = split(lower(text), non-letter/digit
+    runs) — \\p{L}/\\p{N} mean the same thing to Java regex and RE2 —
+    then per-language membership counts over the token list."""
+    tokens = f"regexp_split_to_array(lower(text), '{_text.WORD_SPLIT_REGEX}')"
     score_exprs = []
     for lang, words in _text.LANGUAGE_STOPWORDS.items():
-        pattern = r"\b(" + "|".join(words) + r")\b"
+        lexicon = "[" + ", ".join("'" + w + "'" for w in words) + "]"
         score_exprs.append(
-            f"len(regexp_extract_all(lower(text), '{pattern}')) AS s_{lang}"
+            f"len(list_filter(toks, t -> list_contains({lexicon}, t))) AS s_{lang}"
         )
     langs = list(_text.LANGUAGE_STOPWORDS.keys())
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
@@ -742,8 +746,10 @@ def _lang_id_oracle_sql() -> str:
         f"           WHEN s_{lang} = best THEN '{lang}'" for lang in langs
     )
     return f"""
-        WITH scored AS (
-            SELECT doc_id, text, {", ".join(score_exprs)} FROM documents
+        WITH tokenized AS (
+            SELECT doc_id, text, {tokens} AS toks FROM documents
+        ), scored AS (
+            SELECT doc_id, text, {", ".join(score_exprs)} FROM tokenized
         ), ranked AS (
             SELECT doc_id, text, {best} AS best, * FROM scored
         )

@@ -106,34 +106,70 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return quality_features(df, text_col).withColumn("quality_score", F.round(score, 6))
 
 
+# Unicode word tokenizer shared by the engine and the DuckDB oracle:
+# both Java regex and RE2 support \p{L}/\p{N}, so lower + split on
+# non-letter/digit runs produces identical token streams in both.
+WORD_SPLIT_REGEX = r"[^\p{L}\p{N}]+"
+
+
+def word_tokens(col: Column) -> Column:
+    """Lower-cased word tokens (array<string>), one split per row."""
+    return F.split(F.lower(col), WORD_SPLIT_REGEX)
+
+
 def language_scores(col: Column) -> dict[str, Column]:
-    """Per-language stopword hit counts (whole-word, case-insensitive)."""
-    lowered = F.lower(col)
+    """Per-language stopword hit counts (whole-word, case-insensitive).
+
+    Plan: ONE tokenize pass, then per-language membership counting
+    with `filter(tokens, t -> array_contains(lexicon, t))` — short
+    string comparisons against a 10-word literal array instead of the
+    previous 7 full `regexp_count` alternation scans of the document
+    (the bench suite's 2nd most expensive expression, VERDICT r1).
+    Callers composing multiple scores should go through
+    `language_pred` so the split binds once (see `let`)."""
+    tokens = word_tokens(col)
     return {
-        lang: F.regexp_count(lowered, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        lang: _lexicon_hits(tokens, words)
         for lang, words in LANGUAGE_STOPWORDS.items()
     }
 
 
-def language_id(df: DataFrame, text_col: str = "text", min_hits: int = 1) -> DataFrame:
-    """Argmax language over stopword-hit counts; CJK detected by
-    codepoint class; 'und' (undetermined) below `min_hits`.
+def _lexicon_hits(tokens: Column, words: list[str]) -> Column:
+    lexicon = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lexicon, t)))
 
-    Ties break by the fixed language order (deterministic)."""
-    col = F.col(text_col)
-    scores = language_scores(col)
-    langs = list(scores.keys())
-    best = scores[langs[0]]
-    for lang in langs[1:]:
-        best = F.greatest(best, scores[lang])
-    pred = F.lit("und")
-    # reversed so earlier languages win ties via later overwrite
-    for lang in reversed(langs):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best < min_hits, F.lit("und")).otherwise(pred)
+
+def language_pred(col: Column, min_hits: int = 1) -> Column:
+    """Argmax language expression over stopword-hit counts; CJK by
+    codepoint class; 'und' below `min_hits`. Ties break by the fixed
+    language order (deterministic). The token array is bound with
+    `let` so the split evaluates once per row, not once per language
+    (CollapseProject would otherwise inline it into all 7 lambdas)."""
+    from .dedup import let
+
+    def build(tokens: Column) -> Column:
+        scores = {
+            lang: _lexicon_hits(tokens, words)
+            for lang, words in LANGUAGE_STOPWORDS.items()
+        }
+        langs = list(scores.keys())
+        best = scores[langs[0]]
+        for lang in langs[1:]:
+            best = F.greatest(best, scores[lang])
+        pred = F.lit("und")
+        # reversed so earlier languages win ties via later overwrite
+        for lang in reversed(langs):
+            pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+        return F.when(best < min_hits, F.lit("und")).otherwise(pred)
+
+    pred = let(word_tokens(col), build)
     has_cjk = F.regexp_count(col, F.lit(r"[一-鿿]")) > 0
-    pred = F.when(has_cjk, F.lit("zh")).otherwise(pred)
-    return df.withColumn("lang_pred", pred)
+    return F.when(has_cjk, F.lit("zh")).otherwise(pred)
+
+
+def language_id(df: DataFrame, text_col: str = "text", min_hits: int = 1) -> DataFrame:
+    """Append `lang_pred` (see language_pred)."""
+    return df.withColumn("lang_pred", language_pred(F.col(text_col), min_hits))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
