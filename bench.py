@@ -66,7 +66,7 @@ class CachedDirLoader:
     # ~3 partitions, capping parallelism at 3 of N cores. On a real
     # cluster the scan's row-group splits give natural parallelism;
     # here we re-spread once at cache-warm time.
-    WIDE = {"lineitem", "orders", "events"}
+    WIDE = {"lineitem", "orders", "events", "documents", "embeddings"}
 
     def warm(self, names):
         t0 = time.perf_counter()
@@ -116,6 +116,37 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Bucketed-storage delta (catalog bucket_by path): the SAME q22
+    # window query against orders stored bucketed+sorted by its window
+    # key — quantifies the exchange-free per-key plan the bucketed
+    # layout buys. Reported under "extras" so `value` stays comparable
+    # round-over-round.
+    extras: dict[str, float] = {}
+    try:
+        from qcache_spark.cache.catalog import DatasetCatalog
+
+        cat = DatasetCatalog(max_cache_size_bytes=1 << 34)
+        item = cat.insert(
+            "orders_bucketed",
+            loader(spark, SF_DIR, "orders"),
+            bucket_by=("o_custkey", CPUS),
+        )
+        plain_loader = em.load_table
+        em.load_table = lambda s, d, n: item.df if n == "orders" else plain_loader(s, d, n)
+        fn = queries["q22_window_rank"]
+        fn(spark, SF_DIR).collect()
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            runs.append(time.perf_counter() - t0)
+        extras["q22_window_rank_bucketed"] = round(statistics.median(runs), 4)
+        em.load_table = plain_loader
+        cat.delete("orders_bucketed")
+    except Exception as e:  # the delta probe must never fail the bench
+        extras["q22_window_rank_bucketed_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
@@ -123,6 +154,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cache_warm_sec": round(warm_sec, 3),
                 "cpus": CPUS,

@@ -20,6 +20,10 @@ statistics (parquet/AQE stats) once materialized.
 """
 from __future__ import annotations
 
+import os
+import re
+import shutil
+import tempfile
 import threading
 import time
 from dataclasses import dataclass, field
@@ -49,6 +53,11 @@ class CacheItem:
     # monotonically increasing across ALL items: changes whenever the
     # table content changes (store/replace/update) → safe result-cache key
     version: int = field(default_factory=_next_version)
+    # bucketed physical layout (scale path): catalog table name +
+    # on-disk location + (cols, num_buckets), or None for in-memory
+    bucket_table: str | None = None
+    bucket_path: str | None = None
+    bucket_by: tuple[tuple[str, ...], int] | None = None
 
 
 def estimate_size(df: DataFrame) -> int:
@@ -65,6 +74,7 @@ class DatasetCatalog:
         self.max_size = max_cache_size_bytes
         self.max_age = max_age_seconds
         self._items: dict[str, CacheItem] = {}
+        self._bucket_storage_dir: str | None = None
         self._lock = threading.RLock()
         # statistics hooks (wired by the server layer)
         self.on_evict = lambda count, duration: None
@@ -75,6 +85,54 @@ class DatasetCatalog:
     def _evict(self, key: str) -> None:
         item = self._items.pop(key)
         item.df.unpersist(blocking=False)
+        self._drop_bucketed(item)
+
+    @staticmethod
+    def _drop_bucketed(item: CacheItem) -> None:
+        if item.bucket_table:
+            try:
+                item.df.sparkSession.sql(
+                    f"DROP TABLE IF EXISTS `{item.bucket_table}`"
+                )
+            except Exception:
+                pass
+        if item.bucket_path:
+            shutil.rmtree(item.bucket_path, ignore_errors=True)
+
+    def _storage_dir(self) -> str:
+        if self._bucket_storage_dir is None:
+            self._bucket_storage_dir = tempfile.mkdtemp(prefix="qcache_spark_buckets_")
+        return self._bucket_storage_dir
+
+    def _write_bucketed(
+        self, key: str, df: DataFrame, bucket_by, version: int
+    ) -> tuple[DataFrame, str, str, tuple[tuple[str, ...], int]]:
+        """Persist `df` as a bucketed+sorted external parquet table.
+
+        This is the 100 TB lever the in-memory persist cannot provide:
+        the bucketed scan reports hashpartitioning(cols) to the
+        planner, so every later groupBy / window partitionBy /
+        equi-join on the bucket columns skips its Exchange — the
+        shuffle is paid ONCE at store time instead of on every query
+        (see test_catalog.py plan assertions and SCALING.md §3)."""
+        cols, n = bucket_by
+        if isinstance(cols, str):
+            cols = (cols,)
+        cols = tuple(cols)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise UnknownDatasetException(f"bucket column(s) not in dataset: {missing}")
+        table = f"qcache_ds_{re.sub(r'[^A-Za-z0-9_]', '_', key)}_v{version}"
+        path = os.path.join(self._storage_dir(), table)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(int(n), *cols)
+            .sortBy(*cols)
+            .saveAsTable(table)
+        )
+        return df.sparkSession.table(table), table, path, (cols, int(n))
 
     def _ensure_free(self, byte_count: int) -> int:
         """LRU eviction until byte_count fits; returns datasets evicted
@@ -105,16 +163,33 @@ class DatasetCatalog:
         df: DataFrame,
         enum_columns: frozenset = frozenset(),
         materialize: bool = True,
+        bucket_by: tuple | None = None,
     ) -> CacheItem:
+        """Cache a dataset. `bucket_by=(cols, num_buckets)` opts into
+        the bucketed physical layout (see _write_bucketed); without it
+        the dataset is an in-memory persisted plan, the reference's
+        behavior."""
         with self._lock:
             if key in self._items:
                 self._evict(key)
+            version = _next_version()
+            table = path = spec = None
+            if bucket_by is not None:
+                df, table, path, spec = self._write_bucketed(key, df, bucket_by, version)
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
-            if materialize:
+            if materialize or bucket_by is not None:
                 df.count()
             size = estimate_size(df)
             self._ensure_free(size)
-            item = CacheItem(df=df, byte_size=size, enum_columns=frozenset(enum_columns))
+            item = CacheItem(
+                df=df,
+                byte_size=size,
+                enum_columns=frozenset(enum_columns),
+                version=version,
+                bucket_table=table,
+                bucket_path=path,
+                bucket_by=spec,
+            )
             self._items[key] = item
             return item
 
@@ -141,6 +216,14 @@ class DatasetCatalog:
         (SURVEY.md §1.3)."""
         with self._lock:
             old = self.get(key)
+            version = _next_version()
+            table = path = spec = None
+            if old.bucket_by is not None:
+                # updates keep the declared physical layout; the new
+                # version's table is fully written before the swap
+                df, table, path, spec = self._write_bucketed(
+                    key, df, old.bucket_by, version
+                )
             new_df = df.persist(StorageLevel.MEMORY_AND_DISK)
             new_df.count()
             size = estimate_size(new_df)
@@ -151,8 +234,13 @@ class DatasetCatalog:
                 creation_time=old.creation_time,
                 last_access_time=time.time(),
                 access_count=old.access_count,
+                version=version,
+                bucket_table=table,
+                bucket_path=path,
+                bucket_by=spec,
             )
             old.df.unpersist(blocking=False)
+            self._drop_bucketed(old)
             self._items[key] = item
             return item
 

@@ -100,6 +100,30 @@ def _parse_types_header(header: str | None) -> dict:
     return types
 
 
+def _parse_bucket_header(header: str | None):
+    """`X-QCache-bucket-by: col1[,col2][:num_buckets]` — extension
+    header (no reference equivalent): declares the dataset's hot
+    join/group key so the catalog stores it bucketed+sorted and every
+    later groupBy / window / equi-join on that key skips its shuffle.
+    Defaults to 16 buckets."""
+    if not header:
+        return None
+    spec, _, n = header.partition(":")
+    cols = tuple(c.strip() for c in spec.split(",") if c.strip())
+    if not cols:
+        raise MalformedQueryException(f"Invalid bucket spec: {header}")
+    if n:
+        try:
+            buckets = int(n)
+        except ValueError:
+            raise MalformedQueryException(f"Invalid bucket count: {n}")
+        if buckets <= 0:
+            raise MalformedQueryException(f"Invalid bucket count: {n}")
+    else:
+        buckets = 16
+    return (cols, buckets)
+
+
 class ResultCache:
     """LRU page cache: (dataset version, query text, accept) → rendered
     body + unsliced length. A dataset's `version` bumps on every
@@ -299,6 +323,7 @@ class QCacheHandler(BaseHTTPRequestHandler):
         ctype = self._content_type()
         types = _parse_types_header(self.headers.get("X-QCache-types"))
         stand_ins = parse_stand_in_header(self.headers.get("X-QCache-stand-in-columns"))
+        bucket_by = _parse_bucket_header(self.headers.get("X-QCache-bucket-by"))
         body = self._read_body().decode("utf-8")
         if ctype == CONTENT_TYPE_CSV:
             df, enum_columns = from_csv(self.spark, body, types, stand_ins)
@@ -307,7 +332,7 @@ class QCacheHandler(BaseHTTPRequestHandler):
         if key in self.catalog:
             self.stats.inc("replace_count")
         self.stats.inc("store_count")
-        self.catalog.insert(key, df, enum_columns)
+        self.catalog.insert(key, df, enum_columns, bucket_by=bucket_by)
         self.stats.append("store_durations", time.perf_counter() - t0)
         self.stats.append("store_row_counts", df.count())
         self._send(201)

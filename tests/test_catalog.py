@@ -69,3 +69,70 @@ def test_replace_df_keeps_metadata(spark):
     assert item.df.count() == 5
     assert item.enum_columns == frozenset(["v"])
     assert item.creation_time == before.creation_time
+
+
+# ---------------------------------------------------------------- bucketed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_insert_groupby_window_no_exchange(spark):
+    """The bucketed catalog layout's whole point: groupBy and window
+    partitionBy on the bucket key run with ZERO Exchange operators —
+    the shuffle was paid once at store time (SCALING.md §3; the
+    100 TB per-key query strategy)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qcache_spark import compile_query
+
+    cat = DatasetCatalog(max_cache_size_bytes=1 << 30)
+    df = spark.range(2000).selectExpr(
+        "id % 97 as k", "id as v", "cast(id % 7 as double) as w"
+    )
+    item = cat.insert("bk", df, bucket_by=("k", 4), materialize=False)
+    try:
+        assert item.bucket_by == (("k",), 4)
+        assert item.df.count() == 2000
+
+        # engine-path aggregation on the bucket key
+        agg = compile_query(
+            {"group_by": ["k"], "select": ["k", ["sum", "v"]]}, item.df
+        ).sliced
+        assert "Exchange" not in _plan(agg), _plan(agg)
+        assert agg.count() == 97
+
+        # window partitioned by the bucket key
+        w = Window.partitionBy("k").orderBy(F.col("v").desc())
+        ranked = item.df.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 2")
+        assert "Exchange" not in _plan(ranked), _plan(ranked)
+        assert ranked.count() == 97 * 2
+    finally:
+        cat.delete("bk")
+
+
+def test_bucketed_replace_keeps_layout_and_cleans_up(spark):
+    import os
+
+    cat = DatasetCatalog(max_cache_size_bytes=1 << 30)
+    df = spark.range(100).selectExpr("id % 5 as k", "id as v")
+    first = cat.insert("bk2", df, bucket_by=(["k"], 2), materialize=False)
+    first_path = first.bucket_path
+    assert first_path and os.path.isdir(first_path)
+    item = cat.replace_df("bk2", spark.range(50).selectExpr("id % 5 as k", "id as v"))
+    try:
+        assert item.bucket_by == (("k",), 2)  # layout survives updates
+        assert item.df.count() == 50
+        assert "Exchange" not in _plan(item.df.groupBy("k").count())
+        assert not os.path.isdir(first_path)  # old version's files dropped
+    finally:
+        cat.delete("bk2")
+        assert item.bucket_path and not os.path.isdir(item.bucket_path)
+
+
+def test_bucketed_insert_unknown_column_raises(spark):
+    cat = DatasetCatalog(max_cache_size_bytes=1 << 30)
+    with pytest.raises(UnknownDatasetException):
+        cat.insert("bk3", make_df(spark), bucket_by=("nope", 4))

@@ -299,3 +299,35 @@ def test_statistics_duration_is_time_since_reset(server):
     # reference semantics (qcache/statistics.py): duration covers the
     # whole window since the last reset, not the snapshot call itself
     assert snap["statistics_duration"] >= 0.25
+
+
+def test_store_bucketed_header(spark):
+    """X-QCache-bucket-by extension header: dataset lands in the
+    bucketed layout and queries on the key stay exchange-free."""
+    from qcache_spark.server import make_server, serve_forever_in_thread
+
+    srv = make_server(spark)
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        body = "k,v\n" + "\n".join(f"{i % 5},{i}" for i in range(200))
+        code, _, _ = store(
+            base, "bkt", body, headers={"X-QCache-bucket-by": "k:4"}
+        )
+        assert code == 201
+        item = srv.RequestHandlerClass.catalog.get("bkt")
+        assert item.bucket_by == (("k",), 4)
+        plan = item.df.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        code, out, _ = query(
+            base, "bkt", {"group_by": ["k"], "select": ["k", ["sum", "v"]],
+                          "order_by": ["k"]}
+        )
+        assert code == 200
+        rows = json.loads(out)
+        assert len(rows) == 5 and rows[0]["k"] == 0
+        # malformed bucket spec → 400
+        code, _, _ = store(base, "bad", body, headers={"X-QCache-bucket-by": ":x"})
+        assert code == 400
+    finally:
+        srv.shutdown()
