@@ -318,6 +318,11 @@ class LocalExpressions:
                 return self._try_mod(a, b)
             if op == "**":
                 # Spark pow always yields double
+                with np.errstate(all="ignore"):
+                    frac_exp = np.asarray(b) != np.floor(np.asarray(b))
+                self._guard_domain(
+                    a, np.asarray(np.asarray(a) < 0) & np.asarray(frac_exp), "pow"
+                )
                 r = np.power(a, b)
                 return pd.Series(r, dtype="float64") if hasattr(r, "__len__") else float(r)
             fn = {
@@ -360,15 +365,36 @@ class LocalExpressions:
             r = r.mask(pd.Series(True, index=r.index))
         return r
 
+    @staticmethod
+    def _guard_domain(a, bad_mask, what: str):
+        """Decline to Spark when inputs sit outside the function's
+        real domain: numpy yields NaN there, but the pandas→Spark
+        conversion cannot distinguish NaN from null (NaN becomes null
+        on the wire) while the Catalyst plan returns a true NaN —
+        the one case the two backends' values cannot be reconciled
+        (found by the hypothesis differential fuzz)."""
+        if np.isscalar(a):
+            if bad_mask:
+                raise Unsupported(f"{what} outside real domain")
+        elif bool(np.nansum(bad_mask)):
+            raise Unsupported(f"{what} outside real domain")
+
     def _unary(self, expr):
         op, a_q = expr
         a = self.compile(a_q)
         with np.errstate(all="ignore"):
             if op in _UNARY:
+                if op in ("arcsin", "arccos"):
+                    self._guard_domain(a, np.abs(a) > 1, op)
+                elif op == "arccosh":
+                    self._guard_domain(a, np.asarray(a) < 1, op)
+                elif op == "arctanh":
+                    self._guard_domain(a, np.abs(a) >= 1, op)
                 return _UNARY[op](a)
             if op == "-":
                 return -a
             if op == "sqrt":
+                self._guard_domain(a, np.asarray(a) < 0, op)
                 return np.sqrt(np.asarray(a, dtype="float64")) if np.isscalar(a) else np.sqrt(a.astype("float64"))
             if op in ("log", "log10", "log1p"):
                 # Spark returns null outside the domain; numpy returns
