@@ -667,6 +667,29 @@ def q51_embedding_pairs_exact(spark, sf_dir):
     return _similarity.cosine_pairs(emb, cand).filter(F.col("cosine") >= 0.4)
 
 
+def q52_repetition_stats(spark, sf_dir):
+    """Repetition/boilerplate quality signals (Gopher/C4-style gates):
+    token distinctness, duplicate-2-gram fraction, duplicate-line
+    ratio — one tokenize pass, all built-in collection expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.repetition_stats(docs).select(
+        "doc_id", "n_tokens", "distinct_token_ratio", "dup_2gram_frac",
+        "dup_line_ratio",
+    )
+
+
+def q53_pii_scrub(spark, sf_dir):
+    """PII detection + redaction: per-type match counts and the
+    scrubbed text (chained regexp_replace, RE2/Java-compatible
+    patterns). The corpus is synthetic (zero PII), so the oracle
+    asserts the exact zero-count/no-op-redaction fixpoint; planted-PII
+    semantics are pinned by tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.pii_redact(_text.pii_stats(docs)).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "text_redacted"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -719,6 +742,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_except": q49_except,
     "q50_argmin_argmax": q50_argmin_argmax,
     "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
+    "q52_repetition_stats": q52_repetition_stats,
+    "q53_pii_scrub": q53_pii_scrub,
 }
 
 
@@ -768,7 +793,43 @@ _SHINGLES_SQL = (
     "i -> array_to_string(list_slice(" + _TOKENS_SQL + ", i, i + 2), ' ')))"
 )
 
+def _pii_oracle_sql() -> str:
+    """Generated from the SAME pattern table as the operator (no
+    drift); DuckDB needs the explicit 'g' flag for replace-all."""
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{kind}"
+        for kind, p in _text.PII_PATTERNS.items()
+    )
+    redacted = "text"
+    for kind, p in _text.PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{p}', '<{kind.upper()}>', 'g')"
+    return f"SELECT doc_id, {counts}, {redacted} AS text_redacted FROM documents"
+
+
 OPERATOR_ORACLES: dict[str, str] = {
+    "q52_repetition_stats": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   regexp_split_to_array(text, '\\n') AS lines
+            FROM documents
+        ), g AS (
+            SELECT doc_id, toks, lines,
+                   list_transform(range(1, greatest(len(toks), 1)),
+                                  i -> toks[i] || ' ' || toks[i + 1]) AS two
+            FROM t
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+                   AS distinct_token_ratio,
+               CASE WHEN len(two) < 1 THEN 0.0
+                    ELSE round(1 - len(list_distinct(two)) / len(two), 6)
+               END AS dup_2gram_frac,
+               round(1 - len(list_distinct(lines)) / greatest(len(lines), 1), 6)
+                   AS dup_line_ratio
+        FROM g
+    """,
     "q26_dedup_exact_text": """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_members
         FROM documents
@@ -1172,4 +1233,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out.update(OPERATOR_ORACLES)
     out["q29_lang_id"] = _lang_id_oracle_sql()
+    out["q53_pii_scrub"] = _pii_oracle_sql()
     return out

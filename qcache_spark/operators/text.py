@@ -172,6 +172,88 @@ def language_id(df: DataFrame, text_col: str = "text", min_hits: int = 1) -> Dat
     return df.withColumn("lang_pred", language_pred(F.col(text_col), min_hits))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition/boilerplate signals (the cheap Gopher/C4-style
+    quality gates applied before model-based scoring):
+
+    - `n_tokens`                whitespace tokens
+    - `distinct_token_ratio`    |set(tokens)| / |tokens|
+    - `dup_2gram_frac`          1 - |set(2-grams)| / |2-grams|
+    - `dup_line_ratio`          1 - |set(lines)| / |lines|
+
+    One split per row bound with `let`; 2-grams via zip_with over the
+    two shifted token slices — all built-in collection expressions,
+    scan-speed at any corpus size. Ratios round to 6 dp (exact-match
+    oracle contract)."""
+    from .dedup import let
+
+    col = F.col(text_col)
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        two = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        n2 = F.size(two)
+        return F.struct(
+            n.alias("n_tokens"),
+            F.round(F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6).alias(
+                "distinct_token_ratio"
+            ),
+            F.when(n2 < 1, F.lit(0.0))
+            .otherwise(F.round(1 - F.size(F.array_distinct(two)) / n2, 6))
+            .alias("dup_2gram_frac"),
+        )
+
+    lines = F.split(col, r"\n")
+    stats = let(F.split(F.trim(col), r"\s+"), build)
+    return (
+        df.withColumn("_rs", stats)
+        .select(
+            "*",
+            F.col("_rs.n_tokens").alias("n_tokens"),
+            F.col("_rs.distinct_token_ratio").alias("distinct_token_ratio"),
+            F.col("_rs.dup_2gram_frac").alias("dup_2gram_frac"),
+            F.round(
+                1 - F.size(F.array_distinct(lines)) / F.greatest(F.size(lines), F.lit(1)), 6
+            ).alias("dup_line_ratio"),
+        )
+        .drop("_rs")
+    )
+
+
+# PII patterns chosen to mean the same thing to Java regex and RE2
+# (no backreferences / lookaround), so the engine and a DuckDB oracle
+# agree byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9\-]{6,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts (`n_email`, `n_phone`,
+    `n_ipv4`) — the detection half of the scrub pipeline, pure
+    codegen regexp_count."""
+    col = F.col(text_col)
+    for kind, pattern in PII_PATTERNS.items():
+        df = df.withColumn(f"n_{kind}", F.regexp_count(col, F.lit(pattern)))
+    return df
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "text_redacted") -> DataFrame:
+    """Replace each PII match with a typed placeholder (`<EMAIL>`,
+    `<PHONE>`, `<IPV4>`) — the standard pre-training scrub. Chained
+    regexp_replace, single projection, no Python."""
+    out = F.col(text_col)
+    for kind, pattern in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pattern, f"<{kind.upper()}>")
+    return df.withColumn(out_col, out)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
     """64-bit content fingerprint: xxhash64 over (optionally
     whitespace/case-normalized) text. Identical fingerprints == exact

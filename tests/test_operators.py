@@ -378,3 +378,49 @@ def test_media_from_documents_features(spark, sf_dir):
         assert r["payload_bytes"] == len(payload)
         assert r["height"] == 8 + digest[0] % 8
         assert r["width"] == 8 + digest[1] % 8
+
+
+def test_repetition_stats(spark):
+    from qcache_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 6 tokens, 2 distinct, 2-grams all dup
+            (2, "w x y z"),              # fully distinct
+            (3, "one"),                  # single token: no 2-grams
+            (4, "l1\nl2\nl1\nl1"),       # duplicate lines
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["distinct_token_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    # 5 2-grams: 'a b' x3, 'b a' x2 -> 2 distinct -> dup frac 3/5
+    assert rows[1]["dup_2gram_frac"] == pytest.approx(0.6, abs=1e-6)
+    assert rows[2]["distinct_token_ratio"] == 1.0
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[3]["dup_2gram_frac"] == 0.0  # no 2-grams -> defined 0
+    assert rows[4]["dup_line_ratio"] == pytest.approx(0.5, abs=1e-6)  # 4 lines, 2 distinct
+    assert rows[1]["dup_line_ratio"] == 0.0
+
+
+def test_pii_stats_and_redact(spark):
+    from qcache_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call +1-555-0100-222"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 ok"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in T.pii_redact(T.pii_stats(df)).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 0)
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "<PHONE>" in out[1]["text_redacted"]
+    assert "example.co.uk" not in out[1]["text_redacted"]
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["text_redacted"] == "server at <IPV4> and <IPV4> ok"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+    assert out[3]["text_redacted"] == out[3]["text"]
