@@ -85,17 +85,21 @@ def _query():
         _alias_expr(),
     )
     grouped = st.builds(
-        lambda w, fns: {
+        lambda w, keys, fns: {
             "where": w,
-            "group_by": ["i"],
-            "select": ["i"] + [[fn, c] for fn, c in fns],
-            "order_by": ["i"],
+            "group_by": keys,
+            "select": keys + [[fn, c] for fn, c in fns if c not in keys],
+            "order_by": keys,
         },
         _filter_tree(),
+        # "s" has nulls: exercises null group keys; two keys exercise
+        # the factorized radix code combine/decode
+        st.sampled_from([["i"], ["s"], ["i", "s"]]),
         st.lists(
             st.sampled_from(
                 [("sum", "f"), ("count", "f"), ("min", "f"), ("max", "rid"),
-                 ("mean", "f"), ("nunique", "s"), ("sum", "rid")]
+                 ("mean", "f"), ("nunique", "s"), ("sum", "rid"),
+                 ("median", "f"), ("std", "f")]
             ),
             min_size=1, max_size=3, unique_by=lambda e: e[1],
         ),
@@ -104,7 +108,42 @@ def _query():
         lambda w: {"where": w, "distinct": ["i", "s"], "select": ["i", "s"]},
         _filter_tree(),
     )
-    return st.one_of(plain, aliased, grouped, dist)
+    # desc + nulls ordering under slicing (rid tiebreak keeps the
+    # slice deterministic across backends)
+    ordered = st.builds(
+        lambda w, key, off, lim: {
+            "where": w, "select": ["rid", "i", "f", "s"],
+            "order_by": [key, "rid"], "offset": off, "limit": lim,
+        },
+        _filter_tree(),
+        st.sampled_from(["-f", "f", "-s", "s", "-i"]),
+        st.sampled_from([0, 1, 3]),
+        st.sampled_from([2, 4, 100]),
+    )
+    # from-subquery: aggregate inner, filter/alias outer
+    from_sub = st.builds(
+        lambda w, outer_w: {
+            "from": {"where": w, "group_by": ["i"],
+                     "select": ["i", ["sum", "rid"], ["mean", "f"]]},
+            "where": outer_w,
+            "select": ["i", ["=", "y", ["+", "rid", "i"]]],
+            "order_by": ["i"],
+        },
+        _filter_tree(),
+        st.sampled_from([[">", "rid", 2], ["<=", "i", 3], ["!", ["isnull", "f"]]]),
+    )
+    # in-subquery against the root frame (and its negation)
+    in_sub = st.builds(
+        lambda sub_w, neg: {
+            "where": (["!", ["in", "i", {"where": sub_w, "select": ["i"]}]]
+                      if neg else ["in", "i", {"where": sub_w, "select": ["i"]}]),
+            "select": ["rid", "i"],
+            "order_by": ["rid"],
+        },
+        _filter_tree(),
+        st.booleans(),
+    )
+    return st.one_of(plain, aliased, grouped, dist, ordered, from_sub, in_sub)
 
 
 def _norm(v):
