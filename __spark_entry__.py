@@ -365,6 +365,7 @@ def q25_time_bucket(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from qcache_spark.operators import dedup as _dedup
+from qcache_spark.operators import sampling as _sampling
 from qcache_spark.operators import similarity as _similarity
 from qcache_spark.operators import text as _text
 
@@ -690,6 +691,25 @@ def q53_pii_scrub(spark, sf_dir):
     )
 
 
+def q54_hash_split(spark, sf_dir):
+    """Deterministic hash sampling + train/valid/test split over
+    documents: keep the ~50% of docs whose md5-derived 60-bit hash
+    falls below the sample threshold, then assign splits 80/10/10 from
+    an independent seed. Pure scan-stage expressions — no shuffle, no
+    RNG — so the same rows land in the same split on any engine /
+    partitioning (the DuckDB oracle reproduces every row exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = _sampling.hash_sample(docs, "doc_id", 0.5, seed=7, hash_fn="md5")
+    return _sampling.train_test_split(
+        sampled, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed=11, hash_fn="md5",
+    ).select(
+        "doc_id",
+        _sampling.hash60(F.col("doc_id"), seed=11, hash_fn="md5").alias("split_hash"),
+        "split",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -744,6 +764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
     "q52_repetition_stats": q52_repetition_stats,
     "q53_pii_scrub": q53_pii_scrub,
+    "q54_hash_split": q54_hash_split,
 }
 
 
@@ -1229,9 +1250,35 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _hash_split_oracle_sql() -> str:
+    """DuckDB replica of q54: identical md5-derived 60-bit hashes and
+    the exact integer thresholds train_test_split compares against
+    (taken from sampling.split_thresholds, so the boundary arithmetic
+    cannot drift between engine and oracle)."""
+    sample_t = int(round(0.5 * _sampling.HASH_SCALE))
+    (train_name, train_t), (valid_name, valid_t) = _sampling.split_thresholds(
+        {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sample_hash,
+                   ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS split_hash
+            FROM documents
+        )
+        SELECT doc_id, split_hash,
+               CASE WHEN split_hash < {train_t} THEN '{train_name}'
+                    WHEN split_hash < {valid_t} THEN '{valid_name}'
+                    ELSE 'test' END AS split
+        FROM h
+        WHERE sample_hash < {sample_t}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out.update(OPERATOR_ORACLES)
     out["q29_lang_id"] = _lang_id_oracle_sql()
     out["q53_pii_scrub"] = _pii_oracle_sql()
+    out["q54_hash_split"] = _hash_split_oracle_sql()
     return out

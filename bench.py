@@ -28,7 +28,9 @@ from qcache_spark.session import get_spark, load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# Median of 5: sub-100 ms queries sit near the JVM's GC jitter floor,
+# and a single 200 ms pause can double a median-of-3.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 HEADLINE = [
     "q39_baseline_workload",  # the reference's own benchmark query shape

@@ -1,0 +1,130 @@
+"""Deterministic hash-based sampling and train/test splitting.
+
+A 100 TB training-data pipeline cannot use ``df.sample()``: Spark's
+sampler is seeded per-partition, so the selected rows change whenever
+the input is re-partitioned, re-compacted, or re-read with a different
+split plan — and a "random" split computed today is unreproducible
+tomorrow. The standard fix (used by every large corpus pipeline) is
+*hash bucketing*: derive a uniform value from a stable key column and
+compare it against fixed thresholds. Properties:
+
+- **Deterministic & portable**: same key → same bucket on any engine,
+  any partitioning, any day. The md5 path produces bit-identical
+  values in DuckDB (gated by q54's oracle).
+- **No shuffle, no state**: a narrow projection + filter that runs
+  inside the scan's WholeStageCodegen span; sampling 1% of 100 TB
+  touches every row once and moves nothing.
+- **Consistent across tables**: hashing the same key with the same
+  seed in two tables yields aligned samples (both sides of a join
+  survive together) — impossible with independent RNG sampling.
+- **Leak-free splits**: train/test assignment is a pure function of
+  (seed, key), so re-runs can never move a document across the split
+  boundary (train/test contamination).
+
+Thresholds are compared in the integer domain (60-bit hash vs
+``int(fraction * 2**60)``) — no float division, so the boundary is
+exact and engine-independent.
+
+Spark-first design notes: hashes are built-in expressions
+(``xxhash64`` fast path, ``md5``+``conv`` portable path) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60 bits: fits a signed 64-bit long, and 15 hex chars of md5 parse
+# identically in Spark (conv) and DuckDB ('0x...'::BIGINT).
+HASH_BITS = 60
+HASH_SCALE = 1 << HASH_BITS
+
+
+def hash60(key: Column, seed: int = 0, hash_fn: str = "xxhash64") -> Column:
+    """Uniform value in [0, 2^60) derived from ``key`` and ``seed``.
+
+    hash_fn "xxhash64" (default): single JVM hash, fastest.
+    hash_fn "md5": first 15 hex chars of md5("{seed}:{key}") — slower
+    but reproducible bit-for-bit in DuckDB/Postgres/anything with md5,
+    which is what makes cross-engine gates and long-lived split
+    manifests possible.
+
+    NULL keys hash to NULL (null-propagating concat, like SQL ``||``),
+    so they never enter a sample or a split bucket.
+    """
+    s = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        # xxhash64 hashes a NULL input to the seed value; gate on the
+        # key so NULL propagates like the md5/`||` path.
+        return F.when(key.isNotNull(), F.pmod(F.xxhash64(s), F.lit(HASH_SCALE)))
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction`` of the hash space.
+
+    Expected (not exact) fraction of rows survive; the *same* rows
+    survive on every run and every engine.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(round(fraction * HASH_SCALE))
+    return df.filter(hash60(F.col(key_col), seed, hash_fn) < F.lit(threshold))
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add ``out_col`` assigning each row to a named split.
+
+    ``weights`` maps split name → relative weight (normalized, so
+    {"train": 8, "valid": 1, "test": 1} works). Assignment is a pure
+    function of (seed, key): stable under re-partitioning, re-runs,
+    and engine changes. The last split absorbs the rounding remainder
+    so every row is assigned.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    h = hash60(F.col(key_col), seed, hash_fn)
+    names = list(weights)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    thresholds = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thresholds.append((name, int(round(cum * HASH_SCALE))))
+    for name, t in reversed(thresholds):
+        expr = F.when(h < F.lit(t), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """The integer thresholds train_test_split compares against —
+    exposed so oracles / other engines can replicate the boundaries
+    exactly."""
+    total = sum(weights.values())
+    out = []
+    cum = 0.0
+    for name in list(weights)[:-1]:
+        cum += weights[name] / total
+        out.append((name, int(round(cum * HASH_SCALE))))
+    return out

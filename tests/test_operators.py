@@ -424,3 +424,80 @@ def test_pii_stats_and_redact(spark):
     assert out[2]["text_redacted"] == "server at <IPV4> and <IPV4> ok"
     assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
     assert out[3]["text_redacted"] == out[3]["text"]
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark):
+    from qcache_spark.operators import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in sampling.hash_sample(df, "k", 0.3, seed=5).collect())
+    b = sorted(r["k"] for r in sampling.hash_sample(df, "k", 0.3, seed=5).collect())
+    assert a == b
+    # Re-partitioning must not change the selected rows (df.sample would).
+    c = sorted(
+        r["k"]
+        for r in sampling.hash_sample(df.repartition(7), "k", 0.3, seed=5).collect()
+    )
+    assert a == c
+    # Roughly the requested fraction survives.
+    assert 0.25 < len(a) / 2000 < 0.35
+    # Different seed -> different (but still deterministic) sample.
+    d = sorted(r["k"] for r in sampling.hash_sample(df, "k", 0.3, seed=6).collect())
+    assert a != d
+    # Edge fractions.
+    assert sampling.hash_sample(df, "k", 0.0).count() == 0
+    assert sampling.hash_sample(df, "k", 1.0).count() == 2000
+
+
+def test_hash_sample_md5_matches_xxhash_semantics(spark):
+    from qcache_spark.operators import sampling
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    n_md5 = sampling.hash_sample(df, "k", 0.5, seed=1, hash_fn="md5").count()
+    n_xx = sampling.hash_sample(df, "k", 0.5, seed=1, hash_fn="xxhash64").count()
+    assert 0.4 < n_md5 / 1000 < 0.6
+    assert 0.4 < n_xx / 1000 < 0.6
+    with pytest.raises(ValueError):
+        sampling.hash_sample(df, "k", 1.5)
+    with pytest.raises(ValueError):
+        sampling.hash60(F.col("k"), hash_fn="crc32")
+
+
+def test_train_test_split_partitions_and_stability(spark):
+    from qcache_spark.operators import sampling
+
+    df = spark.range(3000).withColumnRenamed("id", "k")
+    weights = {"train": 8, "valid": 1, "test": 1}
+    out = sampling.train_test_split(df, "k", weights, seed=3)
+    rows = out.collect()
+    # Total coverage: every row gets exactly one split label.
+    assert len(rows) == 3000
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "valid", "test"}
+    assert 0.75 < counts["train"] / 3000 < 0.85
+    assert 0.06 < counts["valid"] / 3000 < 0.14
+    # Stable under repartition: same key -> same split.
+    again = {
+        r["k"]: r["split"]
+        for r in sampling.train_test_split(
+            df.repartition(13), "k", weights, seed=3
+        ).collect()
+    }
+    for r in rows:
+        assert again[r["k"]] == r["split"]
+    with pytest.raises(ValueError):
+        sampling.train_test_split(df, "k", {})
+    with pytest.raises(ValueError):
+        sampling.train_test_split(df, "k", {"a": -1, "b": 2})
+
+
+def test_hash_split_null_keys_drop_from_sample(spark):
+    from qcache_spark.operators import sampling
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], ["k"])
+    kept = sampling.hash_sample(df, "k", 1.0).collect()
+    assert sorted(r["k"] for r in kept) == [1, 2]  # NULL key never samples
+    out = {r["k"]: r["split"] for r in sampling.train_test_split(df, "k", {"a": 1, "b": 1}).collect()}
+    assert out[None] == "b"  # NULL hash < t is false -> falls to last split
