@@ -710,6 +710,23 @@ def q54_hash_split(spark, sf_dir):
     )
 
 
+def q55_canonical_selection(spark, sf_dir):
+    """Canonical doc per dup cluster: cluster on the permutation-
+    insensitive token-set fingerprint (q27's key, which has real
+    multi-member clusters in this corpus), keep the highest-quality
+    member (ties -> lowest doc_id). One hash shuffle, map-side partial
+    max_by over a (quality, -id) struct — no window sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.array_join(
+        F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))),
+        " ",
+    )
+    scored = _text.quality_score(docs)
+    return _dedup.canonical_representatives(scored, key, "quality_score").select(
+        "keep_id", "best_quality", "n_members"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -765,6 +782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_repetition_stats": q52_repetition_stats,
     "q53_pii_scrub": q53_pii_scrub,
     "q54_hash_split": q54_hash_split,
+    "q55_canonical_selection": q55_canonical_selection,
 }
 
 
@@ -850,6 +868,45 @@ OPERATOR_ORACLES: dict[str, str] = {
                round(1 - len(list_distinct(lines)) / greatest(len(lines), 1), 6)
                    AS dup_line_ratio
         FROM g
+    """,
+    # q55: q35's quality composite + q27's token-set cluster key;
+    # canonical member = highest rounded quality, ties -> lowest id.
+    "q55_canonical_selection": """
+        WITH feat AS (
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ') AS k,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[\\.,;:!\\?"''\\(\\)\\[\\]\\{}]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|with|for|was)\\b')) AS n_stop
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, k,
+                   n_punct / GREATEST(n_chars, 1)::DOUBLE AS raw_punct,
+                   n_digits / GREATEST(n_chars, 1)::DOUBLE AS raw_digit,
+                   n_stop / GREATEST(n_tokens, 1)::DOUBLE AS raw_stop,
+                   (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1)::DOUBLE AS raw_mtl
+            FROM feat
+        ), score AS (
+            SELECT doc_id, k,
+                   ROUND(
+                       0.25 * LEAST(raw_stop * 2, 1.0)
+                     + 0.25 * (1 - LEAST(raw_digit * 5, 1.0))
+                     + 0.25 * (1 - LEAST(raw_punct * 5, 1.0))
+                     + 0.25 * (CASE WHEN raw_mtl >= 3 AND raw_mtl <= 10 THEN 1.0 ELSE 0.0 END),
+                   6) AS qs
+            FROM ratios
+        ), ranked AS (
+            SELECT doc_id, qs,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY qs DESC, doc_id ASC) AS rn,
+                   MAX(qs) OVER (PARTITION BY k) AS best_quality,
+                   COUNT(*) OVER (PARTITION BY k) AS n_members
+            FROM score
+        )
+        SELECT doc_id AS keep_id, best_quality, n_members
+        FROM ranked WHERE rn = 1
     """,
     "q26_dedup_exact_text": """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_members

@@ -179,6 +179,40 @@ def exact_dedup_representatives(
     )
 
 
+def canonical_representatives(
+    df: DataFrame,
+    key: Column,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection: per exact-dup cluster keep the
+    highest-*quality* member (ties -> lowest id), not an arbitrary or
+    min-id one — the selection step every dedup pipeline runs after
+    clustering, choosing which copy of a duplicated page survives into
+    the training set.
+
+    Scale shape: identical to exact_dedup_representatives — ONE hash
+    shuffle whose payload is (8-byte fingerprint, quality, id), with
+    map-side partial aggregation; max_by over a (quality, -id) struct
+    picks the canonical member without a per-cluster window sort.
+    """
+    return (
+        df.select(
+            F.xxhash64(key).alias("dup_key"),
+            F.col(quality_col).alias("_q"),
+            F.col(id_col),
+        )
+        .groupBy("dup_key")
+        .agg(
+            F.max_by(
+                id_col, F.struct(F.col("_q"), (-F.col(id_col)).alias("_nid"))
+            ).alias("keep_id"),
+            F.max("_q").alias("best_quality"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

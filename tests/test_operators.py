@@ -501,3 +501,27 @@ def test_hash_split_null_keys_drop_from_sample(spark):
     assert sorted(r["k"] for r in kept) == [1, 2]  # NULL key never samples
     out = {r["k"]: r["split"] for r in sampling.train_test_split(df, "k", {"a": 1, "b": 1}).collect()}
     assert out[None] == "b"  # NULL hash < t is false -> falls to last split
+
+
+def test_canonical_representatives_quality_beats_id(spark):
+    # Cluster A: doc 1 (low quality) vs doc 2 (high quality) -> keep 2,
+    # even though min-id dedup would keep 1. Cluster B: exact tie ->
+    # lowest id. Singleton keeps itself.
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.2),
+            (2, "a", 0.9),
+            (3, "b", 0.5),
+            (4, "b", 0.5),
+            (5, "c", 0.1),
+        ],
+        ["doc_id", "k", "q"],
+    )
+    out = {
+        r["keep_id"]: r
+        for r in dedup.canonical_representatives(df, F.col("k"), "q").collect()
+    }
+    assert set(out) == {2, 3, 5}
+    assert out[2]["n_members"] == 2 and out[2]["best_quality"] == 0.9
+    assert out[3]["n_members"] == 2 and out[3]["best_quality"] == 0.5
+    assert out[5]["n_members"] == 1
