@@ -727,6 +727,15 @@ def q55_canonical_selection(spark, sf_dir):
     )
 
 
+def q56_bm25_top_terms(spark, sf_dir):
+    """Top-5 BM25 terms per document: explode -> (doc,term) TF agg ->
+    vocab-sized DF agg + join -> broadcast 1-row corpus stats ->
+    per-doc top-k window. The score arithmetic is written in one
+    canonical order so DuckDB reproduces identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.bm25_top_terms(docs, k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -783,6 +792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_pii_scrub": q53_pii_scrub,
     "q54_hash_split": q54_hash_split,
     "q55_canonical_selection": q55_canonical_selection,
+    "q56_bm25_top_terms": q56_bm25_top_terms,
 }
 
 
@@ -1307,6 +1317,47 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _bm25_oracle_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replica of text.bm25_top_terms. Float literals are
+    injected with repr() and cast ::DOUBLE so DuckDB does IEEE double
+    arithmetic in the same order as Spark (bare numeric literals in
+    DuckDB are DECIMALs, whose arithmetic would diverge)."""
+    tokens = f"regexp_split_to_array(lower(text), '{_text.WORD_SPLIT_REGEX}')"
+    k1p1 = repr(k1 + 1.0)
+    one_minus_b = "1.0::DOUBLE - " + repr(b)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({tokens}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ), dl AS (
+            SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                     * ((tf * {k1p1}::DOUBLE)
+                        / (tf + {k1!r}::DOUBLE * ({one_minus_b}::DOUBLE + {b!r}::DOUBLE * dl / avgdl)))
+                       AS s
+            FROM tf
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            JOIN dfreq USING (term)
+        ), ranked AS (
+            SELECT doc_id, term, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY s DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, rank, ROUND(s, 6) AS bm25
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _hash_split_oracle_sql() -> str:
     """DuckDB replica of q54: identical md5-derived 60-bit hashes and
     the exact integer thresholds train_test_split compares against
@@ -1338,4 +1389,5 @@ def oracle_sql() -> dict[str, str]:
     out["q29_lang_id"] = _lang_id_oracle_sql()
     out["q53_pii_scrub"] = _pii_oracle_sql()
     out["q54_hash_split"] = _hash_split_oracle_sql()
+    out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     return out

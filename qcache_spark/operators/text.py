@@ -16,7 +16,7 @@ has no string functions at all — SURVEY.md §2.9):
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish tokenization: word pieces, numbers, or single non-space
@@ -170,6 +170,69 @@ def language_pred(col: Column, min_hits: int = 1) -> Column:
 def language_id(df: DataFrame, text_col: str = "text", min_hits: int = 1) -> DataFrame:
     """Append `lang_pred` (see language_pred)."""
     return df.withColumn("lang_pred", language_pred(F.col(text_col), min_hits))
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 terms per document (the classic keyword-extraction /
+    relevance-feature pass over a corpus).
+
+    Plan, stage by stage (all built-in exprs, no UDFs):
+    1. explode(word_tokens) -> groupBy(doc, term) count: partial-agg
+       shuffle keyed (doc, term); this is also where token volume
+       collapses to the per-doc vocabulary.
+    2. doc lengths + corpus stats (N, avgdl): one more partial agg;
+       the stats frame is a single row, broadcast-joined back.
+    3. document frequency: groupBy(term) over the (doc, term) table —
+       vocabulary-sized output. Joined back on term; at 100 TB the
+       vocab table is orders of magnitude smaller than the corpus and
+       AQE converts this to a broadcast join when it fits.
+    4. BM25 score + per-doc top-k via row_number window partitioned by
+       doc — a bounded heap per doc, shuffled by doc only.
+
+    Ranking is (score desc, term asc); the score arithmetic is written
+    in one canonical order so an external SQL engine reproduces the
+    same doubles bit-for-bit (gated by q56's DuckDB oracle).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(dfreq, "term")
+        .withColumn("_score", score)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", F.round("_score", 6).alias("bm25"))
+    )
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

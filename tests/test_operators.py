@@ -525,3 +525,36 @@ def test_canonical_representatives_quality_beats_id(spark):
     assert out[2]["n_members"] == 2 and out[2]["best_quality"] == 0.9
     assert out[3]["n_members"] == 2 and out[3]["best_quality"] == 0.5
     assert out[5]["n_members"] == 1
+
+
+def test_bm25_top_terms_small_corpus(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.bm25_top_terms(df, k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # Reference implementation (same formula, plain python).
+    tf = {1: {"apple": 2, "banana": 1}, 2: {"banana": 1, "cherry": 1},
+          3: {"cherry": 3, "durian": 1}}
+    dfreq = {"apple": 1, "banana": 2, "cherry": 2, "durian": 1}
+    dls = {d: sum(t.values()) for d, t in tf.items()}
+    avgdl = sum(dls.values()) / 3
+    def bm25(d, term):
+        idf = math.log(1.0 + (3 - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        t = tf[d][term]
+        return idf * (t * 2.2) / (t + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / avgdl))
+    for d in tf:
+        ranked = sorted(tf[d], key=lambda t: (-bm25(d, t), t))[:2]
+        for i, term in enumerate(ranked, start=1):
+            r = rows[(d, i)]
+            assert r["term"] == term, (d, i, r["term"], term)
+            assert r["bm25"] == pytest.approx(round(bm25(d, term), 6), abs=1e-6)
+    # every doc emits at most k rows
+    assert len(rows) == sum(min(len(t), 2) for t in tf.values())
