@@ -364,6 +364,7 @@ def q25_time_bucket(spark, sf_dir):
 # over the documents & embeddings tables.
 # ---------------------------------------------------------------------------
 
+from qcache_spark.operators import asof as _asof
 from qcache_spark.operators import dedup as _dedup
 from qcache_spark.operators import sampling as _sampling
 from qcache_spark.operators import similarity as _similarity
@@ -736,6 +737,30 @@ def q56_bm25_top_terms(spark, sf_dir):
     return _text.bm25_top_terms(docs, k=5)
 
 
+def q57_asof_join(spark, sf_dir):
+    """As-of join: each event joined to the user's most recent order
+    (o_orderdate <= ts, ties -> highest o_orderkey). Union + running
+    last() over one key shuffle — no range-join explosion; see
+    operators/asof.py. Oracle = DuckDB row_number over the inequality
+    join (an independent formulation of the same spec)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = _asof.asof_join(
+        e, o,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -793,6 +818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_hash_split": q54_hash_split,
     "q55_canonical_selection": q55_canonical_selection,
     "q56_bm25_top_terms": q56_bm25_top_terms,
+    "q57_asof_join": q57_asof_join,
 }
 
 
@@ -878,6 +904,20 @@ OPERATOR_ORACLES: dict[str, str] = {
                round(1 - len(list_distinct(lines)) / greatest(len(lines), 1), 6)
                    AS dup_line_ratio
         FROM g
+    """,
+    # q57: independent formulation of the as-of spec — inequality
+    # LEFT JOIN + row_number, latest order <= event ts, ties ->
+    # highest o_orderkey; unmatched events keep NULL order columns.
+    "q57_asof_join": """
+        SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM (
+            SELECT e.event_id, e.user_id,
+                   o.o_orderkey AS asof_orderkey,
+                   o.o_totalprice AS asof_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
     """,
     # q55: q35's quality composite + q27's token-set cluster key;
     # canonical member = highest rounded quality, ties -> lowest id.

@@ -558,3 +558,88 @@ def test_bm25_top_terms_small_corpus(spark):
             assert r["bm25"] == pytest.approx(round(bm25(d, term), 6), abs=1e-6)
     # every doc emits at most k rows
     assert len(rows) == sum(min(len(t), 2) for t in tf.values())
+
+
+def _asof_fixture(spark):
+    from datetime import datetime as DT
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, DT(2024, 1, 5)),
+            (2, 10, DT(2024, 1, 1)),   # before any right row
+            (3, 10, DT(2024, 1, 3)),   # exactly equal ts -> inclusive
+            (4, 20, DT(2024, 1, 9)),   # key with tie rows
+            (5, 30, DT(2024, 1, 9)),   # key absent on right
+            (6, None, DT(2024, 1, 9)), # NULL key never matches
+            (7, 10, None),             # NULL ts never matches
+        ],
+        ["event_id", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, DT(2024, 1, 3), 3.0),
+            (101, 10, DT(2024, 1, 4), 4.0),
+            (102, 20, DT(2024, 1, 2), 1.0),
+            (103, 20, DT(2024, 1, 2), 2.0),   # same (k, t): higher rid wins backward
+            (104, None, DT(2024, 1, 1), 9.0), # NULL key dropped
+            (105, 20, None, 9.0),             # NULL ts dropped
+        ],
+        ["rid", "rk", "rt", "val"],
+    )
+    return left, right
+
+
+def test_asof_join_backward(spark):
+    from qcache_spark.operators import asof
+
+    left, right = _asof_fixture(spark)
+    out = {
+        r["event_id"]: (r["rid"], r["val"])
+        for r in asof.asof_join(
+            left, right, "t", "rt", "k", "rk", ["rid", "val"], "rid"
+        ).collect()
+    }
+    assert len(out) == 7  # left join: every left row survives
+    assert out[1] == (101, 4.0)   # latest <= Jan 5
+    assert out[2] == (None, None)
+    assert out[3] == (100, 3.0)   # inclusive bound
+    assert out[4] == (103, 2.0)   # tie -> highest rid
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)
+    assert out[7] == (None, None)
+
+
+def test_asof_join_forward_and_errors(spark):
+    from qcache_spark.operators import asof
+
+    left, right = _asof_fixture(spark)
+    out = {
+        r["event_id"]: (r["rid"], r["val"])
+        for r in asof.asof_join(
+            left, right, "t", "rt", "k", "rk", ["rid", "val"], "rid",
+            direction="forward",
+        ).collect()
+    }
+    assert out[2] == (100, 3.0)   # earliest >= Jan 1
+    assert out[3] == (100, 3.0)   # inclusive
+    assert out[1] == (None, None) # nothing at/after Jan 5
+    assert out[4] == (None, None)
+    with pytest.raises(ValueError):
+        asof.asof_join(left, right, "t", "rt", "k", "rk", ["rid"], "rid",
+                       direction="nearest")
+    with pytest.raises(ValueError):
+        # right col collides with a left column name
+        asof.asof_join(left, right.withColumnRenamed("rid", "k"),
+                       "t", "rt", "k", "rk", ["k"], "k")
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    from qcache_spark.operators import asof
+
+    left, right = _asof_fixture(spark)
+    plan = asof.asof_join(
+        left, right, "t", "rt", "k", "rk", ["rid", "val"], "rid"
+    )._jdf.queryExecution().executedPlan().toString()
+    # one key shuffle for the window; no join/cartesian node anywhere
+    assert plan.count("Exchange hashpartitioning(_k") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
