@@ -761,6 +761,29 @@ def q57_asof_join(spark, sf_dir):
     )
 
 
+def q58_stream_dedup(spark, sf_dir):
+    """Streaming dedup with watermark-bounded state: drain the event
+    stream dropping repeat (user_id, event_type) arrivals via
+    dropDuplicatesWithinWatermark. The watermark covers the corpus
+    span here, so the drained output is exactly the distinct key set
+    (the SQL oracle); on an unbounded feed the same plan holds state
+    only for the watermark horizon."""
+    from qcache_spark.streaming import (
+        dedup_within_watermark,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = dedup_within_watermark(
+        stream.select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+        watermark="365 days",
+    )
+    run_to_memory_sink(out.select("user_id", "event_type"), "q58_dedup", "append")
+    return spark.table("q58_dedup")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -819,6 +842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_canonical_selection": q55_canonical_selection,
     "q56_bm25_top_terms": q56_bm25_top_terms,
     "q57_asof_join": q57_asof_join,
+    "q58_stream_dedup": q58_stream_dedup,
 }
 
 
@@ -904,6 +928,11 @@ OPERATOR_ORACLES: dict[str, str] = {
                round(1 - len(list_distinct(lines)) / greatest(len(lines), 1), 6)
                    AS dup_line_ratio
         FROM g
+    """,
+    # q58: with the watermark covering the whole corpus, streaming
+    # dedup's drained output is exactly the distinct key set.
+    "q58_stream_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
     """,
     # q57: independent formulation of the as-of spec — inequality
     # LEFT JOIN + row_number, latest order <= event ts, ties ->

@@ -1,3 +1,8 @@
+from .dedupe import (
+    content_fingerprint,
+    dedup_stream_by_content,
+    dedup_within_watermark,
+)
 from .stateful import user_profiles_batch, user_profiles_stateful
 from .windows import (
     read_event_stream,
@@ -8,6 +13,9 @@ from .windows import (
 )
 
 __all__ = [
+    "content_fingerprint",
+    "dedup_stream_by_content",
+    "dedup_within_watermark",
     "user_profiles_batch",
     "user_profiles_stateful",
     "read_event_stream",

@@ -116,3 +116,75 @@ def test_stateful_user_profiles(spark, sf_dir):
     }
     assert f_rows == b_rows
     assert len(f_rows) > 0
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Duplicates planted in SEPARATE files, drained one file per
+    micro-batch — the duplicate in batch 2 must be dropped by the
+    state store, not by within-batch dedup."""
+    from datetime import datetime as DT
+
+    from qcache_spark.streaming import dedup_within_watermark
+
+    schema = ["event_id", "ts", "user_id"]
+    base = DT(2024, 1, 1, 12, 0, 0)
+    f1 = [(1, base, 10), (2, base, 11)]
+    f2 = [(1, base, 10), (3, base, 12)]  # event 1 again, within watermark
+    d = tmp_path / "stream_src"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(d / "a"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(d / "b"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    out = dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_mb_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table("dedup_mb_test").collect())
+    assert got == [1, 2, 3]
+    # more than one micro-batch actually ran
+    assert len(q.recentProgress) >= 2
+
+    # batch parity: same builder on a batch frame == exact dedup
+    batch_df = spark.read.parquet(f"{d}/*/")
+    batch = dedup_within_watermark(batch_df, ["event_id"], watermark="1 hour")
+    assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
+
+
+def test_stream_dedup_by_content(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from qcache_spark.streaming import dedup_stream_by_content
+
+    rows = [
+        (1, DT(2024, 1, 1), "Hello   World"),
+        (2, DT(2024, 1, 1), "hello world"),   # same normalized content
+        (3, DT(2024, 1, 1), "different doc"),
+    ]
+    d = tmp_path / "docs_src"
+    spark.createDataFrame(rows, ["doc_id", "ts", "text"]).coalesce(1).write.parquet(
+        str(d)
+    )
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(d)
+    )
+    out = dedup_stream_by_content(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("content_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.table("content_dedup_test").collect())
+    assert len(got) == 2 and 3 in got  # one of {1,2} plus doc 3
+    assert "_fp" not in spark.table("content_dedup_test").columns
