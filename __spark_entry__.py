@@ -784,6 +784,27 @@ def q58_stream_dedup(spark, sf_dir):
     return spark.table("q58_dedup")
 
 
+def q59_unigram_surprise(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc mean negative unigram
+    log-prob under the corpus's own unigram LM. Per-term contributions
+    are fixed-point-snapped before summing so the distributed sum is
+    exact long arithmetic (order-independent; bit-equal in DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.unigram_surprise(docs)
+
+
+def q60_decontamination(spark, sf_dir):
+    """Benchmark decontamination: distinct word 3-grams each corpus
+    doc shares with the held-out eval slice (doc_id % 97 == 0). Eval
+    n-gram set is broadcast -> map-only probe on the corpus scan. The
+    engine joins on xxhash64 of the n-gram; the oracle joins the
+    n-gram strings — equality-equivalent (64-bit collisions aside)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return _dedup.ngram_contamination(corpus, ev, n=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -843,6 +864,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_bm25_top_terms": q56_bm25_top_terms,
     "q57_asof_join": q57_asof_join,
     "q58_stream_dedup": q58_stream_dedup,
+    "q59_unigram_surprise": q59_unigram_surprise,
+    "q60_decontamination": q60_decontamination,
 }
 
 
@@ -928,6 +951,31 @@ OPERATOR_ORACLES: dict[str, str] = {
                round(1 - len(list_distinct(lines)) / greatest(len(lines), 1), 6)
                    AS dup_line_ratio
         FROM g
+    """,
+    # q60: same tokenizer + n-gram spec as dedup.shingles (whole-doc
+    # shingle when shorter than n tokens), joined as strings where the
+    # engine joins 64-bit hashes of the same strings.
+    "q60_decontamination": """
+        WITH tok AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(1, len(toks) - 1),
+                                            i -> array_to_string(toks[i:i+2], ' '))
+                   END AS shs
+            FROM tok
+        ), ev AS (
+            SELECT DISTINCT s
+            FROM (SELECT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0)
+        ), ds AS (
+            SELECT DISTINCT doc_id, s
+            FROM (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0)
+        )
+        SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+        FROM ds JOIN ev USING (s) GROUP BY doc_id
     """,
     # q58: with the watermark covering the whole corpus, streaming
     # dedup's drained output is exactly the distinct key set.
@@ -1427,6 +1475,32 @@ def _bm25_oracle_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
+def _unigram_surprise_oracle_sql() -> str:
+    """DuckDB replica of text.unigram_surprise: same tokenizer, same
+    fixed-point snap of tf*ln(cnt/N) before the (exact, integer)
+    per-doc sum."""
+    tokens = f"regexp_split_to_array(lower(text), '{_text.WORD_SPLIT_REGEX}')"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({tokens}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ), vocab AS (
+            SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term
+        ), tot AS (
+            SELECT SUM(cnt) AS n_total FROM vocab
+        ), per AS (
+            SELECT doc_id, SUM(tf) AS n_tokens,
+                   SUM(tf * CAST(ROUND(ln(cnt / n_total) * 1e6) AS BIGINT)) AS s_fp
+            FROM tf JOIN vocab USING (term) CROSS JOIN tot
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, ROUND(-(s_fp / 1e6) / n_tokens, 6) AS surprise
+        FROM per
+    """
+
+
 def _hash_split_oracle_sql() -> str:
     """DuckDB replica of q54: identical md5-derived 60-bit hashes and
     the exact integer thresholds train_test_split compares against
@@ -1459,4 +1533,5 @@ def oracle_sql() -> dict[str, str]:
     out["q53_pii_scrub"] = _pii_oracle_sql()
     out["q54_hash_split"] = _hash_split_oracle_sql()
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
+    out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     return out

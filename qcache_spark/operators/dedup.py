@@ -179,6 +179,42 @@ def exact_dedup_representatives(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: count, per corpus doc, the distinct
+    word n-grams it shares with an evaluation/benchmark set (docs with
+    any overlap are contamination candidates to drop before training).
+
+    Scale shape: the eval side collapses to a DISTINCT set of n-gram
+    hashes — benchmark suites are tiny next to a training corpus — and
+    is broadcast, so the corpus-side probe is a map-only semi-join on
+    the scan: no corpus shuffle at all until the final per-doc count
+    (which only carries matching (doc, hash) rows). N-grams are
+    compared as 64-bit xxhash64 of the shingle string (not the 32-bit
+    minhash-domain shingle_hashes — at corpus scale 32-bit birthday
+    collisions would plant false contamination); the strings exist
+    only inside the scan projection and are never shuffled.
+    """
+    sh = F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+    ev = (
+        eval_df.select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    doc_sh = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh")
+    )
+    return (
+        doc_sh.join(F.broadcast(ev), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
 def canonical_representatives(
     df: DataFrame,
     key: Column,

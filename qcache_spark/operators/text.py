@@ -235,6 +235,47 @@ def bm25_top_terms(
     )
 
 
+def unigram_surprise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean negative unigram
+    log-probability per document, with the LM estimated from the
+    corpus itself — the cheap statistical stand-in for model-based
+    perplexity filtering (low surprise = repetitive/common text, very
+    high surprise = gibberish/rare-token soup).
+
+    Plan: (doc,term) TF agg -> vocab-sized count table (AQE broadcasts
+    it back when small) -> per-doc sum. The per-term contribution
+    tf * ln(cnt/N) is snapped to fixed-point 1e-6 BEFORE summing, so
+    the per-doc sum is exact long arithmetic — order-independent under
+    any partitioning (and bit-equal in the DuckDB oracle); floats in a
+    distributed sum would not be.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+
+    logp_fp = F.round(F.log(F.col("cnt") / F.col("n_total")) * 1e6).cast("long")
+    contrib = (F.col("tf") * logp_fp).alias("contrib_fp")
+    per_doc = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, F.col("tf"), contrib)
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("contrib_fp").alias("s_fp"))
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(-(F.col("s_fp") / 1e6) / F.col("n_tokens"), 6).alias("surprise"),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition/boilerplate signals (the cheap Gopher/C4-style
     quality gates applied before model-based scoring):

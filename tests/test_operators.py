@@ -643,3 +643,59 @@ def test_asof_join_single_shuffle_plan(spark):
     # one key shuffle for the window; no join/cartesian node anywhere
     assert plan.count("Exchange hashpartitioning(_k") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_unigram_surprise_hand_computed(spark):
+    import math
+
+    # corpus: "a a b" and "b c". counts: a=2, b=2, c=1, N=5.
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.unigram_surprise(df).collect()}
+
+    def fp(cnt):
+        return round(math.log(cnt / 5) * 1e6)
+
+    s1 = -((2 * fp(2) + 1 * fp(2)) / 1e6) / 3
+    s2 = -((1 * fp(2) + 1 * fp(1)) / 1e6) / 2
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["surprise"] == pytest.approx(round(s1, 6), abs=1e-9)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["surprise"] == pytest.approx(round(s2, 6), abs=1e-9)
+    # rarer vocabulary -> more surprising
+    assert out[2]["surprise"] > out[1]["surprise"]
+
+
+def test_ngram_contamination_planted(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "look the quick brown fox ran away"),  # shares 2 distinct 3-grams
+            (2, "completely unrelated text here now"),
+            (3, "the quick brown fox jumps the quick brown fox jumps"),  # 3 shared
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in dedup.ngram_contamination(corpus, eval_df, n=3).collect()
+    }
+    # eval 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    assert out[1] == 2   # 'the quick brown', 'quick brown fox'
+    assert 2 not in out  # clean doc absent entirely
+    assert out[3] == 3   # all three, counted once each (distinct)
+
+
+def test_ngram_contamination_short_doc_whole_shingle(spark):
+    # shorter than n tokens -> whole-doc shingle; matches only the
+    # identical short doc on the eval side
+    eval_df = spark.createDataFrame([(100, "tiny doc")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny other")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in dedup.ngram_contamination(corpus, eval_df, n=5).collect()
+    }
+    assert out == {1: 1}
