@@ -232,19 +232,25 @@ class QCacheHandler(BaseHTTPRequestHandler):
 
     # -- routing ------------------------------------------------------
 
+    # Route prefix, overridable via make_server(url_prefix=...) —
+    # reference make_app's url_prefix option (qcache/app.py:300-307).
+    url_prefix = "qcache"
+
     def _route(self):
         parsed = urllib.parse.urlparse(self.path)
         parts = [p for p in parsed.path.split("/") if p]
         query = urllib.parse.parse_qs(parsed.query)
-        if len(parts) >= 2 and parts[0] == "qcache":
-            if parts[1] == "status" and len(parts) == 2:
+        prefix = [p for p in self.url_prefix.split("/") if p]
+        if parts[: len(prefix)] == prefix:
+            rest = parts[len(prefix):]
+            if rest == ["status"]:
                 return ("status", None, query)
-            if parts[1] == "statistics" and len(parts) == 2:
+            if rest == ["statistics"]:
                 return ("statistics", None, query)
-            if parts[1] == "dataset" and len(parts) == 3:
-                return ("dataset", urllib.parse.unquote(parts[2]), query)
-            if parts[1] == "dataset" and len(parts) == 4 and parts[3] == "q":
-                return ("dataset_q", urllib.parse.unquote(parts[2]), query)
+            if len(rest) == 2 and rest[0] == "dataset":
+                return ("dataset", urllib.parse.unquote(rest[1]), query)
+            if len(rest) == 3 and rest[0] == "dataset" and rest[2] == "q":
+                return ("dataset_q", urllib.parse.unquote(rest[1]), query)
         return (None, None, query)
 
     def _guard(self, fn):
@@ -422,6 +428,7 @@ def make_server(
     keyfile: str | None = None,
     cafile: str | None = None,
     allow_plaintext_auth: bool = False,
+    url_prefix: str = "/qcache",
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port=0 picks an ephemeral
     port (server.server_address[1]).
@@ -453,6 +460,7 @@ def make_server(
             "stats": stats,
             "result_cache": ResultCache(result_cache_entries) if result_cache_entries else None,
             "basic_auth": basic_auth,
+            "url_prefix": url_prefix,
         },
     )
     server = ThreadingHTTPServer((host, port), handler)

@@ -331,3 +331,28 @@ def test_store_bucketed_header(spark):
         assert code == 400
     finally:
         srv.shutdown()
+
+
+def test_custom_url_prefix(spark):
+    srv = make_server(spark, url_prefix="/api/v2")
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body, _ = call(base, "GET", "/api/v2/status")
+        assert code == 200 and body == b"OK"
+        # default prefix no longer routes
+        code, _, _ = call(base, "GET", "/qcache/status")
+        assert code == 404
+        code, _, _ = call(
+            base, "POST", "/api/v2/dataset/px", CSV_BODY.encode(),
+            {"Content-Type": "text/csv"},
+        )
+        assert code == 201
+        qs = urllib.parse.quote(json.dumps({"select": ["foo"]}))
+        code, body, _ = call(
+            base, "GET", f"/api/v2/dataset/px?q={qs}", None,
+            {"Accept": "application/json"},
+        )
+        assert code == 200 and len(json.loads(body)) == 3
+    finally:
+        srv.shutdown()
