@@ -51,6 +51,10 @@ HEADLINE = [
     "q30_cosine_topk",
     "q31_minhash_lsh_pairs",
     "q36_sessionize",
+    "q54_hash_split",
+    "q56_bm25_top_terms",
+    "q57_asof_join",
+    "q60_decontamination",
 ]
 
 
