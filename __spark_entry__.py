@@ -805,6 +805,36 @@ def q60_decontamination(spark, sf_dir):
     return _dedup.ngram_contamination(corpus, ev, n=3)
 
 
+def q61_asof_tolerance(spark, sf_dir):
+    """As-of join with a tolerance window: like q57 but a match
+    farther back than the tolerance is nulled out (pandas merge_asof
+    `tolerance` semantics). The corpus's events sit ~8200-9200 days
+    after the order history, so an 8400-day window keeps roughly half
+    the matches — both branches are exercised. Because the as-of match
+    is the NEAREST preceding row, candidate-window filtering and
+    post-hoc nulling are equivalent — the engine picks the
+    one-comparison-per-row form; the oracle puts the window in the
+    inequality-join ON clause (an independent formulation of the same
+    spec)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = _asof.asof_join(
+        e, o,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+        tolerance="8400 DAYS",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -866,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_stream_dedup": q58_stream_dedup,
     "q59_unigram_surprise": q59_unigram_surprise,
     "q60_decontamination": q60_decontamination,
+    "q61_asof_tolerance": q61_asof_tolerance,
 }
 
 
@@ -994,6 +1025,21 @@ OPERATOR_ORACLES: dict[str, str] = {
                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
+    """,
+    # q61: the tolerance lives in the ON clause here; the engine nulls
+    # the nearest match post-hoc — equivalent because the backward
+    # as-of match is the nearest preceding row.
+    "q61_asof_tolerance": """
+        SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM (
+            SELECT e.event_id, e.user_id,
+                   o.o_orderkey AS asof_orderkey,
+                   o.o_totalprice AS asof_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY
         ) WHERE rn = 1
     """,
     # q55: q35's quality composite + q27's token-set cluster key;

@@ -46,6 +46,7 @@ def asof_join(
     right_cols: list[str],
     tie_break: str,
     direction: str = "backward",
+    tolerance: "str | int | float | None" = None,
 ) -> DataFrame:
     """Left as-of join: every left row survives; unmatched rows carry
     NULL right columns (like SQL LEFT JOIN / DuckDB ASOF LEFT JOIN).
@@ -57,6 +58,15 @@ def asof_join(
         max (backward) / min (forward) tie_break row wins.
     direction: "backward" (latest right t <= left t) or "forward"
         (earliest right t >= left t), both inclusive.
+    tolerance: maximum allowed distance |left_t - right_t| for a match
+        (inclusive). A string is an SQL interval (e.g. "30 days") for
+        timestamp/date on-columns; a number is a plain numeric bound.
+        A nearest match farther than the tolerance yields NULL right
+        columns. Because the as-of match is by construction the
+        NEAREST right row in the join direction, filtering candidates
+        to the window up front (pandas merge_asof semantics) and
+        nulling the nearest match after the fact are equivalent — so
+        the tolerance costs one comparison per row, not a re-join.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward or forward, got {direction!r}")
@@ -64,7 +74,14 @@ def asof_join(
     if collisions:
         raise ValueError(f"right_cols collide with left columns: {sorted(collisions)}")
 
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    # The payload carries the right timestamp alongside the attached
+    # columns so the tolerance check can compare against the matched
+    # row's own t after the running last() (one extra field on the
+    # wire, no extra window pass).
+    payload = F.struct(
+        F.col(right_on).alias("_pt"),
+        *[F.col(c) for c in right_cols],
+    )
     l_tag = left.select(
         F.col(left_by).alias("_k"),
         F.col(left_on).alias("_t"),
@@ -108,5 +125,19 @@ def asof_join(
         .filter(F.col("_side") == 1)
     )
     out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(f"_m.{c}").alias(c) for c in right_cols]
+    if tolerance is None:
+        out_cols += [F.col(f"_m.{c}").alias(c) for c in right_cols]
+    else:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        if direction == "backward":
+            ok = F.col("_m._pt") >= F.col("_t") - tol
+        else:
+            ok = F.col("_m._pt") <= F.col("_t") + tol
+        out_cols += [
+            F.when(ok, F.col(f"_m.{c}")).alias(c) for c in right_cols
+        ]
     return matched.select(*out_cols)

@@ -633,6 +633,53 @@ def test_asof_join_forward_and_errors(spark):
                        "t", "rt", "k", "rk", ["k"], "k")
 
 
+def test_asof_join_tolerance(spark):
+    from qcache_spark.operators import asof
+
+    left, right = _asof_fixture(spark)
+
+    def run(**kw):
+        return {
+            r["event_id"]: (r["rid"], r["val"])
+            for r in asof.asof_join(
+                left, right, "t", "rt", "k", "rk", ["rid", "val"], "rid", **kw
+            ).collect()
+        }
+
+    # backward: event 1 (Jan 5) -> rid 101 (Jan 4) is 1 day back
+    within = run(tolerance="1 DAY")
+    assert within[1] == (101, 4.0)      # exactly at the bound: inclusive
+    assert within[3] == (100, 3.0)      # same-instant match, distance 0
+    assert within[4] == (None, None)    # Jan 2 is 7 days back -> nulled
+    assert within[5] == (None, None)    # never matched stays null
+    assert len(within) == 7             # tolerance never drops left rows
+
+    tight = run(tolerance="12 HOURS")
+    assert tight[1] == (None, None)     # 1 day > 12h -> nulled
+    assert tight[3] == (100, 3.0)       # distance 0 still matches
+
+    # forward: event 2 (Jan 1) -> rid 100 (Jan 3) is 2 days ahead
+    fwd = run(direction="forward", tolerance="2 DAYS")
+    assert fwd[2] == (100, 3.0)
+    fwd_tight = run(direction="forward", tolerance="1 DAY")
+    assert fwd_tight[2] == (None, None)
+
+
+def test_asof_join_numeric_tolerance(spark):
+    from qcache_spark.operators import asof
+
+    left = spark.createDataFrame([(1, 1, 100.0), (2, 1, 9.0)], ["id", "k", "t"])
+    right = spark.createDataFrame([(7, 1, 95.0, "a")], ["rid", "rk", "rt", "tag"])
+    out = {
+        r["id"]: r["tag"]
+        for r in asof.asof_join(
+            left, right, "t", "rt", "k", "rk", ["tag"], "rid", tolerance=5.0
+        ).collect()
+    }
+    assert out[1] == "a"       # 100 - 95 = 5 <= 5 (inclusive)
+    assert out[2] is None      # no right row <= 9
+
+
 def test_asof_join_single_shuffle_plan(spark):
     from qcache_spark.operators import asof
 
