@@ -835,6 +835,25 @@ def q61_asof_tolerance(spark, sf_dir):
     )
 
 
+def q62_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (chunk_size=32, stride=16):
+    documents -> model-sized training sequences. Entirely scan-stage
+    (one projection + Generate, no shuffle); the oracle reproduces the
+    same window rule with DuckDB list functions over the same shared
+    tokenizer regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.chunk_documents(docs, chunk_size=32, stride=16)
+
+
+def q63_top_terms_by_lang(spark, sf_dir):
+    """Per-language top-20 terms (vocabulary building / corpus audit):
+    explode -> (lang, term) partial-agg shuffle -> top-k window over
+    the vocab-sized table. Ties break by term so both engines rank
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.top_terms_by_group(docs, k=20, group_col="lang")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -897,6 +916,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_unigram_surprise": q59_unigram_surprise,
     "q60_decontamination": q60_decontamination,
     "q61_asof_tolerance": q61_asof_tolerance,
+    "q62_chunk_documents": q62_chunk_documents,
+    "q63_top_terms_by_lang": q63_top_terms_by_lang,
 }
 
 
@@ -1041,6 +1062,42 @@ OPERATOR_ORACLES: dict[str, str] = {
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
              AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY
         ) WHERE rn = 1
+    """,
+    # q62: same window rule as text.chunk_documents — starts 0,16,32,…
+    # while < n (DuckDB range() is stop-exclusive = Spark's inclusive
+    # sequence(0, n-1)), chunk = tokens[s+1 .. s+32] (list_slice is
+    # end-inclusive = Spark's slice(start, length)).
+    "q62_chunk_documents": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '[^\\p{L}\\p{N}]+'), t -> t != '') AS tk
+            FROM documents
+        ), st AS (
+            SELECT doc_id, tk, unnest(range(0, len(tk), 16)) AS s FROM toks
+        )
+        SELECT doc_id,
+               s // 16 AS chunk_id,
+               len(list_slice(tk, s + 1, s + 32)) AS n_chunk_tokens,
+               array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text
+        FROM st
+    """,
+    # q63: frequency ties break by term ASC in both engines.
+    "q63_top_terms_by_lang": """
+        WITH t AS (
+            SELECT lang,
+                   unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^\\p{L}\\p{N}]+'), x -> x != '')) AS term
+            FROM documents
+        ), c AS (
+            SELECT lang, term, count(*) AS n FROM t GROUP BY lang, term
+        )
+        SELECT lang, term, n, rank FROM (
+            SELECT lang, term, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n DESC, term ASC) AS rank
+            FROM c
+        ) WHERE rank <= 20
     """,
     # q55: q35's quality composite + q27's token-set cluster key;
     # canonical member = highest rounded quality, ties -> lowest id.

@@ -358,6 +358,94 @@ def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "text_redac
     return df.withColumn(out_col, out)
 
 
+def top_terms_by_group(
+    df: DataFrame,
+    k: int = 20,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most frequent terms per group (per-language vocabulary
+    building — the first pass of tokenizer training / corpus audits).
+
+    Plan: explode(tokens) -> groupBy(group, term) partial-agg shuffle
+    (this is where token volume collapses to per-group vocabulary
+    size) -> row_number window partitioned by group over the
+    vocab-sized table only. Ranking ties break by term (ascending) so
+    the result is deterministic and engine-portable.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "n", "rank")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 256,
+    stride: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-tokenization pass that turns variable-length documents into
+    model-sized training sequences.
+
+    Window rule (deterministic, engine-portable): word tokens (the
+    shared WORD_SPLIT_REGEX tokenizer, empties dropped), chunk starts
+    at 0, stride, 2*stride, ... while start < n_tokens; each chunk is
+    tokens[start : start+chunk_size] (the trailing chunk may be
+    partial). Documents with zero tokens produce zero chunks.
+
+    Output: (id_col, chunk_id, n_chunk_tokens, chunk_text).
+
+    Plan: ONE projection + explode (Generate) — entirely scan-stage,
+    no shuffle, no Python; chunking 100 TB is embarrassingly parallel
+    and this form keeps it that way. The token array is bound once
+    with `let` (CollapseProject would otherwise re-split per
+    subexpression); the two-arg transform lambda supplies chunk_id
+    for free.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_size and stride must be >= 1, got {chunk_size}, {stride}"
+        )
+    from .dedup import let
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(0), n - 1, F.lit(stride))
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_id"),
+                F.size(F.slice(toks, s + 1, chunk_size)).alias("n_chunk_tokens"),
+                F.array_join(F.slice(toks, s + 1, chunk_size), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+
+    tokens = F.filter(word_tokens(F.col(text_col)), lambda t: t != "")
+    return (
+        df.select(F.col(id_col), F.explode(let(tokens, build)).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
     """64-bit content fingerprint: xxhash64 over (optionally
     whitespace/case-normalized) text. Identical fingerprints == exact

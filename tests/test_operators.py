@@ -633,6 +633,58 @@ def test_asof_join_forward_and_errors(spark):
                        "t", "rt", "k", "rk", ["k"], "k")
 
 
+def test_top_terms_by_group(spark):
+    from qcache_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat the dog"),
+            ("en", "the cat"),
+            ("de", "der der hund"),
+        ],
+        ["lang", "text"],
+    )
+    rows = {
+        (r["lang"], r["rank"]): (r["term"], r["n"])
+        for r in T.top_terms_by_group(df, k=2, group_col="lang").collect()
+    }
+    assert rows[("en", 1)] == ("the", 3)
+    assert rows[("en", 2)] == ("cat", 2)
+    assert rows[("de", 1)] == ("der", 2)
+    assert rows[("de", 2)] == ("hund", 1)
+    assert len(rows) == 4
+
+
+def test_chunk_documents(spark):
+    from qcache_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b, c d e"),     # 5 tokens
+            (2, ""),               # no tokens -> no chunks
+            (3, "... !!"),         # punctuation only -> no chunks
+            (4, "x"),              # single token
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.chunk_documents(df, chunk_size=3, stride=2)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: starts 0,2,4 -> [a b c], [c d e], [e]
+    assert rows[(1, 0)] == (3, "a b c")
+    assert rows[(1, 1)] == (3, "c d e")
+    assert rows[(1, 2)] == (1, "e")
+    assert rows[(4, 0)] == (1, "x")
+    assert {k[0] for k in rows} == {1, 4}  # empty docs emit nothing
+
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, stride=0)
+
+
 def test_asof_join_tolerance(spark):
     from qcache_spark.operators import asof
 
