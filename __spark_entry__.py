@@ -928,10 +928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _lang_id_oracle_sql() -> str:
     """DuckDB replica of text.language_id, generated from the same
-    lexicons AND the same tokenizer regex so the heuristic and the
-    oracle cannot drift: tokens = split(lower(text), non-letter/digit
-    runs) — \\p{L}/\\p{N} mean the same thing to Java regex and RE2 —
-    then per-language membership counts over the token list."""
+    script-range table, lexicons AND tokenizer regex so the heuristic
+    and the oracle cannot drift: script codepoint-class checks first
+    (literal ranges mean the same thing to Java regex and RE2), then
+    tokens = split(lower(text), non-letter/digit runs) and
+    per-language membership counts over the token list."""
     tokens = f"regexp_split_to_array(lower(text), '{_text.WORD_SPLIT_REGEX}')"
     score_exprs = []
     for lang, words in _text.LANGUAGE_STOPWORDS.items():
@@ -944,6 +945,10 @@ def _lang_id_oracle_sql() -> str:
     case_branches = "\n".join(
         f"           WHEN s_{lang} = best THEN '{lang}'" for lang in langs
     )
+    script_branches = "\n".join(
+        f"           WHEN regexp_matches(text, '{pattern}') THEN '{lang}'"
+        for lang, pattern in _text.LANGUAGE_SCRIPTS
+    )
     return f"""
         WITH tokenized AS (
             SELECT doc_id, text, {tokens} AS toks FROM documents
@@ -953,7 +958,8 @@ def _lang_id_oracle_sql() -> str:
             SELECT doc_id, text, {best} AS best, * FROM scored
         )
         SELECT doc_id,
-           CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+           CASE
+{script_branches}
                 WHEN best < 1 THEN 'und'
 {case_branches}
            END AS lang_pred

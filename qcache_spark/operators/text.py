@@ -23,6 +23,25 @@ from pyspark.sql import functions as F
 # symbols — a cheap regex proxy for subword tokenizers.
 BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
+# Script-based detection for languages whose writing system identifies
+# them outright — checked before the stopword heuristic. Ranges are
+# literal codepoint classes (not \p{Script=...}) so Java regex and RE2
+# (DuckDB) read them identically; the q29 oracle is generated from this
+# same table, so the heuristic and the oracle cannot drift. ORDER
+# MATTERS: kana before the CJK-unified block (Japanese text mixes kana
+# with kanji; kana wins), and each entry wins over the lexicon argmax.
+LANGUAGE_SCRIPTS: list[tuple[str, str]] = [
+    ("ja", "[ぁ-ゟ゠-ヿ]"),  # hiragana + katakana
+    ("ko", "[가-힣]"),               # hangul syllables
+    ("zh", "[一-鿿]"),               # CJK unified ideographs
+    ("ru", "[Ѐ-ӿ]"),               # cyrillic
+    ("el", "[Ͱ-Ͽ]"),               # greek
+    ("ar", "[؀-ۿ]"),               # arabic
+    ("he", "[֐-׿]"),               # hebrew
+    ("hi", "[ऀ-ॿ]"),               # devanagari
+    ("th", "[฀-๿]"),               # thai
+]
+
 # Tiny per-language stopword lexicons (public knowledge). Matching is
 # whole-word, case-insensitive.
 LANGUAGE_STOPWORDS: dict[str, list[str]] = {
@@ -140,11 +159,15 @@ def _lexicon_hits(tokens: Column, words: list[str]) -> Column:
 
 
 def language_pred(col: Column, min_hits: int = 1) -> Column:
-    """Argmax language expression over stopword-hit counts; CJK by
-    codepoint class; 'und' below `min_hits`. Ties break by the fixed
-    language order (deterministic). The token array is bound with
-    `let` so the split evaluates once per row, not once per language
-    (CollapseProject would otherwise inline it into all 7 lambdas)."""
+    """Language prediction: script-range checks first (LANGUAGE_SCRIPTS
+    order — `rlike`, which exits at the FIRST matching char, not a
+    full-document count), then the stopword-hit argmax; 'und' below
+    `min_hits`. Ties break by the fixed language order
+    (deterministic). The token array is bound with `let` so the split
+    evaluates once per row, not once per language (CollapseProject
+    would otherwise inline it into all 7 lambdas); the CaseWhen chain
+    short-circuits per row, so pure-Latin documents never pay for the
+    script scans beyond the first few character-class probes."""
     from .dedup import let
 
     def build(tokens: Column) -> Column:
@@ -163,8 +186,11 @@ def language_pred(col: Column, min_hits: int = 1) -> Column:
         return F.when(best < min_hits, F.lit("und")).otherwise(pred)
 
     pred = let(word_tokens(col), build)
-    has_cjk = F.regexp_count(col, F.lit(r"[一-鿿]")) > 0
-    return F.when(has_cjk, F.lit("zh")).otherwise(pred)
+    # reversed so the FIRST table entry becomes the outermost (highest
+    # priority) branch
+    for lang, pattern in reversed(LANGUAGE_SCRIPTS):
+        pred = F.when(col.rlike(pattern), F.lit(lang)).otherwise(pred)
+    return pred
 
 
 def language_id(df: DataFrame, text_col: str = "text", min_hits: int = 1) -> DataFrame:
