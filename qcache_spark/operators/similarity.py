@@ -192,6 +192,19 @@ class IVFIndex:
         return index
 
 
+def recall_at_k(ann: DataFrame, exact: DataFrame, id_col: str = "vec_id") -> float:
+    """Recall@k of an ANN result against the exact top-k: the standard
+    knob-tuning measurement for IVF `n_probe` (and any other ANN
+    parameter). Both inputs are top-k result frames — k rows each — so
+    the driver-side set intersection is O(k), not a data-scale
+    collect."""
+    exact_ids = {r[0] for r in exact.select(id_col).collect()}
+    ann_ids = {r[0] for r in ann.select(id_col).collect()}
+    if not exact_ids:
+        return 1.0
+    return len(exact_ids & ann_ids) / len(exact_ids)
+
+
 def cosine_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -64,6 +64,31 @@ def test_language_id_heuristic(spark):
     }
 
 
+def test_language_id_scripts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "こんにちは 世界"),          # kana present -> ja, not zh
+            (2, "日本語の文章です"),           # kana の/です -> ja
+            (3, "你好 世界"),                  # kanji only -> zh
+            (4, "안녕하세요 세계"),             # hangul -> ko
+            (5, "привет мир как дела"),          # cyrillic -> ru
+            (6, "γεια σου κόσμε"),               # greek -> el
+            (7, "مرحبا بالعالم"),                 # arabic -> ar
+            (8, "שלום עולם"),                    # hebrew -> he
+            (9, "नमस्ते दुनिया"),                  # devanagari -> hi
+            (10, "สวัสดีชาวโลก"),                 # thai -> th
+            (11, "für die der und das ist"),     # non-ASCII Latin -> lexicon
+            (12, "the quick brown fox and the dog"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert got == {
+        1: "ja", 2: "ja", 3: "zh", 4: "ko", 5: "ru", 6: "el",
+        7: "ar", 8: "he", 9: "hi", 10: "th", 11: "de", 12: "en",
+    }
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "other text")], ["id", "text"]
@@ -207,6 +232,21 @@ def test_ivf_matches_brute_force_top1(embeddings):
     ivf_top = index.search(list(q), k=3, n_probe=3).collect()
     brute_top = similarity.cosine_topk(sample, list(q), k=1).collect()
     assert ivf_top[0]["vec_id"] == brute_top[0]["vec_id"] == 7
+
+
+def test_ivf_recall_sweep(embeddings):
+    """recall@k grows with n_probe and reaches 1.0 when every cluster
+    is probed (n_probe = n_centroids makes IVF exhaustive)."""
+    sample = embeddings.limit(300).cache()
+    q = sample.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    index = similarity.IVFIndex(sample, n_centroids=8, iters=1)
+    exact = similarity.cosine_topk(sample, list(q), k=10)
+    recalls = [
+        similarity.recall_at_k(index.search(list(q), k=10, n_probe=p), exact)
+        for p in (1, 4, 8)
+    ]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))  # monotone
+    assert recalls[-1] == 1.0  # exhaustive probe == brute force
 
 
 def test_embedding_dup_pairs(spark):
