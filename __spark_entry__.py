@@ -1560,7 +1560,11 @@ def _bm25_oracle_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
         ), dl AS (
             SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
         ), stats AS (
-            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            -- avgdl as an exact-integer quotient (matches the
+            -- engine's total_tokens / n_docs formulation bit-for-bit)
+            SELECT COUNT(*) AS n_docs,
+                   SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+            FROM dl
         ), dfreq AS (
             SELECT term, COUNT(*) AS df FROM tf GROUP BY term
         ), scored AS (

@@ -209,18 +209,24 @@ def bm25_top_terms(
     """Top-k BM25 terms per document (the classic keyword-extraction /
     relevance-feature pass over a corpus).
 
-    Plan, stage by stage (all built-in exprs, no UDFs):
+    Plan, stage by stage (all built-in exprs, no UDFs — and exactly
+    TWO shuffles of the big (doc, term) table):
     1. explode(word_tokens) -> groupBy(doc, term) count: partial-agg
        shuffle keyed (doc, term); this is also where token volume
        collapses to the per-doc vocabulary.
-    2. doc lengths + corpus stats (N, avgdl): one more partial agg;
-       the stats frame is a single row, broadcast-joined back.
+    2. corpus stats (N docs, avgdl = total tokens / N): ONE global
+       partial agg over tf — a 1-row frame, broadcast back. avgdl is
+       an exact-integer quotient (long/long), so engines agree
+       bit-for-bit without float-sum order concerns.
     3. document frequency: groupBy(term) over the (doc, term) table —
        vocabulary-sized output. Joined back on term; at 100 TB the
        vocab table is orders of magnitude smaller than the corpus and
-       AQE converts this to a broadcast join when it fits.
-    4. BM25 score + per-doc top-k via row_number window partitioned by
-       doc — a bounded heap per doc, shuffled by doc only.
+       AQE converts this to a broadcast join when it fits (skipping
+       the term shuffle entirely).
+    4. doc length + BM25 + per-doc top-k: dl is a window SUM over the
+       SAME partitioning the ranking window needs, so Spark plans one
+       exchange by doc for both (the old doclen groupBy+join cost a
+       third shuffle of tf).
 
     Ranking is (score desc, term asc); the score arithmetic is written
     in one canonical order so an external SQL engine reproduces the
@@ -230,10 +236,9 @@ def bm25_top_terms(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    stats = tf.agg(
+        F.countDistinct(id_col).alias("n_docs"), F.sum("tf").alias("_total")
+    ).select("n_docs", (F.col("_total") / F.col("n_docs")).alias("avgdl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log(
@@ -247,13 +252,14 @@ def bm25_top_terms(
             + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
+    w_doc = Window.partitionBy(id_col)
     scored = (
-        tf.join(doclen, id_col)
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
-        .join(dfreq, "term")
+        .withColumn("dl", F.sum("tf").over(w_doc))
         .withColumn("_score", score)
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("term"))
+    w = w_doc.orderBy(F.desc("_score"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
