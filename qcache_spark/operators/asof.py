@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -82,14 +83,23 @@ def asof_join(
         F.col(right_on).alias("_pt"),
         *[F.col(c) for c in right_cols],
     )
+    # The NULL-literal casts need the struct types; derive them from
+    # the inputs' (already-fetched) schemas in Python instead of
+    # probing `derived.select(...).schema`, which costs a full extra
+    # Catalyst analysis round-trip per probe and dominated the
+    # operator's per-call latency.
+    r_fields = {f.name: f for f in right.schema.fields}
+    payload_type = T.StructType(
+        [T.StructField("_pt", r_fields[right_on].dataType)]
+        + [r_fields[c] for c in right_cols]
+    )
+    row_type = T.StructType(left.schema.fields)
     l_tag = left.select(
         F.col(left_by).alias("_k"),
         F.col(left_on).alias("_t"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.select(tie_break).schema[0].dataType).alias("_tie"),
-        F.lit(None).cast(
-            right.select(payload.alias("_p")).schema[0].dataType
-        ).alias("_p"),
+        F.lit(None).cast(r_fields[tie_break].dataType).alias("_tie"),
+        F.lit(None).cast(payload_type).alias("_p"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
     )
     # Right rows with a NULL key or NULL timestamp can never satisfy
@@ -103,11 +113,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.col(tie_break).alias("_tie"),
         payload.alias("_p"),
-        F.lit(None).cast(
-            left.select(
-                F.struct(*[F.col(c) for c in left.columns]).alias("_row")
-            ).schema[0].dataType
-        ).alias("_row"),
+        F.lit(None).cast(row_type).alias("_row"),
     )
 
     if direction == "backward":
