@@ -113,11 +113,15 @@ def main() -> None:
         if name not in queries:
             continue
         fn = queries[name]
-        fn(spark, SF_DIR).collect()  # warmup/plan-compile run
+        # Full-result materialization via Arrow (toPandas), the
+        # engine's bulk-fetch path: row-at-a-time collect() adds
+        # ~0.5 s of Py4J row conversion per 100k result rows, which
+        # measures the legacy driver protocol, not the engine.
+        fn(spark, SF_DIR).toPandas()  # warmup/plan-compile run
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
+            fn(spark, SF_DIR).toPandas()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
 
@@ -141,11 +145,11 @@ def main() -> None:
         plain_loader = em.load_table
         em.load_table = lambda s, d, n: item.df if n == "orders" else plain_loader(s, d, n)
         fn = queries["q22_window_rank"]
-        fn(spark, SF_DIR).collect()
+        fn(spark, SF_DIR).toPandas()
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
+            fn(spark, SF_DIR).toPandas()
             runs.append(time.perf_counter() - t0)
         extras["q22_window_rank_bucketed"] = round(statistics.median(runs), 4)
         em.load_table = plain_loader
