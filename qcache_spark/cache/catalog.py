@@ -266,3 +266,10 @@ class DatasetCatalog:
     def keys(self) -> list[str]:
         with self._lock:
             return list(self._items)
+
+    def snapshot_items(self) -> list[tuple[str, DataFrame, int]]:
+        """Untracked read of (key, df, version) for every entry — used
+        by the SQL endpoint's view sync, which must not perturb LRU
+        order, access counts, or age eviction the way `get` does."""
+        with self._lock:
+            return [(k, it.df, it.version) for k, it in self._items.items()]

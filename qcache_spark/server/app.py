@@ -7,6 +7,11 @@
     DELETE /qcache/dataset/<key>      drop dataset
     GET    /qcache/status             liveness ("OK")
     GET    /qcache/statistics         metrics JSON (reset on read)
+    POST   /qcache/sql                read-only Spark SQL over the
+                                      stored datasets (extension —
+                                      joins across datasets, windows,
+                                      CTEs; rejects DDL/DML/multi-
+                                      statement/path-based tables)
 
 Headers: `X-QCache-types` (type hints), `X-QCache-stand-in-columns`,
 `X-QCache-unsliced-length` (pre-slice count, README.rst:398-405).
@@ -27,6 +32,7 @@ import base64
 import gzip
 import hmac
 import json
+import re
 import threading
 import time
 import urllib.parse
@@ -247,6 +253,8 @@ class QCacheHandler(BaseHTTPRequestHandler):
                 return ("status", None, query)
             if rest == ["statistics"]:
                 return ("statistics", None, query)
+            if rest == ["sql"]:
+                return ("sql", None, query)
             if len(rest) == 2 and rest[0] == "dataset":
                 return ("dataset", urllib.parse.unquote(rest[1]), query)
             if len(rest) == 3 and rest[0] == "dataset" and rest[2] == "q":
@@ -307,6 +315,9 @@ class QCacheHandler(BaseHTTPRequestHandler):
             self._run_query(key, body)
         elif route == "dataset":
             self._store_dataset(key)
+        elif route == "sql":
+            body = self._read_body().decode("utf-8")
+            self._run_sql(body)
         else:
             self._error(404, "Not found")
 
@@ -407,6 +418,108 @@ class QCacheHandler(BaseHTTPRequestHandler):
         )
 
 
+    # -- SQL endpoint -------------------------------------------------
+
+    # identifier-safe dataset keys double as SQL view names; other
+    # keys stay reachable through the query-dict API only
+    _SQL_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    # path-based table syntax (`SELECT … FROM parquet.`/path``) would
+    # let SQL read arbitrary files — the endpoint serves REGISTERED
+    # datasets only, like every other route
+    _SQL_PATH_TABLE_RE = re.compile(
+        r"(?i)\b(parquet|csv|json|orc|avro|text|binaryfile|jdbc|libsvm)\s*\.\s*`"
+    )
+
+    # injected per-server by make_server (fresh dict/lock per server)
+    _sql_views: dict | None = None
+    _sql_view_lock: threading.Lock | None = None
+
+    def _sync_sql_views(self) -> None:
+        """Mirror the catalog into Spark temp views (create/replace
+        changed versions, drop views whose dataset is gone). Uses the
+        catalog's untracked snapshot so listing does not perturb LRU /
+        access counts. Temp views are per-SparkSession: in a sharded
+        deployment each server runs its own session, so names cannot
+        collide across nodes."""
+        with self._sql_view_lock:
+            current: dict[str, int] = {}
+            for key, df, version in self.catalog.snapshot_items():
+                if not self._SQL_NAME_RE.match(key):
+                    continue  # not addressable from SQL; documented
+                current[key] = version
+                if self._sql_views.get(key) != version:
+                    df.createOrReplaceTempView(key)
+            for stale in set(self._sql_views) - set(current):
+                self.spark.catalog.dropTempView(stale)
+            self._sql_views.clear()
+            self._sql_views.update(current)
+
+    def _check_sql_read_only(self, sql: str) -> None:
+        """Reject anything that is not a single read-only query. The
+        parsed logical plan is checked against Catalyst's own command
+        classes (Command = runnable side effect, ParsedStatement =
+        DDL/DML surface like InsertIntoStatement), which is far more
+        robust than keyword filtering."""
+        if self._SQL_PATH_TABLE_RE.search(sql):
+            raise MalformedQueryException(
+                "Path-based tables (format.`path`) are not allowed; "
+                "query stored datasets by name"
+            )
+        try:
+            jplan = self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        except Exception as e:  # Py4J wraps ParseException
+            first = str(e).splitlines()
+            detail = next((l for l in first if l.strip()), "parse error")
+            raise MalformedQueryException(f"SQL parse error: {detail[:300]}")
+        jvm = self.spark._jvm
+        for cls_name in (
+            "org.apache.spark.sql.catalyst.plans.logical.Command",
+            "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+        ):
+            if jvm.java.lang.Class.forName(cls_name).isInstance(jplan):
+                raise MalformedQueryException(
+                    "Only read-only SELECT statements are allowed"
+                )
+
+    def _run_sql(self, sql_text: str) -> None:
+        """POST <prefix>/sql — run one read-only Spark SQL statement
+        over the stored datasets (each identifier-safe key is a view).
+        Beyond the reference's query-dict surface: the full SELECT
+        language (joins ACROSS datasets, window functions, CTEs) with
+        the same content negotiation and error contract."""
+        t0 = time.perf_counter()
+        accept = self._accept_type()
+        sql = sql_text.strip()
+        while sql.endswith(";"):
+            sql = sql[:-1].rstrip()
+        if not sql:
+            raise MalformedQueryException("Empty SQL body")
+        if ";" in sql:
+            raise MalformedQueryException("Only a single SQL statement is allowed")
+        self._sync_sql_views()
+        self._check_sql_read_only(sql)
+        try:
+            df = self.spark.sql(sql)
+            rows = df.collect()
+        except MalformedQueryException:
+            raise
+        except Exception as e:
+            # AnalysisException: unknown view/column, type errors, …
+            detail = str(e).splitlines()[0][:300] if str(e) else type(e).__name__
+            raise MalformedQueryException(f"SQL error: {detail}")
+        if accept == CONTENT_TYPE_CSV:
+            body = rows_to_csv(rows, df.columns).encode("utf-8")
+        else:
+            body = rows_to_json(rows).encode("utf-8")
+        self.stats.append("query_durations", time.perf_counter() - t0)
+        self._send(
+            200,
+            body,
+            accept,
+            extra_headers={"X-QCache-unsliced-length": str(len(rows))},
+        )
+
+
 class _UnsupportedMediaType(Exception):
     pass
 
@@ -461,6 +574,10 @@ def make_server(
             "result_cache": ResultCache(result_cache_entries) if result_cache_entries else None,
             "basic_auth": basic_auth,
             "url_prefix": url_prefix,
+            # per-server SQL view registry (shared by all handler
+            # instances of THIS server via the bound class)
+            "_sql_views": {},
+            "_sql_view_lock": threading.Lock(),
         },
     )
     server = ThreadingHTTPServer((host, port), handler)

@@ -111,6 +111,73 @@ def test_malformed_query_400(server):
     assert "selcet" in json.loads(body)["error"]
 
 
+def sql_post(base, sql, accept="application/json"):
+    return call(
+        base, "POST", "/qcache/sql", sql.encode(), {"Accept": accept}
+    )
+
+
+def test_sql_endpoint_select(server):
+    store(server, "sqlt1")
+    code, body, headers = sql_post(
+        server, "SELECT foo, bar FROM sqlt1 WHERE bar > 15 ORDER BY foo"
+    )
+    assert code == 200
+    assert json.loads(body) == [{"foo": 2, "bar": 20}, {"foo": 3, "bar": 30}]
+    assert headers["X-QCache-unsliced-length"] == "2"
+    # CSV negotiation works like the other endpoints
+    code, body, _ = sql_post(server, "SELECT count(*) AS n FROM sqlt1", "text/csv")
+    assert code == 200 and body.decode().splitlines() == ["n", "3"]
+
+
+def test_sql_endpoint_cross_dataset_join(server):
+    store(server, "sqlt2a", "k,v\n1,100\n2,200\n")
+    store(server, "sqlt2b", "k,w\n2,x\n3,y\n")
+    code, body, _ = sql_post(
+        server,
+        "SELECT a.k AS k, a.v AS v, b.w AS w FROM sqlt2a a JOIN sqlt2b b ON a.k = b.k",
+    )
+    assert code == 200
+    assert json.loads(body) == [{"k": 2, "v": 200, "w": "x"}]
+
+
+def test_sql_endpoint_rejects_writes_and_ddl(server):
+    store(server, "sqlt3")
+    for bad in [
+        "INSERT INTO sqlt3 VALUES (9, 9)",
+        "CREATE TABLE boom (a INT)",
+        "DROP TABLE sqlt3",
+        "SET spark.sql.shuffle.partitions=1",
+        "CACHE TABLE sqlt3",
+        "SELECT 1; SELECT 2",
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/orders.parquet`",
+        "",
+    ]:
+        code, body, _ = sql_post(server, bad)
+        assert code == 400, f"{bad!r} -> {code}"
+
+
+def test_sql_endpoint_unknown_view_and_deleted_dataset(server):
+    code, body, _ = sql_post(server, "SELECT * FROM no_such_view_xyz")
+    assert code == 400
+    # deleting a dataset removes its SQL view on the next sync
+    store(server, "sqlt4")
+    code, _, _ = sql_post(server, "SELECT count(*) AS n FROM sqlt4")
+    assert code == 200
+    call(server, "DELETE", "/qcache/dataset/sqlt4")
+    code, _, _ = sql_post(server, "SELECT count(*) AS n FROM sqlt4")
+    assert code == 400
+
+
+def test_sql_endpoint_sees_replaced_dataset(server):
+    store(server, "sqlt5", "a\n1\n")
+    code, body, _ = sql_post(server, "SELECT sum(a) AS s FROM sqlt5")
+    assert json.loads(body) == [{"s": 1}]
+    store(server, "sqlt5", "a\n5\n7\n")  # replace
+    code, body, _ = sql_post(server, "SELECT sum(a) AS s FROM sqlt5")
+    assert json.loads(body) == [{"s": 12}]
+
+
 def test_unsupported_content_type_415(server):
     code, _, _ = store(server, "t6", "x", ctype="text/xml")
     assert code == 415
