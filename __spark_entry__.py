@@ -854,6 +854,19 @@ def q63_top_terms_by_lang(spark, sf_dir):
     return _text.top_terms_by_group(docs, k=20, group_col="lang")
 
 
+def q64_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: the 10 lowest-hashing docs per
+    source (md5-portable hash, ties by doc_id) — selects ~40% of this
+    corpus, so the rank cutoff is genuinely exercised. Catalyst's
+    WindowGroupLimit turns the rank filter into a per-map-task top-N
+    heap, so the group shuffle carries samples, not the corpus; the
+    oracle reproduces the identical hash + ordering in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.stratified_sample(
+        docs, "source", 10, "doc_id", seed=7, hash_fn="md5"
+    ).select("doc_id", "source", "sample_rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -918,6 +931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_asof_tolerance": q61_asof_tolerance,
     "q62_chunk_documents": q62_chunk_documents,
     "q63_top_terms_by_lang": q63_top_terms_by_lang,
+    "q64_stratified_sample": q64_stratified_sample,
 }
 
 
@@ -1087,6 +1101,17 @@ OPERATOR_ORACLES: dict[str, str] = {
                len(list_slice(tk, s + 1, s + 32)) AS n_chunk_tokens,
                array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text
         FROM st
+    """,
+    # q64: identical md5-derived 60-bit hash + (hash, doc_id) ordering
+    # on both engines; n=10 per source.
+    "q64_stratified_sample": """
+        SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                       ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                       doc_id ASC) AS sample_rank
+            FROM documents WHERE doc_id IS NOT NULL
+        ) WHERE sample_rank <= 10
     """,
     # q63: frequency ties break by term ASC in both engines.
     "q63_top_terms_by_lang": """

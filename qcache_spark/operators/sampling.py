@@ -117,6 +117,45 @@ def train_test_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_group`` rows of
+    each group whose key hashes lowest (ties broken by the key
+    itself) — "25 documents per source/language", the balanced-subset
+    primitive for eval sets and per-domain quality audits.
+
+    Like every operator in this module the selection is a pure
+    function of (seed, key): re-partitioning, re-runs, and engine
+    changes keep the same rows, unlike per-partition RNG sampling.
+
+    Scale shape: one shuffle keyed on the group column; the rank
+    filter is recognized by Catalyst's WindowGroupLimit rule, which
+    keeps a bounded top-N heap per map task BEFORE the shuffle — so
+    the exchange carries ~n_per_group rows per (group × input
+    partition), not the corpus (pinned by a plan assertion test).
+    NULL keys are excluded (they have no stable hash); NULL groups
+    form a group of their own, as in SQL window partitioning.
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    from pyspark.sql import Window
+
+    h = hash60(F.col(key_col), seed, hash_fn)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_group)
+    )
+
+
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
     """The integer thresholds train_test_split compares against —
     exposed so oracles / other engines can replicate the boundaries

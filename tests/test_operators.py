@@ -466,6 +466,32 @@ def test_pii_stats_and_redact(spark):
     assert out[3]["text_redacted"] == out[3]["text"]
 
 
+def test_stratified_sample(spark):
+    from qcache_spark.operators import sampling
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)] + [(None, "g0")]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = sampling.stratified_sample(df, "g", 10, "k", seed=3)
+    got = out.collect()
+    # exactly n per group, ranks 1..n, null keys excluded
+    by_group = {}
+    for r in got:
+        assert r["k"] is not None
+        by_group.setdefault(r["g"], []).append(r["sample_rank"])
+    assert set(by_group) == {"g0", "g1", "g2"}
+    assert all(sorted(v) == list(range(1, 11)) for v in by_group.values())
+    # deterministic under re-partitioning
+    again = sampling.stratified_sample(df.repartition(7), "g", 10, "k", seed=3)
+    assert sorted((r["g"], r["k"]) for r in got) == sorted(
+        (r["g"], r["k"]) for r in again.collect()
+    )
+    # the rank filter becomes a pre-shuffle bounded heap
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, "g", 0, "k")
+
+
 def test_hash_sample_deterministic_and_partition_stable(spark):
     from qcache_spark.operators import sampling
 
