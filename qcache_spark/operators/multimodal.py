@@ -75,6 +75,17 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
     ]
 )
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_sha256", T.StringType()),
+    ]
+)
+
 
 def decoder_available() -> bool:
     """True when a real image decoder is importable."""
@@ -216,6 +227,48 @@ def sample_frames(
             )
 
     return media.select("media_id", "payload").mapInPandas(frames, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 4,
+    height: int = 4,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Decode → nearest-neighbor resize to (width, height) →
+    deterministic checksum of the resized pixel bytes. The resize
+    kernel (index-grid gather) is pure numpy and identical for the
+    stub and a real decoder — only the decode half is stubbed. The
+    standard normalize-before-embedding pass; at scale the cost is one
+    Arrow batch pipeline over the blob column, no shuffle."""
+    if width < 1 or height < 1:
+        raise ValueError(f"width/height must be >= 1, got {width}x{height}")
+    decode = _fake_decode if (fake_decode or not decoder_available()) else _decode_image_real
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode(payload)
+                sh, sw = img.shape[0], img.shape[1]
+                ys = (np.arange(height) * sh) // height
+                xs = (np.arange(width) * sw) // width
+                resized = img[ys][:, xs]
+                out.append(
+                    (
+                        media_id, int(sw), int(sh), width, height,
+                        hashlib.sha256(resized.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "src_width", "src_height",
+                    "width", "height", "resized_sha256",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
 
 
 def media_dedup_keys(media: DataFrame) -> DataFrame:

@@ -37,6 +37,31 @@ def test_sample_frames_flatmap_shape(spark):
     assert all(len(r["frame_payload"]) == 16 for r in frames)
 
 
+def test_resize_images_deterministic(spark):
+    import pytest
+
+    media = mm.synthetic_media(spark, n=12)
+    a = {r["media_id"]: r for r in mm.resize_images(media, 4, 3).collect()}
+    b = {r["media_id"]: r for r in mm.resize_images(media, 4, 3).collect()}
+    assert len(a) == 12 and a == b
+    r = a[0]
+    assert (r["width"], r["height"]) == (4, 3)
+    assert 8 <= r["src_width"] <= 15 and 8 <= r["src_height"] <= 15
+    assert len(r["resized_sha256"]) == 64
+    # resizing to the source dims is the identity on the pixel grid:
+    # checksum must equal sha256 of the full decoded array
+    import hashlib
+
+    feats = {x["media_id"]: x for x in mm.extract_image_features(media).collect()}
+    w, h = feats[0]["width"], feats[0]["height"]
+    same = {x["media_id"]: x for x in mm.resize_images(media, w, h).collect()}[0]
+    payload = hashlib.sha256(str(0).encode()).digest() * 4
+    expected = hashlib.sha256(mm._fake_decode(payload).tobytes()).hexdigest()
+    assert same["resized_sha256"] == expected
+    with pytest.raises(ValueError):
+        mm.resize_images(media, 0, 3)
+
+
 def test_media_dedup_keys_jvm_side(spark):
     media = mm.synthetic_media(spark, n=8)
     keys = mm.media_dedup_keys(media)
