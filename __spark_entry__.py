@@ -867,6 +867,39 @@ def q64_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_rank")
 
 
+def q65_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: drain the event stream joined (per
+    micro-batch, broadcast, zero streaming state) against the customer
+    dimension, then aggregate the drained rows per (segment, type).
+    The oracle is the equivalent batch join+groupBy — stream-static
+    join semantics guarantee the drained result equals the batch
+    result over the same files."""
+    from qcache_spark.streaming import (
+        enrich_with_dimension,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = enrich_with_dimension(
+        stream.select("event_id", "user_id", "event_type"),
+        cust,
+        "user_id",
+        "c_custkey",
+        ["c_mktsegment"],
+    )
+    run_to_memory_sink(enriched, "q65_enrich", "append")
+    return (
+        spark.table("q65_enrich")
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -932,6 +965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_chunk_documents": q62_chunk_documents,
     "q63_top_terms_by_lang": q63_top_terms_by_lang,
     "q64_stratified_sample": q64_stratified_sample,
+    "q65_stream_enrich": q65_stream_enrich,
 }
 
 
@@ -1101,6 +1135,14 @@ OPERATOR_ORACLES: dict[str, str] = {
                len(list_slice(tk, s + 1, s + 32)) AS n_chunk_tokens,
                array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text
         FROM st
+    """,
+    # q65: batch formulation of the stream-static join (equal by
+    # stream-static semantics once the stream drains).
+    "q65_stream_enrich": """
+        SELECT c.c_mktsegment AS mktsegment, e.event_type,
+               COUNT(*) AS n_events
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment, e.event_type
     """,
     # q64: identical md5-derived 60-bit hash + (hash, doc_id) ordering
     # on both engines; n=10 per source.

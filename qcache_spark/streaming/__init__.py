@@ -3,6 +3,7 @@ from .dedupe import (
     dedup_stream_by_content,
     dedup_within_watermark,
 )
+from .joins import enrich_with_dimension
 from .stateful import user_profiles_batch, user_profiles_stateful
 from .windows import (
     read_event_stream,
@@ -16,6 +17,7 @@ __all__ = [
     "content_fingerprint",
     "dedup_stream_by_content",
     "dedup_within_watermark",
+    "enrich_with_dimension",
     "user_profiles_batch",
     "user_profiles_stateful",
     "read_event_stream",

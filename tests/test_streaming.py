@@ -48,6 +48,38 @@ def test_stream_matches_batch_sessionize(spark, events_batch, events_stream):
     assert _rows(batch, cols) == _rows(streamed, cols)
 
 
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_batch):
+    """Per-micro-batch broadcast join against the static dim produces
+    exactly the batch join over the same files (stream-static
+    semantics) — exercised with a real multi-trigger drain."""
+    from qcache_spark.streaming import enrich_with_dimension
+
+    cust = load_table(spark, sf_dir, "customer")
+    stream = read_event_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1
+    )
+    enriched = enrich_with_dimension(
+        stream.select("event_id", "user_id"), cust, "user_id", "c_custkey",
+        ["c_mktsegment"],
+    )
+    run_to_memory_sink(enriched, "enrich_test", output_mode="append")
+    got = _rows(spark.table("enrich_test"), ["event_id", "c_mktsegment"])
+    want = _rows(
+        events_batch.select("event_id", "user_id").join(
+            cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        ),
+        ["event_id", "c_mktsegment"],
+    )
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError):
+        enrich_with_dimension(
+            stream.select("event_id", "user_id"), cust, "user_id", "c_custkey",
+            ["user_id"],
+        )
+
+
 def test_sliding_windows_multiply_events(events_batch):
     tumbling = tumbling_counts(events_batch, "1 hour", streaming=False)
     sliding = sliding_rates(events_batch, "1 hour", "15 minutes", streaming=False)
