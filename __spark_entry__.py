@@ -900,6 +900,17 @@ def q65_stream_enrich(spark, sf_dir):
     )
 
 
+def q66_shared_spans(spark, sf_dir):
+    """Exact shared-span pairs: docs sharing ≥1 verbatim 8-token span
+    + the distinct-span count (exact-substring duplication, the
+    copy-paste complement to MinHash set similarity). Inverted-index
+    self-join on 64-bit span hashes with posting-list cap; the oracle
+    joins the span STRINGS (hash↔string equality-equivalent, q60's
+    argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.shared_ngram_pairs(docs, n=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -966,6 +977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_top_terms_by_lang": q63_top_terms_by_lang,
     "q64_stratified_sample": q64_stratified_sample,
     "q65_stream_enrich": q65_stream_enrich,
+    "q66_shared_spans": q66_shared_spans,
 }
 
 
@@ -1135,6 +1147,29 @@ OPERATOR_ORACLES: dict[str, str] = {
                len(list_slice(tk, s + 1, s + 32)) AS n_chunk_tokens,
                array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text
         FROM st
+    """,
+    # q66: span STRINGS here vs 64-bit hashes in the engine
+    # (equality-equivalent); same whole-doc fallback for docs shorter
+    # than n tokens, same [2, 200] posting-list cap.
+    "q66_shared_spans": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+                          i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+                END) AS g
+            FROM toks
+        ), keep AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 200
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     """,
     # q65: batch formulation of the stream-static join (equal by
     # stream-static semantics once the stream drains).

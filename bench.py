@@ -55,6 +55,9 @@ HEADLINE = [
     "q56_bm25_top_terms",
     "q57_asof_join",
     "q60_decontamination",
+    "q62_chunk_documents",
+    "q63_top_terms_by_lang",
+    "q64_stratified_sample",
 ]
 
 

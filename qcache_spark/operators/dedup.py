@@ -215,6 +215,51 @@ def ngram_contamination(
     )
 
 
+def shared_ngram_pairs(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 200,
+) -> DataFrame:
+    """Exact shared-span pairs: documents that share at least one
+    verbatim n-token span, with the count of distinct shared spans —
+    the exact-substring-duplication signal (the "copy-paste" dedup
+    family, complementary to MinHash's set-similarity family: a 100%
+    verbatim paragraph inside an otherwise-different page has low
+    Jaccard but is exactly what this catches).
+
+    Scale shape: an inverted-index self-join on the 64-bit span hash —
+    (doc, gram-hash) postings, posting lists longer than
+    `max_postings` dropped (ubiquitous boilerplate spans would
+    otherwise contribute |list|² pairs; the cap bounds the join
+    blow-up exactly like the LSH bucket cap). Span strings exist only
+    inside the scan projection; the shuffle carries 16-byte (id, hash)
+    rows. 64-bit hashes, not the 32-bit minhash domain — at corpus
+    scale 32-bit birthday collisions would fabricate shared spans.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    sh = F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(sh)).alias("_g")
+    )
+    sizes = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    capped = grams.join(
+        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_postings)), "_g"
+    )
+    a = capped.select("_g", F.col("_id").alias("id_a"))
+    b = capped.select("_g", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def canonical_representatives(
     df: DataFrame,
     key: Column,

@@ -699,6 +699,34 @@ def test_asof_join_forward_and_errors(spark):
                        "t", "rt", "k", "rk", ["k"], "k")
 
 
+def test_shared_ngram_pairs(spark):
+    from qcache_spark.operators import dedup
+
+    span = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {span} tail a"),
+            (2, f"different beginning {span} other ending"),
+            (3, "totally unrelated text with nothing shared at all here ok"),
+            (4, "common common common common common common common common"),
+            (5, "common common common common common common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.shared_ngram_pairs(df, n=8).collect()
+    }
+    assert got[(1, 2)] == 1          # exactly the planted span
+    assert (4, 5) in got             # verbatim duplicates share spans
+    assert all(3 not in p for p in got)
+    # posting-list cap drops ubiquitous spans entirely
+    capped = dedup.shared_ngram_pairs(df, n=8, max_postings=1)
+    assert capped.count() == 0
+    with pytest.raises(ValueError):
+        dedup.shared_ngram_pairs(df, n=1)
+
+
 def test_top_terms_by_group(spark):
     from qcache_spark.operators import text as T
 
