@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -343,13 +343,17 @@ def minhash_lsh_pairs(
     buckets = base.select(
         "_id", F.posexplode("_bands").alias("_band", "_bucket")
     )
-    # Cap pathological buckets (identical boilerplate): count per
-    # bucket is a co-partitioned aggregation on the same key as the
-    # subsequent join — one shuffle, reused.
-    sizes = buckets.groupBy("_band", "_bucket").agg(F.count(F.lit(1)).alias("_n"))
-    capped = buckets.join(
-        sizes.filter(F.col("_n") <= max_bucket_size), ["_band", "_bucket"]
-    )
+    # Cap pathological buckets (identical boilerplate): the bucket
+    # size is an unbounded-frame window COUNT over the same
+    # (_band, _bucket) partitioning the self-join needs — Spark plans
+    # ONE exchange that the window, the filter, and both join sides
+    # all reuse (the previous groupBy-sizes + join-back formulation
+    # shuffled the postings an extra time through the aggregate
+    # branch).
+    w_bucket = Window.partitionBy("_band", "_bucket")
+    capped = buckets.withColumn(
+        "_n", F.count(F.lit(1)).over(w_bucket)
+    ).filter(F.col("_n") <= max_bucket_size).drop("_n")
 
     left = capped.select("_band", "_bucket", F.col("_id").alias("id_a"))
     right = capped.select("_band", "_bucket", F.col("_id").alias("id_b"))

@@ -316,8 +316,14 @@ def embedding_dup_pairs(
     buckets = base.select("_id", F.explode(chunk_structs).alias("c")).select(
         "_id", F.col("c._chunk").alias("_chunk"), F.col("c._val").alias("_val")
     )
-    sizes = buckets.groupBy("_chunk", "_val").agg(F.count(F.lit(1)).alias("_n"))
-    capped = buckets.join(sizes.filter(F.col("_n") <= max_bucket_size), ["_chunk", "_val"])
+    # bucket cap as a window count: one (_chunk, _val) exchange shared
+    # by the count, the filter, and the self-join (see dedup.py's
+    # minhash_lsh_pairs for the rationale)
+    from pyspark.sql import Window as _W
+
+    capped = buckets.withColumn(
+        "_n", F.count(F.lit(1)).over(_W.partitionBy("_chunk", "_val"))
+    ).filter(F.col("_n") <= max_bucket_size).drop("_n")
 
     pairs = (
         capped.select("_chunk", "_val", F.col("_id").alias("id_a"))
