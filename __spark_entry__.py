@@ -911,6 +911,47 @@ def q66_shared_spans(spark, sf_dir):
     return _dedup.shared_ngram_pairs(docs, n=8)
 
 
+def q67_training_pipeline(spark, sf_dir):
+    """Flagship end-to-end training-data pipeline, composed from the
+    engine's operator families:
+
+      exact dedup (min-id representative per normalized-text
+      fingerprint) -> benchmark decontamination (drop docs sharing any
+      3-gram with the doc_id%97 eval slice) -> quality gate
+      (composite >= 0.76) -> language gate (lang_pred == 'en') ->
+      deterministic md5 train/valid/test split.
+
+    Scale shape, per stage: the dedup shuffle carries (8-byte hash,
+    id); the kept/clean joins are id-only semi/anti joins; the
+    contamination probe is a map-only broadcast join; quality + lang
+    are ONE codegen scan; the split is a scan-stage expression. No
+    stage ever shuffles document bodies. The oracle composes the
+    individually-gated SQL formulations of q26/q60/q35/q29/q54 into
+    one CTE chain — both engines execute the whole funnel, not just
+    the pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    norm_key = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    reps = _dedup.exact_dedup_representatives(corpus, norm_key)
+    kept = corpus.join(
+        reps.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    cont = _dedup.ngram_contamination(kept, ev, n=3)
+    clean = kept.join(cont.select("doc_id"), "doc_id", "left_anti")
+
+    scored = _text.language_id(_text.quality_score(clean))
+    filtered = scored.filter(
+        (F.col("quality_score") >= 0.76) & (F.col("lang_pred") == "en")
+    )
+    out = _sampling.train_test_split(
+        filtered, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed=11, hash_fn="md5",
+    )
+    return out.select("doc_id", "quality_score", "split")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -978,6 +1019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_stratified_sample": q64_stratified_sample,
     "q65_stream_enrich": q65_stream_enrich,
     "q66_shared_spans": q66_shared_spans,
+    "q67_training_pipeline": q67_training_pipeline,
 }
 
 
@@ -986,7 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 
-def _lang_id_oracle_sql() -> str:
+def _lang_id_oracle_sql(source: str = "documents") -> str:
     """DuckDB replica of text.language_id, generated from the same
     script-range table, lexicons AND tokenizer regex so the heuristic
     and the oracle cannot drift: script codepoint-class checks first
@@ -1011,7 +1053,7 @@ def _lang_id_oracle_sql() -> str:
     )
     return f"""
         WITH tokenized AS (
-            SELECT doc_id, text, {tokens} AS toks FROM documents
+            SELECT doc_id, text, {tokens} AS toks FROM {source}
         ), scored AS (
             SELECT doc_id, text, {", ".join(score_exprs)} FROM tokenized
         ), ranked AS (
@@ -1741,6 +1783,81 @@ def _hash_split_oracle_sql() -> str:
     """
 
 
+def _training_pipeline_oracle_sql() -> str:
+    """DuckDB replica of q67: the q26 (dedup) / q60 (decontamination) /
+    q35 (quality) / q29 (language, generated) / q54 (split) oracle
+    formulations composed into one CTE funnel. Each piece is already
+    individually gated; composing them gates the interactions (which
+    rows survive to which stage)."""
+    (train_name, train_t), (valid_name, valid_t) = _sampling.split_thresholds(
+        {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    lang_sql = _lang_id_oracle_sql("clean")
+    return f"""
+        WITH corpus AS (
+            SELECT * FROM documents WHERE doc_id % 97 <> 0
+        ), reps AS (
+            SELECT MIN(doc_id) AS doc_id FROM corpus
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        ), kept AS (
+            SELECT c.* FROM corpus c JOIN reps USING (doc_id)
+        ), tok AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(1, len(toks) - 1),
+                                            i -> array_to_string(toks[i:i+2], ' '))
+                   END AS shs
+            FROM tok
+        ), ev_sh AS (
+            SELECT DISTINCT s
+            FROM (SELECT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0)
+        ), contaminated AS (
+            SELECT DISTINCT k.doc_id
+            FROM (SELECT doc_id, unnest(shs) AS s FROM sh
+                  WHERE doc_id IN (SELECT doc_id FROM kept)) k
+            JOIN ev_sh USING (s)
+        ), clean AS (
+            SELECT * FROM kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), feat AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[\\.,;:!\\?"''\\(\\)\\[\\]\\{{}}]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|with|for|was)\\b')) AS n_stop
+            FROM clean
+        ), ratios AS (
+            SELECT doc_id,
+                   n_punct / GREATEST(n_chars, 1)::DOUBLE AS rp,
+                   n_digits / GREATEST(n_chars, 1)::DOUBLE AS rd,
+                   n_stop / GREATEST(n_tokens, 1)::DOUBLE AS rs,
+                   (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1)::DOUBLE AS rm
+            FROM feat
+        ), quality AS (
+            SELECT doc_id,
+                   ROUND(0.25 * LEAST(rs * 2, 1.0)
+                       + 0.25 * (1 - LEAST(rd * 5, 1.0))
+                       + 0.25 * (1 - LEAST(rp * 5, 1.0))
+                       + 0.25 * (CASE WHEN rm >= 3 AND rm <= 10 THEN 1.0 ELSE 0.0 END),
+                   6) AS quality_score
+            FROM ratios
+        ), lang AS (
+            {lang_sql}
+        )
+        SELECT q.doc_id, q.quality_score,
+               CASE WHEN ('0x' || substr(md5('11:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT < {train_t} THEN '{train_name}'
+                    WHEN ('0x' || substr(md5('11:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT < {valid_t} THEN '{valid_name}'
+                    ELSE 'test' END AS split
+        FROM quality q JOIN lang l ON l.doc_id = q.doc_id
+        WHERE q.quality_score >= 0.76 AND l.lang_pred = 'en'
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out.update(OPERATOR_ORACLES)
@@ -1749,4 +1866,5 @@ def oracle_sql() -> dict[str, str]:
     out["q54_hash_split"] = _hash_split_oracle_sql()
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
+    out["q67_training_pipeline"] = _training_pipeline_oracle_sql()
     return out

@@ -58,6 +58,7 @@ HEADLINE = [
     "q62_chunk_documents",
     "q63_top_terms_by_lang",
     "q64_stratified_sample",
+    "q67_training_pipeline",
 ]
 
 
