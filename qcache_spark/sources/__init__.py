@@ -1,4 +1,11 @@
-from .files import read_csv, read_json, read_parquet, write_parquet
+from .files import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    write_orc,
+    write_parquet,
+)
 from .ingest import (
     apply_stand_in_columns,
     from_csv,

@@ -8,6 +8,7 @@ from .stateful import user_profiles_batch, user_profiles_stateful
 from .windows import (
     read_event_stream,
     run_to_memory_sink,
+    run_to_parquet_sink,
     sessionize,
     sliding_rates,
     tumbling_counts,
@@ -22,6 +23,7 @@ __all__ = [
     "user_profiles_stateful",
     "read_event_stream",
     "run_to_memory_sink",
+    "run_to_parquet_sink",
     "sessionize",
     "sliding_rates",
     "tumbling_counts",

@@ -142,3 +142,28 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def run_to_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """Drain a stream into parquet files — the PRODUCTION sink (the
+    memory sink above is a test/driver device; pipeline output lands
+    in the lake). Exactly-once via the checkpoint + file-sink commit
+    log: a restarted query resumes from the checkpoint and never
+    double-writes a batch, which is the property that makes a
+    100 TB/day ingest restartable. Parquet sinks are append-only;
+    aggregations must be watermarked so closed windows finalize."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()

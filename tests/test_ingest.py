@@ -8,9 +8,23 @@ from qcache_spark.sources import (
     from_csv,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    write_orc,
     write_parquet,
 )
+
+
+def test_orc_roundtrip_with_partition_prune(spark, tmp_path):
+    df = spark.range(80).selectExpr("id", "id % 4 as bucket")
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["bucket"])
+    back = read_orc(spark, out)
+    assert back.count() == 80
+    pruned = back.filter("bucket = 1")
+    assert pruned.count() == 20
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
 
 
 def test_csv_null_contract(spark, tmp_path):

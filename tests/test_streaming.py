@@ -48,6 +48,29 @@ def test_stream_matches_batch_sessionize(spark, events_batch, events_stream):
     assert _rows(batch, cols) == _rows(streamed, cols)
 
 
+def test_parquet_sink_exactly_once(spark, sf_dir, events_batch, tmp_path):
+    """Drain a stream to the parquet file sink, then RESTART the same
+    query from its checkpoint with no new input: the commit log must
+    prevent any re-write (the exactly-once property that makes a
+    pipeline restartable)."""
+    from qcache_spark.streaming import run_to_parquet_sink
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_parquet_sink(stream.select("event_id", "user_id"), out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == events_batch.count()
+    # restart: same source, same checkpoint, no new files
+    stream2 = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    run_to_parquet_sink(stream2.select("event_id", "user_id"), out, ckpt)
+    again = spark.read.parquet(out)
+    assert again.count() == events_batch.count()  # no duplicates
+    assert sorted(r["event_id"] for r in again.collect()) == sorted(
+        r["event_id"] for r in events_batch.collect()
+    )
+
+
 def test_stream_static_enrich_matches_batch(spark, sf_dir, events_batch):
     """Per-micro-batch broadcast join against the static dim produces
     exactly the batch join over the same files (stream-static
