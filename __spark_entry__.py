@@ -952,6 +952,18 @@ def q67_training_pipeline(spark, sf_dir):
     return out.select("doc_id", "quality_score", "split")
 
 
+def q68_sequence_packing(spark, sf_dir):
+    """Sequence packing over q62's chunks: 8 hash buckets (md5-
+    portable), 128-token packs, budget-aligned tape windows. The
+    oracle reproduces the identical bucket hash, tape order, and
+    floor-division pack assignment in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = _text.chunk_documents(docs, chunk_size=32, stride=16)
+    return _text.pack_sequences(
+        chunks, token_budget=128, n_buckets=8, hash_fn="md5"
+    ).select("doc_id", "chunk_id", "n_chunk_tokens", "bucket", "tape_offset", "pack_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_filter_comparisons": q2_filter_comparisons,
@@ -1020,6 +1032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_stream_enrich": q65_stream_enrich,
     "q66_shared_spans": q66_shared_spans,
     "q67_training_pipeline": q67_training_pipeline,
+    "q68_sequence_packing": q68_sequence_packing,
 }
 
 
@@ -1189,6 +1202,32 @@ OPERATOR_ORACLES: dict[str, str] = {
                len(list_slice(tk, s + 1, s + 32)) AS n_chunk_tokens,
                array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text
         FROM st
+    """,
+    # q68: q62's chunk rule + identical md5 bucket hash, (doc, chunk)
+    # tape order, and floor-division pack assignment.
+    "q68_sequence_packing": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '[^\\p{L}\\p{N}]+'), t -> t != '') AS tk
+            FROM documents
+        ), st AS (
+            SELECT doc_id, tk, unnest(range(0, len(tk), 16)) AS s FROM toks
+        ), chunks AS (
+            SELECT doc_id, s // 16 AS chunk_id,
+                   len(list_slice(tk, s + 1, s + 32)) AS n_chunk_tokens,
+                   ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket
+            FROM st
+        ), tape AS (
+            SELECT doc_id, chunk_id, n_chunk_tokens, bucket,
+                   SUM(n_chunk_tokens) OVER (PARTITION BY bucket
+                       ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS tape_offset
+            FROM chunks
+        )
+        SELECT doc_id, chunk_id, n_chunk_tokens, bucket, tape_offset,
+               tape_offset // 128 AS pack_id
+        FROM tape
     """,
     # q66: span STRINGS here vs 64-bit hashes in the engine
     # (equality-equivalent); same whole-doc fallback for docs shorter

@@ -478,6 +478,62 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    token_budget: int = 512,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_chunk_tokens",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget packs
+    (the pre-training step that concatenates short sequences so no
+    context-window tokens are wasted as padding).
+
+    Packing rule (deterministic, engine-portable): chunks hash into
+    `n_buckets` independent streams by document id; within a bucket,
+    chunks concatenate into a token "tape" in (doc_id, chunk_id)
+    order, and packs are the budget-aligned windows over that tape —
+    a chunk belongs to the pack where it STARTS (chunks are never
+    split — that is the chunker's job — so a pack can overflow by at
+    most chunk_size - 1 tokens). pack = (bucket, pack_id);
+    `tape_offset` is the chunk's start position on the bucket's tape,
+    from which any downstream layout (attention-mask boundaries,
+    concat order) derives without a second pass.
+
+    Scale shape: a global greedy pack is a single-partition sort — the
+    bucketed form runs `n_buckets` independent cumulative-sum windows,
+    one shuffle by bucket, each window linear in its bucket. More
+    buckets = more parallelism at the cost of one partially-filled
+    final pack per bucket.
+    """
+    if token_budget < 1 or n_buckets < 1:
+        raise ValueError(
+            f"token_budget and n_buckets must be >= 1, got {token_budget}, {n_buckets}"
+        )
+    # the bucket hash reuses sampling's portable hash60 (md5 path is
+    # bit-equal in DuckDB, enabling the q68 oracle; xxhash64 is the
+    # fast default)
+    from .sampling import hash60
+
+    bucket = F.pmod(hash60(F.col(id_col), seed, hash_fn), F.lit(n_buckets))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc(), F.col(chunk_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    return (
+        chunks.withColumn("bucket", bucket)
+        .withColumn("tape_offset", before.cast("long"))
+        .withColumn(
+            "pack_id", F.floor(F.col("tape_offset") / F.lit(token_budget)).cast("int")
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
     """64-bit content fingerprint: xxhash64 over (optionally
     whitespace/case-normalized) text. Identical fingerprints == exact

@@ -699,6 +699,32 @@ def test_asof_join_forward_and_errors(spark):
                        "t", "rt", "k", "rk", ["k"], "k")
 
 
+def test_pack_sequences(spark):
+    from qcache_spark.operators import text as T
+
+    chunks = spark.createDataFrame(
+        [(d, c, 30) for d in range(1, 5) for c in range(3)],
+        ["doc_id", "chunk_id", "n_chunk_tokens"],
+    )
+    out = T.pack_sequences(chunks, token_budget=64, n_buckets=1).collect()
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    # one bucket: tape order is (doc, chunk); offsets 0,30,60,90,...
+    offsets = sorted(r["tape_offset"] for r in out)
+    assert offsets == [30 * i for i in range(12)]
+    # pack boundary at 64: offsets 0,30 -> pack 0; 60,90 -> pack 1 ...
+    assert rows[(1, 0)]["pack_id"] == 0 and rows[(1, 1)]["pack_id"] == 0
+    assert rows[(1, 2)]["pack_id"] == 0  # offset 60 < 64 (overflows pack 0)
+    assert rows[(2, 0)]["pack_id"] == 1  # offset 90
+    # every chunk of a doc stays in its doc order on the tape
+    assert rows[(3, 1)]["tape_offset"] == rows[(3, 0)]["tape_offset"] + 30
+    # bucketed: same totals, deterministic across repartitions
+    a = sorted(map(tuple, T.pack_sequences(chunks, 64, 4).collect()))
+    b = sorted(map(tuple, T.pack_sequences(chunks.repartition(5), 64, 4).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        T.pack_sequences(chunks, token_budget=0)
+
+
 def test_shared_ngram_pairs(spark):
     from qcache_spark.operators import dedup
 
