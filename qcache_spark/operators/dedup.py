@@ -246,10 +246,12 @@ def shared_ngram_pairs(
     grams = df.select(
         F.col(id_col).alias("_id"), F.explode(F.array_distinct(sh)).alias("_g")
     )
-    sizes = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
-    capped = grams.join(
-        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_postings)), "_g"
-    )
+    # posting-list length as a window count: one _g exchange shared by
+    # the count, the [2, cap] filter, and the self-join (same rewrite
+    # as the LSH bucket caps below)
+    capped = grams.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    ).filter((F.col("_n") >= 2) & (F.col("_n") <= max_postings)).drop("_n")
     a = capped.select("_g", F.col("_id").alias("id_a"))
     b = capped.select("_g", F.col("_id").alias("id_b"))
     return (
