@@ -447,17 +447,19 @@ def q33_simhash(spark, sf_dir):
 
 def q34_embedding_dup_pairs(spark, sf_dir):
     """Embedding near-dup pairs via hyperplane LSH + exact cosine
-    verify. Deliberately the ONE remaining rows-only check: the
-    synthetic embeddings contain only threshold-marginal pairs
-    (cosine 0.40-0.51, measured at sf0.001/0.01), where exact-recall
-    LSH is mathematically impossible without near-all-pairs candidate
-    generation — an O(n^2) scale-killer. The verify arithmetic this
-    query shares with the gated paths is exact-matched by
-    q51_embedding_pairs_exact (same cosine kernel) and q30; recall
-    behaviour is pytest-gated with planted dups
-    (tests/test_operators.py)."""
+    verify — FULLY oracle-gated since round 2: the oracle replicates
+    the ALGORITHM (same literal hyperplanes, same sign bits, same
+    band buckets and cap, same verify cosine), not an idealized
+    answer, so LSH's probabilistic recall on this corpus's
+    threshold-marginal pairs (cosine 0.40-0.51) is irrelevant to the
+    gate. Bit-equality of the sign bits holds because the engine uses
+    the sequential-fold signature (use_expr_signature) whose add
+    order matches DuckDB's list_dot_product — the same cross-engine
+    float contract q51 already pins for the cosine kernel."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = _similarity.embedding_dup_pairs(emb, threshold=0.4)
+    pairs = _similarity.embedding_dup_pairs(
+        emb, threshold=0.4, use_expr_signature=True
+    )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1897,10 +1899,72 @@ def _training_pipeline_oracle_sql() -> str:
     """
 
 
+def _embedding_dup_oracle_sql(
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB replica of q34's FULL LSH pipeline: the same literal
+    hyperplanes (repr'd doubles), sign bits via list_dot_product
+    (bit-equal to the engine's sequential fold — the q51 contract),
+    identical band packing/cap/distinct-pairs, identical verify
+    cosine. Mirrors the algorithm, so the gate is exact regardless of
+    LSH recall."""
+    planes = _similarity._hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    bit_exprs = ",\n                   ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{x!r}::DOUBLE" for x in plane)
+        + f"]) >= 0 THEN 1 ELSE 0 END) AS b{i}"
+        for i, plane in enumerate(planes)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(f"{1 << k} * b{b * width + k}" for k in range(width))
+        + " AS val FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), sig AS (
+            SELECT vec_id, v,
+                   {bit_exprs}
+            FROM e
+        ), buckets AS (
+            {band_selects}
+        ), capped AS (
+            SELECT vec_id, band, val FROM (
+                SELECT vec_id, band, val,
+                       COUNT(*) OVER (PARTITION BY band, val) AS n
+                FROM buckets
+            ) WHERE n <= {max_bucket_size}
+        ), pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM (
+            SELECT id_a, id_b,
+                   list_dot_product(ea.v, eb.v) /
+                   (sqrt(list_dot_product(ea.v, ea.v)) *
+                    sqrt(list_dot_product(eb.v, eb.v))) AS c
+            FROM pairs
+            JOIN e ea ON ea.vec_id = pairs.id_a
+            JOIN e eb ON eb.vec_id = pairs.id_b
+        ) WHERE c >= {threshold!r}::DOUBLE
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out.update(OPERATOR_ORACLES)
     out["q29_lang_id"] = _lang_id_oracle_sql()
+    out["q34_embedding_dup_pairs"] = _embedding_dup_oracle_sql()
     out["q53_pii_scrub"] = _pii_oracle_sql()
     out["q54_hash_split"] = _hash_split_oracle_sql()
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()

@@ -284,22 +284,37 @@ def embedding_dup_pairs(
     dim: int | None = None,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    use_expr_signature: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold).
 
     Candidates: agree on ≥1 of `bands` chunks of the hyperplane
     signature (equi-join on chunk value — no cross product); verify
-    with the exact JVM cosine."""
+    with the exact JVM cosine.
+
+    use_expr_signature=True computes the signature with sequential
+    JVM fold expressions instead of the Arrow numpy matmul. The fold
+    adds products in index order — the same order DuckDB's
+    list_dot_product uses — so an external SQL engine reproduces the
+    sign bits (and therefore the ENTIRE candidate set) bit-for-bit,
+    which is what makes q34's full-pipeline oracle possible. numpy's
+    pairwise/SIMD summation is faster but order-divergent; keep the
+    UDF default when no cross-engine gate is needed."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     width = n_planes // bands
 
     vec = F.col(vec_col).cast("array<double>")
+    signature = (
+        hyperplane_signature(vec, planes)
+        if use_expr_signature
+        else hyperplane_signature_udf(planes)(vec)
+    )
     base = df.select(
         F.col(id_col).alias("_id"),
         vec.alias("_v"),
-        hyperplane_signature_udf(planes)(vec).alias("_sig"),
+        signature.alias("_sig"),
         (l2_norm(vec)).alias("_norm"),
     )
     chunk_structs = F.array(

@@ -260,6 +260,11 @@ def test_embedding_dup_pairs(spark):
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in rows.collect()}
     assert (1, 2) in got and got[(1, 2)] > 0.999
     assert all(3 not in k for k in got)
+    # the gate-portable sequential-fold signature finds the same pairs
+    expr_rows = similarity.embedding_dup_pairs(
+        df, threshold=0.99, bands=4, n_planes=16, use_expr_signature=True
+    )
+    assert {(r["id_a"], r["id_b"]) for r in expr_rows.collect()} == set(got)
 
 
 def test_ivf_partitioned_write_prunes(spark, embeddings, tmp_path):
