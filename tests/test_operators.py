@@ -704,6 +704,57 @@ def test_asof_join_forward_and_errors(spark):
                        "t", "rt", "k", "rk", ["k"], "k")
 
 
+def test_chunk_pack_invariants_random_texts(spark):
+    """Property check over random texts: every token lands in ≥1
+    chunk, chunk starts advance by the stride, first-chunk coverage is
+    exact, and packing preserves every chunk exactly once with
+    contiguous per-bucket tape offsets."""
+    import random as _random
+
+    from qcache_spark.operators import text as T
+
+    rng = _random.Random(1234)
+    words = ["alpha", "beta", "g", "delta42", "ε", "ζη", "x9", ".,!"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunk_size, stride = 7, 3
+    chunks = T.chunk_documents(df, chunk_size=chunk_size, stride=stride)
+    got = chunks.collect()
+
+    import re
+
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"[^\w]+", text.lower(), flags=re.UNICODE) if t]
+        mine = sorted(
+            (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+            for r in got if r["doc_id"] == doc_id
+        )
+        if not toks:
+            assert mine == []
+            continue
+        starts = list(range(0, len(toks), stride))
+        assert len(mine) == len(starts)
+        for (cid, n, ctext), s in zip(mine, starts):
+            expect = toks[s: s + chunk_size]
+            assert (cid, n, ctext) == (s // stride, len(expect), " ".join(expect))
+
+    packed = T.pack_sequences(chunks, token_budget=11, n_buckets=3).collect()
+    assert len(packed) == len(got)  # packing never drops/duplicates
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows_b in by_bucket.values():
+        rows_b.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+        offset = 0
+        for r in rows_b:
+            assert r["tape_offset"] == offset          # contiguous tape
+            assert r["pack_id"] == offset // 11        # aligned windows
+            offset += r["n_chunk_tokens"]
+
+
 def test_pack_sequences(spark):
     from qcache_spark.operators import text as T
 

@@ -169,6 +169,22 @@ def test_sql_endpoint_unknown_view_and_deleted_dataset(server):
     assert code == 400
 
 
+def test_sql_endpoint_requires_auth_when_configured(spark):
+    import base64
+
+    srv = make_server(spark, basic_auth="u:p", allow_plaintext_auth=True)
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, _, _ = call(base, "POST", "/qcache/sql", b"SELECT 1 AS x")
+        assert code == 401
+        auth = {"Authorization": "Basic " + base64.b64encode(b"u:p").decode()}
+        code, body, _ = call(base, "POST", "/qcache/sql", b"SELECT 1 AS x", auth)
+        assert code == 200 and json.loads(body) == [{"x": 1}]
+    finally:
+        srv.shutdown()
+
+
 def test_sql_endpoint_sees_replaced_dataset(server):
     store(server, "sqlt5", "a\n1\n")
     code, body, _ = sql_post(server, "SELECT sum(a) AS s FROM sqlt5")
