@@ -58,7 +58,9 @@ HEADLINE = [
     "q62_chunk_documents",
     "q63_top_terms_by_lang",
     "q64_stratified_sample",
+    "q66_shared_spans",
     "q67_training_pipeline",
+    "q68_sequence_packing",
 ]
 
 
