@@ -423,16 +423,11 @@ class QCacheHandler(BaseHTTPRequestHandler):
     # identifier-safe dataset keys double as SQL view names; other
     # keys stay reachable through the query-dict API only
     _SQL_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-    # path-based table syntax (`SELECT … FROM parquet.`/path``) would
-    # let SQL read arbitrary files — the endpoint serves REGISTERED
-    # datasets only, like every other route
-    _SQL_PATH_TABLE_RE = re.compile(
-        r"(?i)\b(parquet|csv|json|orc|avro|text|binaryfile|jdbc|libsvm)\s*\.\s*`"
-    )
 
     # injected per-server by make_server (fresh dict/lock per server)
     _sql_views: dict | None = None
     _sql_view_lock: threading.Lock | None = None
+    sql_max_rows: int = 100_000
 
     def _sync_sql_views(self) -> None:
         """Mirror the catalog into Spark temp views (create/replace
@@ -455,16 +450,27 @@ class QCacheHandler(BaseHTTPRequestHandler):
             self._sql_views.update(current)
 
     def _check_sql_read_only(self, sql: str) -> None:
-        """Reject anything that is not a single read-only query. The
-        parsed logical plan is checked against Catalyst's own command
-        classes (Command = runnable side effect, ParsedStatement =
-        DDL/DML surface like InsertIntoStatement), which is far more
-        robust than keyword filtering."""
-        if self._SQL_PATH_TABLE_RE.search(sql):
-            raise MalformedQueryException(
-                "Path-based tables (format.`path`) are not allowed; "
-                "query stored datasets by name"
-            )
+        """Reject anything that is not a single read-only query over
+        REGISTERED datasets. Two structural checks on the parsed plan
+        (never on the raw SQL text, which comments/quoting can
+        obfuscate — e.g. ``text/**/.`/etc/passwd``` defeats any regex):
+
+        1. Catalyst's own command classes (Command = runnable side
+           effect, ParsedStatement = DDL/DML surface like
+           InsertIntoStatement) reject writes.
+        2. Every ``UnresolvedRelation`` in the plan — including plans
+           nested inside subquery EXPRESSIONS, which ``toJSON``
+           serializes but ``children()`` does not reach — must be a
+           single-part name that is a registered view or a CTE alias
+           defined in the statement. Path-based tables parse as
+           multi-part ``[format, /path]`` identifiers and so can never
+           match; catalog/global-temp tables (``db.t``,
+           ``global_temp.v``) are multi-part too. Registered names
+           match _SQL_NAME_RE (no commas/brackets/spaces), so the
+           string-serialized identifier compare is fail-closed: any
+           name the serialization could mangle simply won't match and
+           is rejected.
+        """
         try:
             jplan = self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
         except Exception as e:  # Py4J wraps ParseException
@@ -481,6 +487,46 @@ class QCacheHandler(BaseHTTPRequestHandler):
                     "Only read-only SELECT statements are allowed"
                 )
 
+        tree = json.loads(jplan.toJSON())
+        with self._sql_view_lock:
+            allowed = {name.lower() for name in self._sql_views}
+        relations: list[str] = []
+
+        def walk(node) -> None:
+            if isinstance(node, dict):
+                cls = node.get("class", "")
+                if cls.endswith(".UnresolvedWith"):
+                    # cteRelations: [(name, SubqueryAlias), ...]. We
+                    # collect names globally (laxer than Spark's CTE
+                    # scoping) — a name Spark won't resolve just fails
+                    # analysis later; it cannot name a file or table.
+                    for rel in node.get("cteRelations") or []:
+                        if isinstance(rel, dict) and isinstance(rel.get("_1"), str):
+                            allowed.add(rel["_1"].lower())
+                if cls.endswith(".UnresolvedRelation"):
+                    relations.append(node.get("multipartIdentifier", ""))
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        walk(tree)
+        for ident in relations:
+            # single-part identifiers serialize as "[name]"
+            name = (
+                ident[1:-1]
+                if isinstance(ident, str)
+                and ident.startswith("[")
+                and ident.endswith("]")
+                else None
+            )
+            if name is None or name.lower() not in allowed:
+                raise MalformedQueryException(
+                    f"Unknown dataset: {str(ident)[:200]}; the SQL "
+                    "endpoint serves registered datasets by name only"
+                )
+
     def _run_sql(self, sql_text: str) -> None:
         """POST <prefix>/sql — run one read-only Spark SQL statement
         over the stored datasets (each identifier-safe key is a view).
@@ -494,19 +540,27 @@ class QCacheHandler(BaseHTTPRequestHandler):
             sql = sql[:-1].rstrip()
         if not sql:
             raise MalformedQueryException("Empty SQL body")
-        if ";" in sql:
-            raise MalformedQueryException("Only a single SQL statement is allowed")
+        # single-statement enforcement is the PARSER's (parsePlan errors
+        # on trailing content after one statement) — a raw ';' scan here
+        # would spuriously 400 literals like WHERE s = 'a;b'
         self._sync_sql_views()
         self._check_sql_read_only(sql)
         try:
             df = self.spark.sql(sql)
-            rows = df.collect()
+            # cap driver-side materialization: an accidental cross join
+            # between stored datasets must not OOM the server
+            rows = df.limit(self.sql_max_rows + 1).collect()
         except MalformedQueryException:
             raise
         except Exception as e:
             # AnalysisException: unknown view/column, type errors, …
             detail = str(e).splitlines()[0][:300] if str(e) else type(e).__name__
             raise MalformedQueryException(f"SQL error: {detail}")
+        if len(rows) > self.sql_max_rows:
+            raise MalformedQueryException(
+                f"Result exceeds the {self.sql_max_rows}-row limit; "
+                "add a LIMIT clause"
+            )
         if accept == CONTENT_TYPE_CSV:
             body = rows_to_csv(rows, df.columns).encode("utf-8")
         else:
@@ -542,6 +596,7 @@ def make_server(
     cafile: str | None = None,
     allow_plaintext_auth: bool = False,
     url_prefix: str = "/qcache",
+    sql_max_rows: int = 100_000,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port=0 picks an ephemeral
     port (server.server_address[1]).
@@ -556,6 +611,11 @@ def make_server(
     deployments that terminate TLS upstream)."""
     if basic_auth and not certfile and not allow_plaintext_auth:
         raise ValueError("TLS must be enabled to use basic auth")
+    # defense-in-depth behind _check_sql_read_only's structural
+    # relation allowlist: even if a path-based table expression reached
+    # the analyzer, SQL-on-files resolution is off for the session.
+    # DataFrameReader paths (spark.read.parquet) are unaffected.
+    spark.conf.set("spark.sql.runSQLOnFiles", "false")
     catalog = DatasetCatalog(max_cache_size, max_age)
     stats = Statistics(statistics_buffer_size)
     catalog.on_evict = lambda count, duration: (
@@ -574,6 +634,7 @@ def make_server(
             "result_cache": ResultCache(result_cache_entries) if result_cache_entries else None,
             "basic_auth": basic_auth,
             "url_prefix": url_prefix,
+            "sql_max_rows": sql_max_rows,
             # per-server SQL view registry (shared by all handler
             # instances of THIS server via the bound class)
             "_sql_views": {},

@@ -157,6 +157,65 @@ def test_sql_endpoint_rejects_writes_and_ddl(server):
         assert code == 400, f"{bad!r} -> {code}"
 
 
+def test_sql_endpoint_rejects_file_read_obfuscations(server):
+    """The read check is structural (parsed-plan relation allowlist),
+    so comment/case/quoting tricks that defeat a raw-text regex must
+    still 400 — including path tables nested in subquery expressions
+    and multi-part catalog names."""
+    store(server, "sqlt6")
+    for bad in [
+        # bracketed comment between format token and dot/backtick
+        "SELECT * FROM text/**/.`/etc/passwd`",
+        "SELECT * FROM parquet/**/ . `/root/testdata/sf0.001/orders.parquet`",
+        "SELECT * FROM PARQUET.`/root/testdata/sf0.001/orders.parquet`",
+        # path table hidden inside a subquery EXPRESSION (not a plan child)
+        "SELECT * FROM sqlt6 WHERE foo IN (SELECT 1 FROM text.`/etc/passwd`)",
+        "SELECT (SELECT count(*) FROM text.`/etc/passwd`) AS n FROM sqlt6",
+        # multi-part names: catalog / global temp / db-qualified
+        "SELECT * FROM global_temp.anything",
+        "SELECT * FROM spark_catalog.default.sqlt6",
+        "SELECT * FROM default.sqlt6",
+    ]:
+        code, body, _ = sql_post(server, bad)
+        assert code == 400, f"{bad!r} -> {code}"
+        assert "error" in json.loads(body)
+
+
+def test_sql_endpoint_semicolon_in_string_literal_ok(server):
+    store(server, "sqlt7", "k,s\n1,a;b\n2,c\n")
+    code, body, _ = sql_post(server, "SELECT k FROM sqlt7 WHERE s = 'a;b'")
+    assert code == 200
+    assert json.loads(body) == [{"k": 1}]
+    # trailing semicolons still tolerated
+    code, body, _ = sql_post(server, "SELECT count(*) AS n FROM sqlt7;")
+    assert code == 200 and json.loads(body) == [{"n": 2}]
+
+
+def test_sql_endpoint_ctes_and_result_cap(spark):
+    srv = make_server(spark, sql_max_rows=4)
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        store(base, "sqlt8", "a\n1\n2\n3\n")
+        # CTE names are allowed relations
+        code, body, _ = sql_post(
+            base, "WITH c AS (SELECT a FROM sqlt8 WHERE a > 1) SELECT sum(a) AS s FROM c"
+        )
+        assert code == 200 and json.loads(body) == [{"s": 5}]
+        # 3x3 cross join = 9 rows > cap of 4 -> 400, not an OOM attempt
+        code, body, _ = sql_post(
+            base, "SELECT x.a AS xa FROM sqlt8 x CROSS JOIN sqlt8 y"
+        )
+        assert code == 400 and "limit" in json.loads(body)["error"].lower()
+        # an explicit LIMIT under the cap passes
+        code, body, _ = sql_post(
+            base, "SELECT x.a AS xa FROM sqlt8 x CROSS JOIN sqlt8 y LIMIT 3"
+        )
+        assert code == 200 and len(json.loads(body)) == 3
+    finally:
+        srv.shutdown()
+
+
 def test_sql_endpoint_unknown_view_and_deleted_dataset(server):
     code, body, _ = sql_post(server, "SELECT * FROM no_such_view_xyz")
     assert code == 400
