@@ -62,16 +62,22 @@ def _is_stringy(s: pd.Series) -> bool:
 def _half_up(values: pd.Series) -> pd.Series:
     """Round-half-up of a double to an integer, exactly matching
     Spark's round() (BigDecimal.valueOf(v).setScale(0, HALF_UP) on the
-    shortest decimal repr). `v - floor(v)` is EXACT in IEEE (it is the
-    low-order bits of v), and every X.5 is itself a representable
-    double, so `frac >= 0.5` decides the same side of the tie boundary
-    as the decimal comparison: a shortest repr always lies strictly on
+    shortest decimal repr). HALF_UP ties go AWAY FROM ZERO — so the
+    tie branch must be sign-aware: round(-2.5) is -3, not -2.
+    `v - floor(v)` / `ceil(v) - v` are EXACT in IEEE (low-order bits
+    of v), and every X.5 is itself a representable double, so the
+    `>= 0.5` comparisons decide the same side of the tie boundary as
+    the decimal comparison: a shortest repr always lies strictly on
     v's side of any other representable value. (The naive
     floor(v + 0.5) is NOT exact — v + 0.5 can round across the
     boundary, e.g. v = 0.49999999999999994.)"""
     v = values.astype("float64")
     f = np.floor(v)
-    return f + (v - f >= 0.5)
+    c = np.ceil(v)
+    return pd.Series(
+        np.where(v >= 0, f + (v - f >= 0.5), c - (c - v >= 0.5)),
+        index=values.index,
+    )
 
 
 # --------------------------------------------------------------- filters

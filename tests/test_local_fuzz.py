@@ -31,6 +31,9 @@ ROWS = [
     {"rid": 5, "i": 7, "f": 1.5, "s": "abcd"},
     {"rid": 6, "i": 2, "f": None, "s": "abc"},
     {"rid": 7, "i": 7, "f": 4.0, "s": None},
+    # negative money-scale tie: -2.00005 * 10000 is EXACTLY -20000.5,
+    # exercising msum/dsum's away-from-zero rounding on negatives
+    {"rid": 8, "i": -3, "f": -2.00005, "s": "neg"},
 ]
 
 CMP = ["==", "!=", "<", "<=", ">", ">="]
@@ -99,7 +102,7 @@ def _query():
             st.sampled_from(
                 [("sum", "f"), ("count", "f"), ("min", "f"), ("max", "rid"),
                  ("mean", "f"), ("nunique", "s"), ("sum", "rid"),
-                 ("median", "f"), ("std", "f")]
+                 ("median", "f"), ("std", "f"), ("msum", "f"), ("dsum", "f")]
             ),
             min_size=1, max_size=3, unique_by=lambda e: e[1],
         ),

@@ -144,6 +144,36 @@ def test_empty_global_agg_declines(sf_dir):
         )
 
 
+def test_half_up_negative_ties_match_spark(spark):
+    """Spark round() is HALF_UP = ties away from zero: round(-2.5) is
+    -3. The local mirror's _half_up must take the same side for
+    NEGATIVE ties (it used to round toward +inf). The chosen literals
+    scale to EXACT x.5 doubles (e.g. -2.00005 * 10000 == -20000.5),
+    so the tie branch is actually exercised end-to-end."""
+    import pandas as pd
+
+    from qcache_spark.plans.local import _half_up
+
+    ties = pd.Series([-2.5, -0.5, 0.5, 2.5, -2.4, -2.6, 0.49999999999999994])
+    assert list(_half_up(ties)) == [-3.0, -1.0, 1.0, 3.0, -2.0, -3.0, 0.0]
+
+    vals = [-2.00005, -0.00005, 2.00005, -3.00015, -7.62345, None]
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "b", "b", "b"],
+            "v1": vals, "v2": vals, "v3": vals, "v4": vals,
+        }
+    )
+    q = {
+        "group_by": ["g"],
+        "select": ["g", ["msum", "v1"], ["mavg", "v2"], ["dsum", "v3"], ["davg", "v4"]],
+        "order_by": ["g"],
+    }
+    sdf = compile_query(q, spark.createDataFrame(pdf)).sliced
+    ldf = _to_spark(spark, execute_local(q, pdf).sliced)
+    assert _rows(sdf) == _rows(ldf)
+
+
 def test_unsliced_len_matches(spark, sf_dir):
     q = {"select": ["o_orderkey"], "order_by": ["o_orderkey"], "offset": 5, "limit": 10}
     qr = compile_query(q, load_table(spark, sf_dir, "orders"))
