@@ -31,7 +31,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-from ..errors import DatasetTooLargeException, UnknownDatasetException
+from ..errors import (
+    DatasetTooLargeException,
+    MalformedQueryException,
+    UnknownDatasetException,
+)
 
 
 _VERSION_COUNTER = [0]
@@ -121,7 +125,10 @@ class DatasetCatalog:
         cols = tuple(cols)
         missing = [c for c in cols if c not in df.columns]
         if missing:
-            raise UnknownDatasetException(f"bucket column(s) not in dataset: {missing}")
+            # invalid STORE REQUEST, not a cache miss: → HTTP 400
+            raise MalformedQueryException(
+                f"bucket column(s) not in dataset: {missing}"
+            )
         table = f"qcache_ds_{re.sub(r'[^A-Za-z0-9_]', '_', key)}_v{version}"
         path = os.path.join(self._storage_dir(), table)
         (
@@ -170,8 +177,12 @@ class DatasetCatalog:
         the dataset is an in-memory persisted plan, the reference's
         behavior."""
         with self._lock:
-            if key in self._items:
-                self._evict(key)
+            # write-then-swap, mirroring replace_df: the new version is
+            # fully written/persisted BEFORE the old entry is touched,
+            # so a failing store (bad bucket column, failed write)
+            # leaves the previously stored dataset intact. The new
+            # bucketed table name carries the fresh version, so the
+            # write never collides with the old files.
             version = _next_version()
             table = path = spec = None
             if bucket_by is not None:
@@ -180,6 +191,10 @@ class DatasetCatalog:
             if materialize or bucket_by is not None:
                 df.count()
             size = estimate_size(df)
+            if key in self._items:
+                # replace: reference deletes the old entry first
+                # (app.py:241-243) — but only once the new one is safe
+                self._evict(key)
             self._ensure_free(size)
             item = CacheItem(
                 df=df,

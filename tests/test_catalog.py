@@ -133,6 +133,26 @@ def test_bucketed_replace_keeps_layout_and_cleans_up(spark):
 
 
 def test_bucketed_insert_unknown_column_raises(spark):
+    from qcache_spark.errors import MalformedQueryException
+
     cat = DatasetCatalog(max_cache_size_bytes=1 << 30)
-    with pytest.raises(UnknownDatasetException):
+    # a bad STORE request is malformed (→ 400), not a cache miss (404)
+    with pytest.raises(MalformedQueryException):
         cat.insert("bk3", make_df(spark), bucket_by=("nope", 4))
+
+
+def test_failed_replace_store_keeps_previous_dataset(spark):
+    """insert is write-then-swap like replace_df: a store request that
+    fails mid-write (here: bucket column missing) must NOT destroy the
+    previously stored dataset under the same key."""
+    from qcache_spark.errors import MalformedQueryException
+
+    cat = DatasetCatalog(max_cache_size_bytes=1 << 30)
+    cat.insert("bk4", make_df(spark))
+    before = cat.get("bk4").version
+    with pytest.raises(MalformedQueryException):
+        cat.insert("bk4", make_df(spark), bucket_by=("nope", 4))
+    item = cat.get("bk4")  # still present, untouched version
+    assert item.version == before
+    assert item.df.count() == make_df(spark).count()
+    cat.delete("bk4")
