@@ -94,7 +94,10 @@ def train_test_split(
     {"train": 8, "valid": 1, "test": 1} works). Assignment is a pure
     function of (seed, key): stable under re-partitioning, re-runs,
     and engine changes. The last split absorbs the rounding remainder
-    so every row is assigned.
+    so every keyed row is assigned. NULL keys get a NULL split —
+    consistent with hash60/hash_sample, where a NULL key never enters
+    a sample or a split bucket (a row with no stable identity must not
+    silently land in e.g. the test split).
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -114,7 +117,9 @@ def train_test_split(
         thresholds.append((name, int(round(cum * HASH_SCALE))))
     for name, t in reversed(thresholds):
         expr = F.when(h < F.lit(t), F.lit(name)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return df.withColumn(
+        out_col, F.when(F.col(key_col).isNotNull(), expr)
+    )
 
 
 def stratified_sample(

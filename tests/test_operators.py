@@ -571,7 +571,8 @@ def test_hash_split_null_keys_drop_from_sample(spark):
     kept = sampling.hash_sample(df, "k", 1.0).collect()
     assert sorted(r["k"] for r in kept) == [1, 2]  # NULL key never samples
     out = {r["k"]: r["split"] for r in sampling.train_test_split(df, "k", {"a": 1, "b": 1}).collect()}
-    assert out[None] == "b"  # NULL hash < t is false -> falls to last split
+    assert out[None] is None  # no stable identity -> no split bucket
+    assert out[1] in ("a", "b") and out[2] in ("a", "b")
 
 
 def test_canonical_representatives_quality_beats_id(spark):
