@@ -16,11 +16,13 @@ declaratively so Catalyst can push predicates into the parquet scan:
   two-valued and still codegen-friendly.
 - `in` with a subquery executes against the ROOT cached frame
   (pandas_filter.py:83-91, context.py:1-16). At the top level of the
-  `where` tree we compile it to a left-semi join (and `!`-wrapped to a
-  left-anti join) — the scalable plan; nested deeper inside a boolean
-  tree we fall back to collecting the subquery values (reference
-  behavior, fine for the small dimension-style results it is meant
-  for).
+  `where` tree it compiles to a left-semi join (and `!`-wrapped to a
+  left-anti join). Nested at ANY depth inside a boolean tree, each
+  membership node is lifted to a marker join: the DISTINCT subquery
+  values are left-joined once with a constant marker column, and the
+  membership boolean in the compiled tree is `marker IS NOT NULL` —
+  never a driver-side collect, so a nested subquery over a large slice
+  stays distributed (Catalyst broadcasts the probe side when small).
 """
 from __future__ import annotations
 
@@ -98,6 +100,9 @@ class FilterCompiler:
         self.columns = set(df.columns)
         self.enum_columns = enum_columns
         self.subquery_fn = subquery_fn
+        # id(subquery-in node) -> membership Column, populated by
+        # apply() when nested subqueries are lifted to marker joins
+        self._membership: dict[int, Column] = {}
 
     # -- public -------------------------------------------------------
 
@@ -108,8 +113,8 @@ class FilterCompiler:
             return self.df
         assert_list("where", filter_q)
 
-        # Top-level subquery patterns become distributed joins instead
-        # of driver-side collects.
+        # Top-level subquery patterns become semi/anti joins — the
+        # tightest plan (no marker column, no distinct needed).
         if self._is_subquery_in(filter_q):
             return self._semi_join(filter_q, anti=False)
         if (
@@ -120,7 +125,10 @@ class FilterCompiler:
         ):
             return self._semi_join(filter_q[1], anti=True)
 
-        return self.df.filter(self.compile(filter_q))
+        nested = self._collect_subquery_nodes(filter_q)
+        if not nested:
+            return self.df.filter(self.compile(filter_q))
+        return self._apply_with_marker_joins(filter_q, nested)
 
     def compile(self, q) -> Column:
         """Compile a filter expression to a never-null boolean Column."""
