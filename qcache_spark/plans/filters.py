@@ -210,6 +210,51 @@ class FilterCompiler:
             return _false_safe(masked > 0, col)
         return _false_safe(masked == F.lit(arg), col)
 
+    def _collect_subquery_nodes(self, q, out: Optional[list] = None) -> list:
+        """Depth-first collect of every `in`-subquery node nested inside
+        a boolean tree. The subquery's own dict is NOT walked — its
+        `where` clause is compiled recursively by `subquery_fn`."""
+        if out is None:
+            out = []
+        if self._is_subquery_in(q):
+            out.append(q)
+            return out
+        if isinstance(q, list):
+            for sub in q[1:]:
+                self._collect_subquery_nodes(sub, out)
+        return out
+
+    def _apply_with_marker_joins(self, filter_q, nested: list) -> DataFrame:
+        """Compile a filter tree containing nested `in`-subqueries
+        without any driver-side collect.
+
+        Each membership node gets one left join against the DISTINCT
+        subquery values carried in a uniquely named marker column; the
+        membership boolean inside the compiled tree is then simply
+        `marker IS NOT NULL`. Catalyst/AQE broadcasts the probe side
+        when it is small (the common dimension-slice case), so at scale
+        this is a map-side hash probe per membership node — never a
+        materialization on the driver. Null semantics match the
+        reference's collect-then-isin (pandas_filter.py:83-91): a null
+        probe cell joins nothing → marker null → False (and True under
+        `!`), exactly the two-valued pandas behavior.
+        """
+        df = self.df
+        markers: list[str] = []
+        for i, node in enumerate(nested):
+            col_name = node[1]
+            self._column(col_name)  # validates existence on the frame
+            marker = f"__in_marker_{i}__"
+            probe = (
+                self._subquery_column(node)
+                .distinct()  # a duplicated probe value must not fan out rows
+                .withColumnRenamed(col_name, marker)
+            )
+            df = df.join(probe, on=F.col(col_name) == F.col(marker), how="left")
+            self._membership[id(node)] = F.col(marker).isNotNull()
+            markers.append(marker)
+        return df.filter(self.compile(filter_q)).drop(*markers)
+
     def _is_subquery_in(self, q) -> bool:
         return (
             isinstance(q, list)
@@ -248,14 +293,15 @@ class FilterCompiler:
         assert_len(q, 3)
         _, col_name, args = q
         if isinstance(args, dict):
-            # Nested (non-top-level) subquery: reference behavior is
-            # execute-and-collect (pandas_filter.py:83-91). Results are
-            # expected to be small (post-filter/limit); document as the
-            # non-scale path.
-            sub = self._subquery_column(q)
-            values = [r[0] for r in sub.collect()]
-            col = self._column(col_name)
-            return _false_safe(col.isin(values), col)
+            # Nested (non-top-level) subquery: apply() lifted this node
+            # to a marker join before compiling the tree — the
+            # membership boolean is ready. (Reference collects and
+            # isins, pandas_filter.py:83-91; the lift keeps identical
+            # two-valued semantics fully distributed.)
+            membership = self._membership.get(id(q))
+            if membership is None:
+                raise_malformed("Subqueries not supported in this context", q)
+            return membership
         if not isinstance(args, (list, tuple)):
             raise_malformed("Second argument must be a list", q)
         if not args:
