@@ -100,7 +100,14 @@ def _to_spark(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     for col in pdf.columns:
         dt = pdf[col].dtype
         if pd.api.types.is_datetime64_any_dtype(dt):
-            spark_t: T.DataType = T.TimestampType()
+            # Naive datetimes (the parquet TIMESTAMP(NANOS) events table
+            # via pyarrow) must surface as timestamp_ntz to match what
+            # the Spark 4.1 parquet reader yields on the Spark path;
+            # tz-aware ones are true instants → timestamp (ltz).
+            if getattr(dt, "tz", None) is not None:
+                spark_t: T.DataType = T.TimestampType()
+            else:
+                spark_t = T.TimestampNTZType()
         elif dt == np.int64:
             spark_t = T.LongType()
         elif dt == np.int32:

@@ -71,27 +71,59 @@ TABLE_NAMES = (
 )
 
 
+def normalize_event_ts(df, col: str = "ts"):
+    """Normalize a parquet TIMESTAMP(NANOS) column to the engine-wide
+    canonical type, TimestampNTZType, regardless of how this runtime's
+    parquet reader surfaced it:
+
+    - Spark ≥4.1 reads TIMESTAMP(NANOS) natively as timestamp_ntz
+      (micro-truncated) and ignores `nanosAsLong` → already canonical.
+    - Older runtimes honor `spark.sql.legacy.parquet.nanosAsLong` and
+      surface a long of epoch nanos → convert with an epoch-anchored
+      timestampadd, which is session-timezone-independent (a plain
+      CAST long→ntz would shift by the session zone).
+
+    NTZ (naive wall time) is the right canonical type here: it is what
+    both the native Spark reader and DuckDB produce for these files, so
+    batch, streaming, fastpath-mirror and oracle paths all agree without
+    any timezone coupling.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(
+            col,
+            F.expr(
+                f"timestampadd(MICROSECOND, {col} div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    if isinstance(dt, T.TimestampType):
+        # A writer that produced micros-precision ltz: reinterpret as
+        # naive UTC wall time (engine sessions run UTC).
+        return df.withColumn(col, F.col(col).cast(T.TimestampNTZType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table. Parquet scan → Catalyst gets column
     pruning + predicate pushdown for free on every query we compile."""
     if name == "events":
         # The caller may hand us a session that was NOT built by
-        # get_spark() (e.g. an external harness); nanosAsLong is
-        # runtime-settable, so set it here so the TIMESTAMP(NANOS)
-        # column is readable on any session.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # get_spark() (e.g. an external harness). On runtimes whose
+        # reader rejects TIMESTAMP(NANOS) outright, nanosAsLong makes
+        # the file readable; normalize_event_ts then canonicalizes
+        # whatever representation came back. Spark ≥4.1 ignores the
+        # conf and reads ntz natively — also handled.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed entirely in some future runtime
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
-        # (nanosAsLong), truncate to microseconds for a proper
-        # timestamp column.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        df = normalize_event_ts(df)
     return df
 
 

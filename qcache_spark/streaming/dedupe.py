@@ -37,8 +37,11 @@ def dedup_within_watermark(
     gate and the parity test assert."""
     if not df.isStreaming:
         return df.dropDuplicates(keys)
-    return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
-        keys
+    from .windows import _restore_ntz, _watermark_ntz
+
+    src, was_ntz = _watermark_ntz(df, event_time_col, watermark)
+    return _restore_ntz(
+        src.dropDuplicatesWithinWatermark(keys), was_ntz, event_time_col
     )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -34,25 +34,24 @@ def read_event_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of parquet event files.
-    (The synthetic events table ships nanosecond timestamps, which the
-    streaming parquet source reads as long under nanosAsLong — convert
-    like session.load_table does.)"""
-    # Self-provision the nanos conf so a caller-supplied session (not
-    # built by get_spark()) can read the TIMESTAMP(NANOS) files too.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(
-        # ts arrives as long nanos under nanosAsLong
-        T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-    )
+
+    The streaming file source requires an explicit schema; rather than
+    hardcoding one (which silently breaks when the runtime changes how
+    it surfaces parquet TIMESTAMP(NANOS) — Spark ≥4.1 reads it natively
+    as timestamp_ntz, older runtimes need nanosAsLong and surface a
+    long), probe the path once with the BATCH reader (a footer read,
+    no data scan) and stream with the observed schema. The ts column is
+    then canonicalized to TimestampNTZType exactly like the batch path
+    (session.normalize_event_ts), so stream ≡ batch by construction.
+    """
+    from ..session import normalize_event_ts
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    observed = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(observed)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # The streaming file source monitors a DIRECTORY; accept a single
@@ -61,8 +60,33 @@ def read_event_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    if "ts" in df.columns:
+        df = normalize_event_ts(df)
+    return df
+
+
+def _watermark_ntz(
+    events: DataFrame, event_col: str, watermark: str
+) -> tuple[DataFrame, bool]:
+    """Apply a watermark to an event-time column that may be the
+    engine-canonical TIMESTAMP_NTZ. Spark's EventTimeWatermark only
+    accepts TIMESTAMP (ltz), so NTZ event time is cast in; under the
+    engine's fixed-UTC sessions (session.get_spark) the ntz↔ltz cast
+    is a wall-time identity, and callers cast time outputs back to ntz
+    so stream ≡ batch in both schema and values. Returns (watermarked
+    frame, was_ntz) — when was_ntz, the caller must restore ntz on its
+    output time columns via _restore_ntz."""
+    was_ntz = isinstance(events.schema[event_col].dataType, T.TimestampNTZType)
+    if was_ntz:
+        events = events.withColumn(event_col, F.col(event_col).cast("timestamp"))
+    return events.withWatermark(event_col, watermark), was_ntz
+
+
+def _restore_ntz(df: DataFrame, was_ntz: bool, *cols: str) -> DataFrame:
+    if not was_ntz:
+        return df
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp_ntz") for c in cols if c in df.columns}
     )
 
 
@@ -76,14 +100,18 @@ def tumbling_counts(
     state is bounded to ~(watermark / window_size) open windows per
     key — late events beyond it are dropped, on a cluster this is the
     knob that keeps an unbounded stream's state finite."""
-    src = events.withWatermark("ts", watermark) if streaming else events
-    return src.groupBy(
+    if streaming:
+        src, was_ntz = _watermark_ntz(events, "ts", watermark)
+    else:
+        src, was_ntz = events, False
+    out = src.groupBy(
         F.window("ts", window_size).start.alias("window_start"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
     )
+    return _restore_ntz(out, was_ntz, "window_start")
 
 
 def sliding_rates(
@@ -95,11 +123,15 @@ def sliding_rates(
 ) -> DataFrame:
     """Sliding-window event rates (each event lands in
     window_size/slide windows)."""
-    src = events.withWatermark("ts", watermark) if streaming else events
-    return src.groupBy(
+    if streaming:
+        src, was_ntz = _watermark_ntz(events, "ts", watermark)
+    else:
+        src, was_ntz = events, False
+    out = src.groupBy(
         F.window("ts", window_size, slide).start.alias("window_start"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    return _restore_ntz(out, was_ntz, "window_start")
 
 
 def sessionize(
@@ -111,9 +143,12 @@ def sessionize(
     """Per-user sessions: events closer than `gap` merge into one
     session (Spark session_window — state closes once the watermark
     passes the gap, so sessions finalize incrementally)."""
-    src = events.withWatermark("ts", watermark) if streaming else events
+    if streaming:
+        src, was_ntz = _watermark_ntz(events, "ts", watermark)
+    else:
+        src, was_ntz = events, False
     sw = F.session_window("ts", gap)
-    return src.groupBy(sw, "user_id").agg(
+    out = src.groupBy(sw, "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
@@ -124,6 +159,7 @@ def sessionize(
         "first_ts",
         "last_ts",
     )
+    return _restore_ntz(out, was_ntz, "session_start", "first_ts", "last_ts")
 
 
 def run_to_memory_sink(

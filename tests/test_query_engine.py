@@ -759,9 +759,11 @@ def test_update_division_by_zero_yields_null(spark):
 
 
 def test_load_table_events_on_foreign_session(spark, sf_dir):
-    """load_table must self-provision nanosAsLong so a caller-supplied
-    session (e.g. the driver harness, which does not use get_spark())
-    can read events.parquet TIMESTAMP(NANOS). VERDICT r1 item 1."""
+    """load_table must read events.parquet TIMESTAMP(NANOS) on a
+    caller-supplied session (e.g. the driver harness, which does not
+    use get_spark()) and canonicalize ts to TimestampNTZType — the type
+    the native Spark ≥4.1 reader and DuckDB both produce, so every path
+    (batch/stream/mirror/oracle) agrees. VERDICT r1 item 1 + r4 item 1."""
     from pyspark.sql import types as T
 
     from qcache_spark.session import load_table
@@ -769,7 +771,11 @@ def test_load_table_events_on_foreign_session(spark, sf_dir):
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try:
         df = load_table(spark, sf_dir, "events")
-        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+        # real 2024-era wall times, not 1970 garbage from a double
+        # nanos->micros conversion
+        row = df.selectExpr("min(year(ts)) AS y").collect()[0]
+        assert row["y"] >= 2000
         assert df.limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
