@@ -1231,14 +1231,19 @@ OPERATOR_ORACLES: dict[str, str] = {
                    ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket
             FROM st
         ), tape AS (
+            -- CASTs: DuckDB SUM() on BIGINT yields HUGEINT; Spark emits
+            -- LongType. The driver hashes raw values, so the oracle must
+            -- pin BIGINT or the hash mismatches on identical values
+            -- (same artifact as q43, VERDICT r2/r4).
             SELECT doc_id, chunk_id, n_chunk_tokens, bucket,
-                   SUM(n_chunk_tokens) OVER (PARTITION BY bucket
+                   CAST(SUM(n_chunk_tokens) OVER (PARTITION BY bucket
                        ORDER BY doc_id, chunk_id
-                       ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS tape_offset
+                       ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS BIGINT)
+                       AS tape_offset
             FROM chunks
         )
         SELECT doc_id, chunk_id, n_chunk_tokens, bucket, tape_offset,
-               tape_offset // 128 AS pack_id
+               CAST(tape_offset // 128 AS BIGINT) AS pack_id
         FROM tape
     """,
     # q66: span STRINGS here vs 64-bit hashes in the engine
@@ -1803,7 +1808,9 @@ def _unigram_surprise_oracle_sql() -> str:
         ), tot AS (
             SELECT SUM(cnt) AS n_total FROM vocab
         ), per AS (
-            SELECT doc_id, SUM(tf) AS n_tokens,
+            -- CAST: DuckDB SUM(BIGINT) -> HUGEINT vs Spark LongType;
+            -- the driver hashes raw values (q43 artifact, VERDICT r2/r4)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
                    SUM(tf * CAST(ROUND(ln(cnt / n_total) * 1e6) AS BIGINT)) AS s_fp
             FROM tf JOIN vocab USING (term) CROSS JOIN tot
             GROUP BY doc_id
