@@ -115,6 +115,7 @@ def main() -> None:
 
     queries = em.queries()
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
@@ -130,8 +131,26 @@ def main() -> None:
             fn(spark, SF_DIR).toPandas()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
+        timings_min[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
+    total_min = round(sum(timings_min.values()), 4)
+    # Contention evidence (VERDICT r4: BENCH_r04's heavy-query medians
+    # were 2-10x inflated by a busy machine and unusable). On an idle
+    # box median/min per query sit within ~1.3x; a large gap means
+    # another process stole the cores mid-run — flag the run as dirty
+    # rather than publishing artifact numbers as if they were real.
+    worst = max(
+        ((n, timings[n] / timings_min[n]) for n in timings if timings_min[n] > 0),
+        key=lambda kv: kv[1],
+        default=("", 1.0),
+    )
+    contention = {
+        "median_over_min_total": round(total / total_min, 3) if total_min else 1.0,
+        "worst_query": worst[0],
+        "worst_ratio": round(worst[1], 2),
+        "dirty": bool(worst[1] > 3.0),
+    }
 
     # Bucketed-storage delta (catalog bucket_by path): the SAME q22
     # window query against orders stored bucketed+sorted by its window
@@ -170,6 +189,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "total_min": total_min,
+                "contention": contention,
                 "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cache_warm_sec": round(warm_sec, 3),

@@ -126,7 +126,11 @@ def _to_spark(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
         else:
             raise Unsupported(f"dtype {dt} of column {col}")
         fields.append(T.StructField(str(col), spark_t, True))
-    return spark.createDataFrame(pdf, schema=T.StructType(fields))
+    # createDataFrame slices the Arrow batches across defaultParallelism
+    # (32) partitions; a later collect/toPandas then schedules 32 tasks
+    # for a result that is small by contract (post-slice). One partition
+    # halves the fetch round trip (~63 ms -> ~32 ms measured).
+    return spark.createDataFrame(pdf, schema=T.StructType(fields)).coalesce(1)
 
 
 def _walk_expr_refs(expr, out: set) -> bool:

@@ -59,25 +59,34 @@ def _is_stringy(s: pd.Series) -> bool:
     return s.dtype == object or pd.api.types.is_string_dtype(s.dtype)
 
 
-def _half_up(values: pd.Series) -> pd.Series:
+def _half_up(values) -> np.ndarray:
     """Round-half-up of a double to an integer, exactly matching
     Spark's round() (BigDecimal.valueOf(v).setScale(0, HALF_UP) on the
     shortest decimal repr). HALF_UP ties go AWAY FROM ZERO — so the
-    tie branch must be sign-aware: round(-2.5) is -3, not -2.
-    `v - floor(v)` / `ceil(v) - v` are EXACT in IEEE (low-order bits
-    of v), and every X.5 is itself a representable double, so the
-    `>= 0.5` comparisons decide the same side of the tie boundary as
-    the decimal comparison: a shortest repr always lies strictly on
-    v's side of any other representable value. (The naive
-    floor(v + 0.5) is NOT exact — v + 0.5 can round across the
-    boundary, e.g. v = 0.49999999999999994.)"""
-    v = values.astype("float64")
+    tie case must be sign-aware: round(-2.5) is -3, not -2.
+    `r = v - floor(v)` is EXACT in IEEE (low-order bits of v), and
+    every X.5 is itself a representable double, so `r >= 0.5` /
+    `r == 0.5` decide the same side of the tie boundary as the decimal
+    comparison: a shortest repr always lies strictly on v's side of
+    any other representable value. (The naive floor(v + 0.5) is NOT
+    exact — v + 0.5 can round across the boundary, e.g.
+    v = 0.49999999999999994.) Non-tie rounding is sign-symmetric
+    (floor + (r >= 0.5) is nearest-int for any sign); only the exact
+    r == 0.5 tie needs the away-from-zero correction.
+
+    Raw-numpy on purpose: this sits on the fastpath's per-query hot
+    path over full columns, and pandas' Series arithmetic dispatch
+    made it the single largest line item of a 600 k-row aggregate
+    (VERDICT r4 latency drift). Accepts a Series or ndarray; returns
+    an ndarray positionally aligned with the input."""
+    v = np.asarray(values, dtype="float64")
     f = np.floor(v)
-    c = np.ceil(v)
-    return pd.Series(
-        np.where(v >= 0, f + (v - f >= 0.5), c - (c - v >= 0.5)),
-        index=values.index,
-    )
+    r = v - f
+    out = f + (r >= 0.5)
+    neg_tie = (r == 0.5) & (v < 0)
+    if neg_tie.any():
+        out = np.where(neg_tie, f, out)
+    return out
 
 
 # --------------------------------------------------------------- filters
@@ -150,11 +159,31 @@ class LocalFilter:
             return self._column(q)
         return q
 
+    def _fcodes(self, col_name):
+        """(codes, uniques) when the mirror pre-factorized this column
+        (fastpath._load_mirror); (None, None) otherwise. Comparing the
+        int64 codes instead of 100k+ python strings is the difference
+        between ~0.3 ms and ~10 ms per string predicate."""
+        uniques = self.pdf.attrs.get("fcode_uniques", {}).get(col_name)
+        companion = f"__fcode_{col_name}"
+        if uniques is None or companion not in self.pdf.columns:
+            return None, None
+        return self.pdf[companion], np.asarray(uniques, dtype=object)
+
     def _comparison(self, q):
         assert_len(q, 3)
         op, col_name, arg = q
         if op in ORDERED_COMPARISONS and col_name in self.enum_columns:
             raise_malformed(f"Invalid operation {op} for enum column", q)
+        if op in ("==", "!=") and isinstance(arg, str) and is_quoted(arg):
+            codes, uniques = self._fcodes(col_name)
+            if codes is not None:
+                hit = np.flatnonzero(uniques == unquote(arg))
+                code = hit[0] if len(hit) else -1
+                # null keys carry their own code (use_na_sentinel=False),
+                # never equal to a constant's: two-valued null semantics
+                # (null == 'x' -> False, null != 'x' -> True) fall out.
+                return (codes == code) if op == "==" else (codes != code)
         left = self._column(col_name)
         right = self.compile(arg) if isinstance(arg, list) else self._leaf(arg)
         try:
@@ -258,6 +287,16 @@ class LocalFilter:
         if op == "ilike":
             regexp = "(?i)" + regexp
         col = self._check_string(column, q, "(i)like")
+        codes, uniques = self._fcodes(column)
+        if codes is not None:
+            # evaluate the pattern once per distinct value, then map
+            # through the int codes (na=False: a null value never
+            # matches, and NaN sits in uniques as its own code)
+            m = pd.Series(uniques).str.contains(regexp, regex=True, na=False)
+            return pd.Series(
+                np.isin(codes.to_numpy(), np.flatnonzero(m.to_numpy())),
+                index=self.pdf.index,
+            )
         return col.str.contains(regexp, regex=True, na=False)
 
 
@@ -522,7 +561,10 @@ def _agg_frames(pdf, group_by, entries, agg_mask=None):
             if not pd.api.types.is_numeric_dtype(s):
                 raise Unsupported(f"{fn} on non-numeric")
             scale = 10000.0 if fn in ("msum", "mavg") else 1000000.0
-            temps[t] = _half_up(s * scale)
+            temps[t] = pd.Series(
+                _half_up(s.to_numpy(dtype="float64", copy=False) * scale),
+                index=pdf.index,
+            )
             agg_map[t] = "sum"
             if fn in ("msum", "dsum") and not nullable:
                 plans.append((col, [t], lambda v, sc=scale: v / sc))
