@@ -11,13 +11,17 @@ feature-extract / resize / frame-sample at 100 TB:
 - partitioning is by file/row-group, so decode parallelism is the
   scan parallelism.
 
-The decode kernels themselves are STUBBED behind
-`decoder_available()` — the image/audio libraries are not in this
-container. `fake_decode=True` substitutes a deterministic,
-schema-correct fake (content-hash-seeded) so the Spark-side plumbing
-(schemas, batch iteration, UDF signatures, partitioning) is fully
-real and tested; swap `_decode_image_real` for a PIL/ffmpeg call to
-go live.
+Decoding: `fake_decode=False` routes through `_decode_image_real`,
+which decodes uncompressed PNM (PPM/PGM) natively in numpy — no
+dependency, exercised by the test suite in this container — and uses
+Pillow for compressed formats when importable (`decoder_available()`;
+the lib is absent here, so that branch is covered by a
+skip-if-missing test). `fake_decode=True` (default) substitutes a
+deterministic, schema-correct fake (content-hash-seeded) so the
+Spark-side plumbing (schemas, batch iteration, UDF signatures,
+partitioning) stays testable with zero codec surface. Audio/video
+frame EXTRACTION beyond byte-slicing still needs ffmpeg and stays
+stubbed.
 """
 from __future__ import annotations
 
@@ -88,8 +92,10 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def decoder_available() -> bool:
-    """True when a real image decoder is importable."""
-    try:  # pragma: no cover - not present in this container
+    """True when the OPTIONAL compressed-format decoder (Pillow) is
+    importable. Uncompressed PNM (PPM/PGM) decodes natively without
+    it — see _decode_image_real."""
+    try:
         import PIL.Image  # noqa: F401
 
         return True
@@ -108,11 +114,55 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
-def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    raise NotImplementedError(
-        "Image decoding requires PIL/cv2, not present in this container; "
-        "swap this function for `np.asarray(PIL.Image.open(io.BytesIO(payload)))`."
-    )
+def _decode_pnm(data: bytes) -> np.ndarray:
+    """Native decoder for binary PNM (P6 RGB / P5 grayscale), the
+    uncompressed interchange format — pure numpy, no codec library.
+    Grayscale broadcasts to 3 channels so every decoder path yields
+    HxWx3 uint8."""
+    pos = 2  # past magic
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and '#' comments between header fields
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"16-bit PNM not supported (maxval={maxval})")
+    channels = 3 if data[:2] == b"P6" else 1
+    raster = np.frombuffer(
+        data, dtype=np.uint8, count=width * height * channels, offset=pos
+    ).reshape(height, width, channels)
+    if channels == 1:
+        raster = np.repeat(raster, 3, axis=2)
+    return raster
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Decode real image bytes to an HxWx3 uint8 array.
+
+    Uncompressed PNM (P6/P5) decodes natively — always available, no
+    dependency. Compressed formats (PNG/JPEG/...) use Pillow when
+    importable (`decoder_available()`); without it they raise
+    ImportError so a misconfigured production pipeline fails loudly
+    instead of silently producing stub statistics."""
+    data = payload or b""
+    if data[:2] in (b"P6", b"P5"):
+        return _decode_pnm(data)
+    import io
+
+    import PIL.Image  # noqa: F401  (optional dependency)
+
+    with PIL.Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def synthetic_media(spark: SparkSession, n: int = 64, partitions: int = 4) -> DataFrame:
@@ -172,9 +222,10 @@ def extract_image_features(
     media: DataFrame, fake_decode: bool = True, batch_rows: int = 256
 ) -> DataFrame:
     """Decode → per-image features, Arrow-batched. The non-decode
-    features (size, content hash) are real either way; the pixel
-    statistics come from the stub unless a decoder is present."""
-    decode = _fake_decode if (fake_decode or not decoder_available()) else _decode_image_real
+    features (size, content hash) are real either way; with
+    fake_decode=False the pixel statistics come from the real decoder
+    (native PNM always; PNG/JPEG when Pillow is importable)."""
+    decode = _fake_decode if fake_decode else _decode_image_real
 
     def features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -243,7 +294,7 @@ def resize_images(
     Arrow batch pipeline over the blob column, no shuffle."""
     if width < 1 or height < 1:
         raise ValueError(f"width/height must be >= 1, got {width}x{height}")
-    decode = _fake_decode if (fake_decode or not decoder_available()) else _decode_image_real
+    decode = _fake_decode if fake_decode else _decode_image_real
 
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
