@@ -4,6 +4,12 @@ from .dedupe import (
     dedup_within_watermark,
 )
 from .joins import enrich_with_dimension
+from .kafka import (
+    KAFKA_WIRE_SCHEMA,
+    kafka_reader_options,
+    parse_kafka_events,
+    read_kafka_stream,
+)
 from .stateful import user_profiles_batch, user_profiles_stateful
 from .windows import (
     read_event_stream,
@@ -19,6 +25,10 @@ __all__ = [
     "dedup_stream_by_content",
     "dedup_within_watermark",
     "enrich_with_dimension",
+    "KAFKA_WIRE_SCHEMA",
+    "kafka_reader_options",
+    "parse_kafka_events",
+    "read_kafka_stream",
     "user_profiles_batch",
     "user_profiles_stateful",
     "read_event_stream",

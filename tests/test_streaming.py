@@ -243,3 +243,103 @@ def test_stream_dedup_by_content(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.table("content_dedup_test").collect())
     assert len(got) == 2 and 3 in got  # one of {1,2} plus doc 3
     assert "_fp" not in spark.table("content_dedup_test").columns
+
+
+# ------------------------------------------------------------ kafka source
+
+
+def test_kafka_reader_options_validation():
+    from qcache_spark.streaming import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "b1:9092,b2:9092", topic="events", max_offsets_per_trigger=100000
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["failOnDataLoss"] == "false"
+
+    pat = kafka_reader_options("b:9092", subscribe_pattern="events-.*")
+    assert pat["subscribePattern"] == "events-.*"
+    assert "subscribe" not in pat
+
+    with pytest.raises(ValueError):
+        kafka_reader_options("")
+    with pytest.raises(ValueError):
+        kafka_reader_options("b:9092")  # neither topic nor pattern
+    with pytest.raises(ValueError):
+        kafka_reader_options("b:9092", topic="t", subscribe_pattern="p")
+    with pytest.raises(ValueError):
+        kafka_reader_options("b:9092", topic="t", starting_offsets="bogus")
+    with pytest.raises(ValueError):
+        kafka_reader_options("b:9092", topic="t", max_offsets_per_trigger=0)
+
+
+def test_parse_kafka_events_wire_to_typed(spark):
+    """Wire-record parse over a batch frame with the connector's fixed
+    public schema — the whole post-broker transform, driven for real
+    (the broker handshake itself needs the connector jar, absent in
+    this sandbox — read_kafka_stream is config-plumbing over this)."""
+    import json
+    from datetime import datetime as DT
+
+    from qcache_spark.streaming import KAFKA_WIRE_SCHEMA, parse_kafka_events
+
+    def rec(i, payload: dict | str):
+        body = payload if isinstance(payload, str) else json.dumps(payload)
+        return (
+            str(i).encode(),
+            body.encode(),
+            "events",
+            i % 2,
+            i,
+            DT(2024, 1, 1, 0, 0, i),
+            0,
+        )
+
+    rows = [
+        rec(0, {"event_id": 1, "ts": "2024-01-01T00:09:58.778549",
+                "user_id": 7, "event_type": "click", "value": 1.5,
+                "props": "{}"}),
+        rec(1, {"event_id": 2, "ts": "2024-01-01T01:00:00",
+                "user_id": 8, "event_type": "view", "value": None,
+                "props": None}),
+        rec(2, "not json at all"),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    out = parse_kafka_events(raw)
+    assert [f.name for f in out.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+    got = {r["event_id"]: r for r in out.collect()}
+    assert got[1]["user_id"] == 7 and got[1]["value"] == 1.5
+    assert str(got[1]["ts"]) == "2024-01-01 00:09:58.778549"
+    assert got[2]["event_type"] == "view"
+    assert None in got  # malformed payload -> NULL row, not a dead query
+
+    meta = parse_kafka_events(raw, include_kafka_meta=True)
+    m = {r["offset"]: r for r in meta.collect()}
+    assert m[0]["topic"] == "events" and m[0]["partition"] == 0
+
+
+def test_parse_kafka_events_feeds_window_builders(spark):
+    """The parsed stream shape must be accepted by the downstream
+    builders unchanged (batch mode here; same plan for a stream)."""
+    import json
+    from datetime import datetime as DT
+
+    from qcache_spark.streaming import KAFKA_WIRE_SCHEMA, parse_kafka_events
+
+    rows = [
+        (None, json.dumps({"event_id": i, "ts": f"2024-01-01T0{i % 2}:00:00",
+                           "user_id": i % 3, "event_type": "click",
+                           "value": 1.0, "props": "{}"}).encode(),
+         "t", 0, i, DT(2024, 1, 1), 0)
+        for i in range(6)
+    ]
+    events = parse_kafka_events(spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA))
+    out = tumbling_counts(events, streaming=False)
+    got = {str(r["window_start"]): r["n_events"] for r in out.collect()}
+    assert got == {"2024-01-01 00:00:00": 3, "2024-01-01 01:00:00": 3}
