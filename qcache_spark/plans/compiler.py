@@ -105,8 +105,13 @@ def compile_query(
     filtered = filter_compiler.apply(q.get(CLAUSE_WHERE))
 
     group_by = q.get(CLAUSE_GROUP_BY)
+    grouping_mode = None
+    grouping_sets = None
+    if isinstance(group_by, dict):
+        grouping_mode, grouping_sets, group_by = _parse_structured_group_by(group_by)
     if group_by:
-        assert_list("group_by", group_by)
+        if grouping_mode is None:
+            assert_list("group_by", group_by)
         missing = [c for c in group_by if c not in filtered.columns]
         if missing:
             raise_malformed("Group by column not in table", group_by)
@@ -122,10 +127,53 @@ def compile_query(
             raise_malformed("Distinct column not in table", distinct)
         distinct_df = filtered.dropDuplicates(distinct or None)
 
-    projected = _project(distinct_df, q.get(CLAUSE_SELECT), group_by)
+    projected = _project(
+        distinct_df, q.get(CLAUSE_SELECT), group_by, grouping_mode, grouping_sets
+    )
     ordered = _order_by(projected, q.get(CLAUSE_ORDER_BY))
     sliced = _do_slice(ordered, q.get(CLAUSE_OFFSET), q.get(CLAUSE_LIMIT))
     return QueryResult(sliced=sliced, unsliced=ordered)
+
+
+_GROUPING_MODES = ("rollup", "cube", "grouping_sets")
+
+
+def _parse_structured_group_by(spec: dict):
+    """`{"group_by": {"rollup": [cols]}}` / `{"cube": [cols]}` /
+    `{"grouping_sets": [[cols], ...]}` — the grouping-sets family in
+    the JSON dialect (absent in the reference grammar; a strict
+    extension: plain-list group_by is untouched). Returns
+    (mode, sets_or_None, flat_column_list)."""
+    if len(spec) != 1:
+        raise_malformed(
+            "group_by dict must have exactly one of rollup/cube/grouping_sets", spec
+        )
+    ((mode, cols),) = spec.items()
+    if mode not in _GROUPING_MODES:
+        raise_malformed(f"Unknown grouping mode '{mode}'", spec)
+    if mode == "grouping_sets":
+        if (
+            not isinstance(cols, list)
+            or not cols
+            or not all(
+                isinstance(s, list) and all(isinstance(c, str) for c in s)
+                for s in cols
+            )
+        ):
+            raise_malformed(
+                "grouping_sets expects a non-empty list of column lists", spec
+            )
+        # flat key list = union in first-appearance order (the output
+        # columns); every set must draw from it by construction
+        flat = list(dict.fromkeys(c for s in cols for c in s))
+        if not flat:
+            raise_malformed("grouping_sets needs at least one column", spec)
+        return mode, cols, flat
+    if not isinstance(cols, list) or not cols or not all(
+        isinstance(c, str) for c in cols
+    ):
+        raise_malformed(f"{mode} expects a non-empty list of column names", spec)
+    return mode, None, cols
 
 
 def _classify(project_q):
@@ -147,7 +195,9 @@ def _classify(project_q):
     return aggregate_entries, alias_expressions
 
 
-def _project(df: DataFrame, project_q, group_by) -> DataFrame:
+def _project(
+    df: DataFrame, project_q, group_by, grouping_mode=None, grouping_sets=None
+) -> DataFrame:
     if not project_q:
         if group_by:
             raise_malformed(
@@ -176,7 +226,15 @@ def _project(df: DataFrame, project_q, group_by) -> DataFrame:
         for _, col in aggregate_entries:
             if col not in df.columns:
                 raise_malformed("Selected columns not in table", [col])
-        df = df.groupBy(*group_by).agg(*aggs)
+        if grouping_mode == "rollup":
+            grouped = df.rollup(*group_by)
+        elif grouping_mode == "cube":
+            grouped = df.cube(*group_by)
+        elif grouping_mode == "grouping_sets":
+            grouped = df.groupingSets(grouping_sets, *group_by)
+        else:
+            grouped = df.groupBy(*group_by)
+        df = grouped.agg(*aggs)
     elif aggregate_entries:
         if len(aggregate_entries) != len(project_q):
             raise_malformed(

@@ -662,6 +662,10 @@ def execute_local(
     lf = LocalFilter(pdf, enum_columns, run_subquery)
     where_q = q.get("where")
     group_by = q.get("group_by")
+    if isinstance(group_by, dict):
+        # rollup / cube / grouping_sets: Catalyst-only surface — the
+        # router falls back to the Spark plan (compiler._project)
+        raise Unsupported("structured group_by (rollup/cube/grouping_sets)")
     agg_mask = None
     if (
         where_q

@@ -790,3 +790,104 @@ def test_zero_float_offset_limit_raise(basic_frame):
         compile_query({"limit": 0.0}, basic_frame)
     with pytest.raises(MalformedQueryException):
         compile_query({"offset": True}, basic_frame)
+
+
+# ------------------------------------------------ grouping sets (q-grammar)
+
+
+def _gs_frame(spark):
+    from tests.conftest import make_frame
+
+    return make_frame(spark, "g1,g2,v\nA,x,1\nA,y,2\nB,x,3\n")
+
+
+def test_group_by_rollup_grammar(spark):
+    q = {"group_by": {"rollup": ["g1", "g2"]}, "select": ["g1", "g2", ["sum", "v"]]}
+    rows = sorted(
+        (tuple(r) for r in compile_query(q, _gs_frame(spark)).sliced.collect()),
+        key=repr,
+    )
+    assert (None, None, 6) in rows          # grand total
+    assert ("A", None, 3) in rows           # subtotal level
+    assert ("A", "x", 1) in rows            # leaf level
+    assert len(rows) == 6                   # no cube-only rows
+    assert (None, "x", 4) not in rows
+
+
+def test_group_by_cube_grammar(spark):
+    q = {"group_by": {"cube": ["g1", "g2"]}, "select": ["g1", "g2", ["sum", "v"]]}
+    rows = {tuple(r) for r in compile_query(q, _gs_frame(spark)).sliced.collect()}
+    assert (None, "x", 4) in rows and (None, "y", 2) in rows
+    assert len(rows) == 8
+
+
+def test_group_by_grouping_sets_grammar(spark):
+    q = {
+        "group_by": {"grouping_sets": [["g1"], ["g2"], []]},
+        "select": ["g1", "g2", ["sum", "v"]],
+    }
+    rows = {tuple(r) for r in compile_query(q, _gs_frame(spark)).sliced.collect()}
+    assert rows == {
+        ("A", None, 3), ("B", None, 3),
+        (None, "x", 4), (None, "y", 2),
+        (None, None, 6),
+    }
+
+
+def test_group_by_structured_malformed(spark):
+    frame = _gs_frame(spark)
+    bad = [
+        {"rollup": ["g1"], "cube": ["g2"]},       # two modes
+        {"bogus": ["g1"]},                          # unknown mode
+        {"rollup": []},                             # empty columns
+        {"rollup": "g1"},                           # not a list
+        {"rollup": [1]},                            # non-string column
+        {"grouping_sets": []},                      # no sets
+        {"grouping_sets": ["g1"]},                  # set not a list
+        {"grouping_sets": [[]]},                    # only the empty set
+    ]
+    for spec in bad:
+        with pytest.raises(MalformedQueryException):
+            compile_query(
+                {"group_by": spec, "select": ["g1", ["sum", "v"]]}, frame
+            )
+    # unknown column inside a structured spec
+    with pytest.raises(MalformedQueryException):
+        compile_query(
+            {"group_by": {"rollup": ["nope"]}, "select": [["sum", "v"]]}, frame
+        )
+    # aggregate still required
+    with pytest.raises(MalformedQueryException):
+        compile_query({"group_by": {"rollup": ["g1"]}, "select": ["g1"]}, frame)
+    # distinct still conflicts
+    with pytest.raises(MalformedQueryException):
+        compile_query(
+            {"group_by": {"rollup": ["g1"]}, "distinct": ["g1"],
+             "select": ["g1", ["sum", "v"]]},
+            frame,
+        )
+
+
+def test_group_by_structured_falls_back_to_spark(spark, sf_dir):
+    """The local executor must decline structured group_by (Unsupported,
+    not Malformed) so the router serves it from the Catalyst plan."""
+    from qcache_spark.plans.local import Unsupported, execute_local
+
+    import pandas as pd
+
+    with pytest.raises(Unsupported):
+        execute_local(
+            {"group_by": {"rollup": ["g"]}, "select": ["g", ["sum", "v"]]},
+            pd.DataFrame({"g": ["a"], "v": [1]}),
+        )
+    # end-to-end through the router at a fastpath-eligible size
+    from qcache_spark import fastpath
+
+    q = {
+        "group_by": {"rollup": ["l_returnflag"]},
+        "select": ["l_returnflag", ["count", "l_orderkey"]],
+    }
+    out = fastpath.query_table(spark, sf_dir, "lineitem", q)
+    rows = {r["l_returnflag"]: r["l_orderkey"] for r in out.collect()}
+    assert None in rows  # grand-total row present
+    assert rows[None] == sum(v for k, v in rows.items() if k is not None)
