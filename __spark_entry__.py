@@ -987,9 +987,41 @@ def q69_rollup_qgrammar(spark, sf_dir):
     return _gq(spark, sf_dir, "lineitem", q)
 
 
+def q70_ivf_pruned_search(spark, sf_dir):
+    """IVF ANN with a PRUNED probe over the persisted partitioned
+    index (VERDICT r2 advice #10 / r4 item 10): n_probe=3 of
+    n_centroids=8, so the scan touches only the probed cluster_id
+    partitions of the on-disk index (PartitionFilters on the file
+    index — tests/test_operators.py::test_ivf_pruned_entry_plan_and_recall
+    asserts both the prune and recall >= 0.6 vs the exact q30 top-k).
+    Complements q42, which probes ALL clusters to exact-match the
+    brute-force oracle.
+
+    No SQL oracle: the probe set depends on learned centroids, which
+    an external SQL engine cannot reproduce — the driver records the
+    rows-only check (stable k=10 result at any sf).
+    """
+    import tempfile
+
+    from qcache_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"qcache_spark_ivf_{sf_tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        IVFIndex(emb, n_centroids=8, iters=1).write(spark, path)
+    index = IVFIndex.load(spark, path)
+    out = index.search(qvec, k=10, n_probe=3)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round-5 additions (listed first -> gated slots) ------------
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
+    "q70_ivf_pruned_search": q70_ivf_pruned_search,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2

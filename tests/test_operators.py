@@ -1002,3 +1002,22 @@ def test_ngram_contamination_short_doc_whole_shingle(spark):
         for r in dedup.ngram_contamination(corpus, eval_df, n=5).collect()
     }
     assert out == {1: 1}
+
+
+def test_ivf_pruned_entry_plan_and_recall(spark):
+    """The gated q70 entry: n_probe < n_centroids must (a) show up as
+    a partition PRUNE on the persisted index's file listing, and (b)
+    keep recall >= 0.6 vs the exact q30 brute-force top-k (VERDICT r2
+    advice #10 / r4 item 10)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.01"
+    ann = em.queries()["q70_ivf_pruned_search"](spark, sf)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "cluster_id" in pf, pf
+    exact = em.queries()["q30_cosine_topk"](spark, sf)
+    r = similarity.recall_at_k(ann, exact)
+    assert r >= 0.6, f"recall@10 {r} below bound"
+    assert ann.count() == 10
