@@ -83,6 +83,20 @@ def _true_safe(expr: Column, *operands: Column) -> Column:
     return expr
 
 
+def _fresh_column_name(base: str, taken) -> str:
+    """`base`, suffixed until it collides with no existing column —
+    a user dataset may legitimately contain a column named like an
+    internal marker (ADVICE r4: the join condition would otherwise be
+    ambiguous and surface as an AnalysisException instead of working)."""
+    taken = set(taken)
+    name = base
+    n = 0
+    while name in taken:
+        n += 1
+        name = f"{base}{n}_"
+    return name
+
+
 class FilterCompiler:
     """Compiles one `where` clause for one DataFrame.
 
@@ -238,13 +252,21 @@ class FilterCompiler:
         reference's collect-then-isin (pandas_filter.py:83-91): a null
         probe cell joins nothing → marker null → False (and True under
         `!`), exactly the two-valued pandas behavior.
+
+        Ordering deviation (documented like this module's other ones):
+        when AQE picks a SHUFFLED join for a large probe side, the
+        filtered frame's row order is no longer the scan order, so
+        offset/limit paging without an order_by may return different
+        pages than a collect-then-isin filter would. Per SURVEY §7 the
+        engine gives no order guarantee without order_by; callers that
+        page must sort.
         """
         df = self.df
         markers: list[str] = []
         for i, node in enumerate(nested):
             col_name = node[1]
             self._column(col_name)  # validates existence on the frame
-            marker = f"__in_marker_{i}__"
+            marker = _fresh_column_name(f"__in_marker_{i}__", df.columns)
             probe = (
                 self._subquery_column(node)
                 .distinct()  # a duplicated probe value must not fan out rows
@@ -283,9 +305,10 @@ class FilterCompiler:
         self._column(col_name)  # validates existence
         sub = self._subquery_column(q)
         how = "left_anti" if anti else "left_semi"
+        probe_col = _fresh_column_name("__in_value__", self.df.columns)
         return self.df.join(
-            sub.withColumnRenamed(col_name, "__in_value__"),
-            on=F.col(col_name) == F.col("__in_value__"),
+            sub.withColumnRenamed(col_name, probe_col),
+            on=F.col(col_name) == F.col(probe_col),
             how=how,
         )
 
@@ -300,7 +323,15 @@ class FilterCompiler:
             # two-valued semantics fully distributed.)
             membership = self._membership.get(id(q))
             if membership is None:
-                raise_malformed("Subqueries not supported in this context", q)
+                # Internal invariant, not a user error: compile() was
+                # called on a tree whose nested subquery node was never
+                # lifted by apply() — subqueries ARE supported, the
+                # caller just skipped the lift (ADVICE r4).
+                raise AssertionError(
+                    "internal: nested in-subquery node was not lifted to a "
+                    "marker join; call apply() rather than compile() on "
+                    "filter trees containing subqueries"
+                )
             return membership
         if not isinstance(args, (list, tuple)):
             raise_malformed("Second argument must be a list", q)

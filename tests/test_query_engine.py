@@ -891,3 +891,36 @@ def test_group_by_structured_falls_back_to_spark(spark, sf_dir):
     rows = {r["l_returnflag"]: r["l_orderkey"] for r in out.collect()}
     assert None in rows  # grand-total row present
     assert rows[None] == sum(v for k, v in rows.items() if k is not None)
+
+
+# ---------------------------------------------- marker-name collision (r4)
+
+
+def test_in_subquery_with_colliding_marker_columns(spark):
+    """A dataset whose columns are named like the internal join
+    markers must still filter correctly (ADVICE r4: fixed names made
+    the join condition ambiguous)."""
+    from tests.conftest import make_frame
+
+    frame = make_frame(
+        spark,
+        "foo,__in_value__,__in_marker_0__\n"
+        "1,a,x\n2,b,y\n3,c,z\n",
+    )
+    # top-level semi join path
+    q = {"where": ["in", "foo", {"where": [">", "foo", 1], "select": ["foo"]}]}
+    got = sorted(r["foo"] for r in compile_query(q, frame).sliced.collect())
+    assert got == [2, 3]
+    # nested (marker-join) path
+    q2 = {
+        "where": [
+            "|",
+            ["in", "foo", {"where": [">", "foo", 2], "select": ["foo"]}],
+            ["==", "foo", 1],
+        ]
+    }
+    got2 = sorted(r["foo"] for r in compile_query(q2, frame).sliced.collect())
+    assert got2 == [1, 3]
+    # the internal columns never leak into the result
+    cols = compile_query(q2, frame).sliced.columns
+    assert cols == ["foo", "__in_value__", "__in_marker_0__"]
