@@ -14,6 +14,7 @@ time is reported separately inside the JSON (not part of `value`).
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -95,6 +96,12 @@ class CachedDirLoader:
         if sf_dir == self.sf_dir and name in self.cache:
             return self.cache[name]
         return load_table(spark, sf_dir, name)
+
+
+def _one_run(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).toPandas()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -181,6 +188,61 @@ def main() -> None:
         cat.delete("orders_bucketed")
     except Exception as e:  # the delta probe must never fail the bench
         extras["q22_window_rank_bucketed_error"] = str(e)[:200]
+
+    # Scale sweep (VERDICT r2 advice #7 / r4 item 7): the 5 heaviest
+    # queries at sf0.01 vs the main SF, exponent = log10(t_big /
+    # t_small) per decade of data. ~1.0 = linear scaling, <1 = fixed
+    # per-stage overhead still amortizing (expected at these sizes:
+    # scheduling floor ~0.2-0.3 s/query), >1 = superlinear — a plan
+    # that would NOT survive 100x. Skippable via
+    # SPARK_GRAFT_SCALE_SWEEP=0.
+    HEAVY = [
+        "q31_minhash_lsh_pairs",
+        "q56_bm25_top_terms",
+        "q57_asof_join",
+        "q60_decontamination",
+        "q67_training_pipeline",
+    ]
+    sweep_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if (
+        os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") != "0"
+        and os.path.isdir(sweep_dir)
+        and os.path.realpath(sweep_dir) != os.path.realpath(SF_DIR)
+    ):
+        try:
+            small = CachedDirLoader(spark, sweep_dir)
+            small.warm(["lineitem", "orders", "customer", "events", "documents",
+                        "embeddings"])
+            prev_loader = em.load_table
+            em.load_table = (
+                lambda s, d, n: small(s, d, n)
+                if d == sweep_dir
+                else prev_loader(s, d, n)
+            )
+            sf_small = float(sweep_dir.rstrip("/").rsplit("sf", 1)[-1])
+            decades = math.log10(float(sf) / sf_small)
+            sweep = {}
+            for name in HEAVY:
+                if name not in queries or name not in timings_min:
+                    continue
+                fn = queries[name]
+                fn(spark, sweep_dir).toPandas()  # warmup
+                t_small = min(
+                    _one_run(fn, spark, sweep_dir) for _ in range(3)
+                )
+                t_big = timings_min[name]
+                sweep[name] = {
+                    "sf_small": sf_small,
+                    "t_small": round(t_small, 4),
+                    "t_big": t_big,
+                    "exponent": round(
+                        math.log10(t_big / t_small) / decades, 3
+                    ),
+                }
+            em.load_table = prev_loader
+            extras["scale_sweep"] = sweep
+        except Exception as e:  # the sweep must never fail the bench
+            extras["scale_sweep_error"] = str(e)[:200]
 
     print(
         json.dumps(
