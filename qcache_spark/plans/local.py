@@ -700,7 +700,14 @@ def execute_local(
         missing = [c for c in distinct if c not in filtered.columns]
         if missing:
             raise_malformed("Distinct column not in table", distinct)
-        distinct_df = filtered.drop_duplicates(subset=distinct or None)
+        # Dedup on the pre-factorized int64 codes when every subset
+        # column has one: pandas re-factorizes object columns inside
+        # duplicated() (~30 ms on 600 k rows), the codes skip that.
+        companions = [f"__fcode_{c}" for c in (distinct or [])]
+        if distinct and all(f in filtered.columns for f in companions):
+            distinct_df = filtered.loc[~filtered.duplicated(subset=companions)]
+        else:
+            distinct_df = filtered.drop_duplicates(subset=distinct or None)
 
     projected = _project(distinct_df, q.get("select"), group_by, agg_mask)
     ordered = _order_by(projected, q.get("order_by"))
