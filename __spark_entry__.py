@@ -1018,10 +1018,24 @@ def q70_ivf_pruned_search(spark, sf_dir):
     )
 
 
+def q71_dedup_clusters(spark, sf_dir):
+    """Connected components (alternating large-star/small-star,
+    operators/dedup.py:dedup_clusters) over the exact shared-span pair
+    graph (q66's edge set — chosen BECAUSE it is SQL-expressible, so
+    the clustering itself gets an external oracle: the DuckDB side
+    rebuilds the same pairs and closes them with a recursive CTE).
+    cluster_id = min doc_id of each component; singletons label
+    themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.shared_ngram_pairs(docs, n=8)
+    return _dedup.dedup_clusters(pairs, docs.select("doc_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round-5 additions (listed first -> gated slots) ------------
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
+    "q71_dedup_clusters": q71_dedup_clusters,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2
@@ -1323,6 +1337,45 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
         WHERE a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    """,
+    # q71: q66's pair derivation + a recursive-CTE reachability closure
+    # (UNION dedup -> fixpoint): cluster_id = min(doc_id, min reachable
+    # doc_id) — exactly the star-forest labels the Spark side's
+    # large-star/small-star contraction converges to.
+    "q71_dedup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+                          i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+                END) AS g
+            FROM toks
+        ), keep AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 200
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT u, v AS x FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.x
+        )
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+                   AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT u, MIN(x) AS mn FROM reach GROUP BY u) m
+            ON m.u = d.doc_id
     """,
     # q65: batch formulation of the stream-static join (equal by
     # stream-static semantics once the stream drains).
