@@ -1031,11 +1031,31 @@ def q71_dedup_clusters(spark, sf_dir):
     return _dedup.dedup_clusters(pairs, docs.select("doc_id"))
 
 
+def q72_cardinality_sketch(spark, sf_dir):
+    """HLL cardinality sketches next to exact counts, per source
+    (operators/sketch.py): the 100 TB pattern is the ESTIMATE — a
+    fixed-size sketch per shuffle row instead of the raw key domain —
+    and the exact column here makes the error observable.
+
+    No SQL oracle: HLL++ estimates are engine-specific (rows-only
+    driver check); the error bound and sketch mergeability are
+    pytest-gated (tests/test_operators.py sketch section)."""
+    from qcache_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = sketch.cardinality_by(docs, ["source"], "doc_id", rsd=0.02)
+    exact = sketch.cardinality_by(docs, ["source"], "doc_id", exact=True)
+    return est.withColumnRenamed("n_distinct", "n_distinct_est").join(
+        exact.withColumnRenamed("n_distinct", "n_distinct_exact"), "source"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round-5 additions (listed first -> gated slots) ------------
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q71_dedup_clusters": q71_dedup_clusters,
+    "q72_cardinality_sketch": q72_cardinality_sketch,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2

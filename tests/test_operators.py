@@ -1021,3 +1021,69 @@ def test_ivf_pruned_entry_plan_and_recall(spark):
     r = similarity.recall_at_k(ann, exact)
     assert r >= 0.6, f"recall@10 {r} below bound"
     assert ann.count() == 10
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_cardinality_estimate_within_rsd(spark, docs):
+    from qcache_spark.operators import sketch
+
+    est = {
+        tuple(r[k] for k in ("source",)): r["n_distinct"]
+        for r in sketch.cardinality_by(docs, ["source"], "doc_id", rsd=0.02).collect()
+    }
+    exact = {
+        (r["source"],): r["n_distinct"]
+        for r in sketch.cardinality_by(docs, ["source"], "doc_id", exact=True).collect()
+    }
+    assert est.keys() == exact.keys() and exact
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(3, 0.06 * e), (k, est[k], e)
+
+
+def test_hll_sketch_merge_matches_direct(spark, docs):
+    """The 100 TB pattern: per-source sketches UNIONED must estimate
+    the same as sketching the whole column directly (mergeability is
+    the whole point of storing sketch bytes)."""
+    from pyspark.sql import functions as F
+
+    from qcache_spark.operators import sketch
+
+    per_source = sketch.hll_sketch_by(docs, ["source"], "doc_id")
+    merged = sketch.hll_union_by(
+        per_source.withColumn("all", F.lit(1)), ["all"]
+    ).collect()[0]["n_distinct_est"]
+    direct = sketch.hll_estimate(
+        sketch.hll_sketch_by(docs.withColumn("all", F.lit(1)), ["all"], "doc_id")
+    ).collect()[0]["n_distinct_est"]
+    exact = docs.select("doc_id").distinct().count()
+    # union goes through a different target representation than a
+    # direct sketch, so estimates differ slightly — both must sit
+    # within the HLL error envelope of the exact count
+    assert abs(merged - exact) <= max(3, 0.05 * exact), (merged, exact)
+    assert abs(direct - exact) <= max(3, 0.05 * exact), (direct, exact)
+
+
+def test_approx_quantiles_bounds(spark, docs):
+    from pyspark.sql import functions as F
+
+    from qcache_spark.operators import sketch
+
+    with_len = docs.withColumn("n_chars", F.length("text"))
+    got = sketch.approx_quantiles_by(
+        with_len, ["source"], "n_chars", [0.0, 0.5, 1.0], accuracy=10000
+    ).collect()
+    assert got
+    for r in got:
+        lo, mid, hi = r["quantiles"]
+        assert lo <= mid <= hi
+    # at high accuracy on small groups, p0/p100 are exact min/max
+    exact = {
+        r["source"]: (r["mn"], r["mx"])
+        for r in with_len.groupBy("source")
+        .agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+        .collect()
+    }
+    for r in got:
+        assert (r["quantiles"][0], r["quantiles"][2]) == exact[r["source"]]
