@@ -1050,12 +1050,38 @@ def q72_cardinality_sketch(spark, sf_dir):
     )
 
 
+def q73_asof_forward(spark, sf_dir):
+    """FORWARD as-of: each event joined to the user's NEXT order
+    (o_orderdate >= ts, ties -> lowest o_orderkey) — the mirror
+    direction of q57, exercising operators/asof.py's direction switch
+    under the oracle. Same union + running-first shape over one key
+    shuffle."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = _asof.asof_join(
+        e, o,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round-5 additions (listed first -> gated slots) ------------
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q71_dedup_clusters": q71_dedup_clusters,
     "q72_cardinality_sketch": q72_cardinality_sketch,
+    "q73_asof_forward": q73_asof_forward,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2
@@ -1268,6 +1294,18 @@ OPERATOR_ORACLES: dict[str, str] = {
                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
+    """,
+    # q73: mirror of q57 — nearest FOLLOWING row, ties -> lowest key.
+    "q73_asof_forward": """
+        SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM (
+            SELECT e.event_id, e.user_id,
+                   o.o_orderkey AS asof_orderkey,
+                   o.o_totalprice AS asof_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
         ) WHERE rn = 1
     """,
     # q61: the tolerance lives in the ON clause here; the engine nulls
