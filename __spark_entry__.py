@@ -1075,6 +1075,27 @@ def q73_asof_forward(spark, sf_dir):
     )
 
 
+def q74_event_gaps(spark, sf_dir):
+    """Per-user inter-event gap statistics via a LAG window (the
+    sessionization precursor): gap = microseconds since the user's
+    previous event in (ts, event_id) order. One key-partitioned window
+    shuffle; the per-user aggregate reuses the same exchange (both
+    partition by user_id), which AQE plans as a single shuffle."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "gap_us",
+        F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+               "(PARTITION BY user_id ORDER BY ts, event_id), ts)"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round-5 additions (listed first -> gated slots) ------------
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
@@ -1082,6 +1103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_dedup_clusters": q71_dedup_clusters,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q73_asof_forward": q73_asof_forward,
+    "q74_event_gaps": q74_event_gaps,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2
@@ -1295,6 +1317,23 @@ OPERATOR_ORACLES: dict[str, str] = {
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         ) WHERE rn = 1
+    """,
+    # q74: LAG window; CASTs pin the SUM away from HUGEINT.
+    "q74_event_gaps": """
+        WITH gaps AS (
+            SELECT user_id,
+                   date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MAX(gap_us) AS max_gap_us,
+               MIN(gap_us) AS min_gap_us,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+        FROM gaps GROUP BY user_id
     """,
     # q73: mirror of q57 — nearest FOLLOWING row, ties -> lowest key.
     "q73_asof_forward": """
