@@ -1096,6 +1096,26 @@ def q74_event_gaps(spark, sf_dir):
     )
 
 
+def q75_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training
+    (operators/sampling.py:negative_pairs): k=4 hash-drawn negatives
+    per anchor doc, md5-portable so the oracle regenerates the exact
+    pair set. Scan-stage explode + one equi-join against the id set —
+    no RNG state, no driver sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.negative_pairs(docs, k=4, hash_fn="md5")
+
+
+def q76_curriculum_buckets(spark, sf_dir):
+    """Curriculum bucketing: NTILE(10) over document length with
+    deterministic tie-break (operators/sampling.py:curriculum_buckets)
+    — the easy→hard scheduling / quality-threshold primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.curriculum_buckets(docs, "n_chars").select(
+        "doc_id", "n_chars", "bucket"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round-5 additions (listed first -> gated slots) ------------
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
@@ -1104,6 +1124,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q73_asof_forward": q73_asof_forward,
     "q74_event_gaps": q74_event_gaps,
+    "q75_negative_sampling": q75_negative_sampling,
+    "q76_curriculum_buckets": q76_curriculum_buckets,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2
@@ -1317,6 +1339,31 @@ OPERATOR_ORACLES: dict[str, str] = {
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         ) WHERE rn = 1
+    """,
+    # q75: identical md5-derived 60-bit hash ("29:{anchor}:{j}"), same
+    # modulo domain (max doc_id + 1), same existence/self filters.
+    "q75_negative_sampling": """
+        WITH a AS (
+            SELECT doc_id AS anchor_id FROM documents WHERE doc_id IS NOT NULL
+        ), d AS (
+            SELECT MAX(doc_id) + 1 AS domain FROM documents
+        ), c AS (
+            SELECT anchor_id, j,
+                   ('0x' || substr(md5('29:' || CAST(anchor_id AS VARCHAR)
+                        || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                       % domain AS negative_id
+            FROM a CROSS JOIN (SELECT unnest(range(1, 5)) AS j) CROSS JOIN d
+        )
+        SELECT anchor_id, j, negative_id
+        FROM c
+        WHERE negative_id != anchor_id
+          AND negative_id IN (SELECT doc_id FROM documents)
+    """,
+    # q76: NTILE with the same total order (score, doc_id).
+    "q76_curriculum_buckets": """
+        SELECT doc_id, n_chars,
+               NTILE(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
+        FROM documents
     """,
     # q74: LAG window; CASTs pin the SUM away from HUGEINT.
     "q74_event_gaps": """

@@ -172,3 +172,80 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
         cum += weights[name] / total
         out.append((name, int(round(cum * HASH_SCALE))))
     return out
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    max_id: int | None = None,
+    seed: int = 29,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, k pseudo-random candidate negatives drawn by
+    hashing (seed, anchor_id, j) into the id domain [0, max_id].
+    Candidates equal to their anchor are dropped, and only candidates
+    that EXIST are kept (inner join against the id set) — so a sparse
+    id domain thins pairs rather than inventing phantom negatives.
+
+    Like every operator in this module the draw is a pure function of
+    (seed, anchor, j): re-partitioning, retries, and engine changes
+    regenerate the identical pair set — the property that makes a
+    training run reproducible. With the md5 hash the same pairs are
+    reproducible in any SQL engine (the q75 oracle).
+
+    Scale shape: explode(k) is a scan-stage flatMap (k rows per
+    anchor, no shuffle), then ONE equi-join against the distinct id
+    set — broadcast when the id table is small, shuffled otherwise.
+    No RNG state, no driver-side sampling.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_id is None:
+        max_id = df.agg(F.max(F.col(id_col))).collect()[0][0]  # O(1) scalar
+    domain = int(max_id) + 1
+    anchors = df.select(F.col(id_col).alias("anchor_id")).filter(
+        F.col("anchor_id").isNotNull()
+    )
+    cand = anchors.select(
+        "anchor_id",
+        F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j"),
+    ).select(
+        "anchor_id",
+        "j",
+        F.pmod(
+            hash60(
+                F.concat_ws(":", F.col("anchor_id"), F.col("j")), seed, hash_fn
+            ),
+            F.lit(domain),
+        ).alias("negative_id"),
+    ).filter(F.col("negative_id") != F.col("anchor_id"))
+    ids = df.select(F.col(id_col).alias("negative_id")).distinct()
+    return cand.join(ids, "negative_id").select("anchor_id", "j", "negative_id")
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Curriculum bucketing: NTILE(n) over a quality/difficulty score
+    (ties broken by id, so the assignment is total and deterministic).
+    Bucket 1 = lowest score. The standard curriculum-learning /
+    quality-threshold primitive: train on buckets >= b, or schedule
+    buckets easy->hard.
+
+    Scale shape: a single global-ordering window. At 100 TB an exact
+    global NTILE requires a range-partitioned sort (Spark plans it as
+    one); when approximate deciles are acceptable, cut at
+    percentile_approx boundaries instead (operators/sketch.py) and
+    assign map-side with no global sort."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return df.withColumn(bucket_col, F.ntile(n_buckets).over(w))

@@ -1087,3 +1087,41 @@ def test_approx_quantiles_bounds(spark, docs):
     }
     for r in got:
         assert (r["quantiles"][0], r["quantiles"][2]) == exact[r["source"]]
+
+
+# ------------------------------------------------------- sampling (round 5)
+
+
+def test_negative_pairs_deterministic_and_valid(spark, docs):
+    from qcache_spark.operators import sampling
+
+    sub = docs.limit(100)
+    a = sampling.negative_pairs(sub, k=3).collect()
+    b = sampling.negative_pairs(sub, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # pure function
+    ids = {r["doc_id"] for r in sub.select("doc_id").collect()}
+    for r in a:
+        assert r["negative_id"] in ids           # negatives exist
+        assert r["negative_id"] != r["anchor_id"]  # never self
+        assert 1 <= r["j"] <= 3
+    # different seed -> different draw
+    c = sampling.negative_pairs(sub, k=3, seed=99).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    with pytest.raises(ValueError):
+        sampling.negative_pairs(sub, k=0)
+
+
+def test_curriculum_buckets_ordering(spark, docs):
+    from qcache_spark.operators import sampling
+
+    out = sampling.curriculum_buckets(docs, "n_chars", n_buckets=4).collect()
+    assert {r["bucket"] for r in out} == {1, 2, 3, 4}
+    # buckets are contiguous in score order: every bucket-1 score <=
+    # every bucket-4 score
+    b1 = max(r["n_chars"] for r in out if r["bucket"] == 1)
+    b4 = min(r["n_chars"] for r in out if r["bucket"] == 4)
+    assert b1 <= b4
+    sizes = [sum(1 for r in out if r["bucket"] == b) for b in (1, 2, 3, 4)]
+    assert max(sizes) - min(sizes) <= 1  # NTILE balance
+    with pytest.raises(ValueError):
+        sampling.curriculum_buckets(docs, "n_chars", n_buckets=0)
