@@ -1106,6 +1106,16 @@ def q75_negative_sampling(spark, sf_dir):
     return _sampling.negative_pairs(docs, k=4, hash_fn="md5")
 
 
+def q77_group_centroids(spark, sf_dir):
+    """Per-label mean embedding (operators/similarity.py:
+    group_centroids), exploded to (label, pos, centroid_val) scalars.
+    Fixed-point sums make the distributed mean bit-reproducible and
+    oracle-matchable with zero tolerance despite float addition being
+    non-associative."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _similarity.group_centroids(emb, "label")
+
+
 def q76_curriculum_buckets(spark, sf_dir):
     """Curriculum bucketing: NTILE(10) over document length with
     deterministic tie-break (operators/sampling.py:curriculum_buckets)
@@ -1126,6 +1136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_event_gaps": q74_event_gaps,
     "q75_negative_sampling": q75_negative_sampling,
     "q76_curriculum_buckets": q76_curriculum_buckets,
+    "q77_group_centroids": q77_group_centroids,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2
@@ -1358,6 +1369,22 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM c
         WHERE negative_id != anchor_id
           AND negative_id IN (SELECT doc_id FROM documents)
+    """,
+    # q77: same fixed-point sum (round(x*1e6) into BIGINT) -> the mean
+    # is order-independent on both engines. Parallel unnests of equal
+    # length zip in DuckDB, giving 0-based (pos, x) pairs.
+    # float->double promotion is exact.
+    "q77_group_centroids": """
+        WITH e AS (
+            SELECT label,
+                   unnest(range(0, len(embedding))) AS pos,
+                   unnest(embedding) AS x
+            FROM embeddings
+        )
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+               SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+                   / 1e6 / COUNT(x) AS centroid_val
+        FROM e GROUP BY label, pos
     """,
     # q76: NTILE with the same total order (score, doc_id).
     "q76_curriculum_buckets": """

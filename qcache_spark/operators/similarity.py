@@ -366,3 +366,48 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+    as_vectors: bool = False,
+) -> DataFrame:
+    """Per-group mean embedding (domain centroids — the seed for
+    per-source clustering, drift monitoring, or steering vectors).
+
+    Sums are fixed-point (`round(x * scale)` into BIGINT) so the mean
+    is EXACTLY order-independent: float addition is not associative,
+    and a distributed sum's association order changes with
+    partitioning — fixed-point makes the centroid bit-reproducible
+    run-to-run AND lets an external SQL oracle match it with zero
+    tolerance (same device as the engine's msum/dsum aggregates).
+
+    Scale shape: posexplode is a scan-stage flatMap (dim rows per
+    vector, no shuffle); one partial-agg shuffle keyed (group, pos) —
+    the shuffle carries (n_groups x dim) partial sums per map task,
+    never vectors. `as_vectors=True` adds a second small shuffle to
+    reassemble arrays; the default exploded form is the joinable/
+    oracle-friendly shape."""
+    expl = df.select(
+        F.col(key_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    agg = expl.groupBy(key_col, "pos").agg(
+        (
+            F.sum(F.round(F.col("x").cast("double") * scale).cast("long"))
+            / scale
+            / F.count("x")
+        ).alias("centroid_val")
+    )
+    if not as_vectors:
+        return agg
+    return agg.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "centroid_val"))
+            ),
+            lambda s: s["centroid_val"],
+        ).alias("centroid")
+    )

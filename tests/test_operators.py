@@ -1125,3 +1125,27 @@ def test_curriculum_buckets_ordering(spark, docs):
     assert max(sizes) - min(sizes) <= 1  # NTILE balance
     with pytest.raises(ValueError):
         sampling.curriculum_buckets(docs, "n_chars", n_buckets=0)
+
+
+def test_group_centroids_vectors_and_reproducibility(spark, embeddings):
+    out = similarity.group_centroids(
+        embeddings, "label", as_vectors=True
+    ).collect()
+    dims = {len(r["centroid"]) for r in out}
+    assert dims == {64}
+    # repartitioning must not change a single bit (fixed-point sums)
+    a = {
+        (r["label"], r["pos"]): r["centroid_val"]
+        for r in similarity.group_centroids(embeddings, "label").collect()
+    }
+    b = {
+        (r["label"], r["pos"]): r["centroid_val"]
+        for r in similarity.group_centroids(
+            embeddings.repartition(7), "label"
+        ).collect()
+    }
+    assert a == b
+    # sanity: centroid of each label differs somewhere
+    labels = sorted({k[0] for k in a})
+    assert len(labels) >= 2
+    assert any(a[(labels[0], p)] != a[(labels[1], p)] for p in range(64))
