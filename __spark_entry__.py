@@ -1116,6 +1116,16 @@ def q77_group_centroids(spark, sf_dir):
     return _similarity.group_centroids(emb, "label")
 
 
+def q78_chunk_dup_stats(spark, sf_dir):
+    """Per-document boilerplate fraction (operators/text.py:
+    chunk_dup_stats): share of a doc's 32-token chunks that repeat
+    verbatim in other docs. Oracle groups the chunk STRINGS where the
+    engine groups 64-bit fingerprints (equality-equivalent, q66's
+    argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.chunk_dup_stats(docs, chunk_size=32, stride=16)
+
+
 def q76_curriculum_buckets(spark, sf_dir):
     """Curriculum bucketing: NTILE(10) over document length with
     deterministic tie-break (operators/sampling.py:curriculum_buckets)
@@ -1137,6 +1147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_negative_sampling": q75_negative_sampling,
     "q76_curriculum_buckets": q76_curriculum_buckets,
     "q77_group_centroids": q77_group_centroids,
+    "q78_chunk_dup_stats": q78_chunk_dup_stats,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2
@@ -1385,6 +1396,33 @@ OPERATOR_ORACLES: dict[str, str] = {
                SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
                    / 1e6 / COUNT(x) AS centroid_val
         FROM e GROUP BY label, pos
+    """,
+    # q78: q62's chunk rule; repeat test on chunk strings (engine uses
+    # 64-bit fingerprints — equality-equivalent); CASTs pin BIGINT.
+    "q78_chunk_dup_stats": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '[^\\p{L}\\p{N}]+'), t -> t != '') AS tk
+            FROM documents
+        ), st AS (
+            SELECT doc_id, tk, unnest(range(0, len(tk), 16)) AS s FROM toks
+        ), chunks AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text
+            FROM st
+        ), spread AS (
+            SELECT chunk_text, COUNT(DISTINCT doc_id) AS ndocs
+            FROM chunks GROUP BY chunk_text
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               ROUND(CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS dup_frac
+        FROM chunks JOIN spread USING (chunk_text)
+        GROUP BY doc_id
     """,
     # q76: NTILE with the same total order (score, doc_id).
     "q76_curriculum_buckets": """

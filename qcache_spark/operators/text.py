@@ -544,3 +544,47 @@ def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -
     if normalize:
         col = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return df.withColumn("fingerprint", F.xxhash64(col))
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate fraction at chunk granularity: chunk
+    every document (chunk_documents' window rule), count how many of a
+    document's chunks also occur VERBATIM in at least one other
+    document, and report the fraction — the standard intra-corpus
+    boilerplate / template-contamination signal (headers, nav bars,
+    license blocks repeat chunk-exactly across pages long before whole
+    documents are near-dups).
+
+    Output: (id_col, n_chunks, n_dup_chunks, dup_frac), dup_frac
+    rounded to 6 places (portable double arithmetic).
+
+    Scale shape: chunking is scan-stage (no shuffle); the repeat test
+    is ONE partial-agg shuffle keyed on the 64-bit chunk fingerprint
+    carrying (fingerprint, count_distinct-ish doc pair) — bodies never
+    shuffle twice: the per-chunk join back is on the fingerprint, and
+    the per-doc rollup reuses the id partitioning. Exactly-repeated
+    boilerplate concentrates on few fingerprints; the groupBy is a
+    partial-agg so hot fingerprints combine map-side."""
+    from pyspark.sql import functions as F
+
+    chunks = chunk_documents(df, chunk_size, stride, text_col, id_col).select(
+        id_col, F.xxhash64("chunk_text").alias("_fp")
+    )
+    # fingerprint -> does it appear in >= 2 distinct docs?
+    spread = chunks.groupBy("_fp").agg(
+        F.count_distinct(F.col(id_col)).alias("_ndocs")
+    )
+    flagged = chunks.join(spread, "_fp").select(
+        id_col, (F.col("_ndocs") >= 2).cast("int").alias("_dup")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_dup").alias("n_dup_chunks"),
+        F.round(F.sum("_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+    )

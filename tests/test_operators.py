@@ -1149,3 +1149,26 @@ def test_group_centroids_vectors_and_reproducibility(spark, embeddings):
     labels = sorted({k[0] for k in a})
     assert len(labels) >= 2
     assert any(a[(labels[0], p)] != a[(labels[1], p)] for p in range(64))
+
+
+def test_chunk_dup_stats_planted_boilerplate(spark):
+    boiler = " ".join(f"tok{i}" for i in range(32))      # exactly one chunk
+    uniq_a = " ".join(f"aaa{i}" for i in range(32))
+    uniq_b = " ".join(f"bbb{i}" for i in range(32))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq_a),   # chunks: boiler.., mixed.., tail
+            (2, boiler + " " + uniq_b),
+            (3, uniq_a),                   # repeats doc 1's unique text
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_frac"])
+        for r in text.chunk_dup_stats(df, chunk_size=32, stride=32).collect()
+    }
+    # stride=32: doc1 = [boiler, uniq_a], doc2 = [boiler, uniq_b],
+    # doc3 = [uniq_a]. boiler repeats across docs 1+2; uniq_a across 1+3.
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 1, 1.0)
