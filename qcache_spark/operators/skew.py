@@ -69,3 +69,55 @@ def salted_aggregate(
     )
     partials = salted.groupBy(*keys, SALT_COL).agg(*phase1_aggs)
     return partials.groupBy(*keys).agg(*phase2_aggs)
+
+
+def skewed_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    top_n: int = 10,
+    min_count: int = 100_000,
+) -> DataFrame:
+    """Explicit skew-split equi-join: route the hottest join keys
+    through a broadcast join and everything else through the normal
+    shuffled join, then union.
+
+        left ⋈ right  ==  (left[hot] ⋈_broadcast right[hot])
+                          ∪ (left[¬hot] ⋈_shuffle right)
+
+    AQE's skew splitting covers most cases at runtime; this helper is
+    for the cases where an explicit, deterministic plan is wanted —
+    AQE disabled, a key so hot its split count explodes, or a join
+    inside a streaming micro-batch (no AQE re-plan). The split is
+    EXACT for inner/left joins: null keys never match `isin` and land
+    in the cold branch, preserving their left-join semantics, and the
+    right side is filtered only in the hot branch (cold branch sees
+    the full right table, so cold matches are complete).
+
+    hot_keys=None detects them with one aggregation on the left
+    table's key column: the top_n keys by count, kept only above
+    min_count rows (below that, skew does not matter). The detection
+    collect is O(top_n) scalars.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    if hot_keys is None:
+        hot_rows = (
+            left.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_count)
+            .orderBy(F.col("_n").desc())
+            .limit(top_n)
+            .collect()
+        )
+        hot_keys = [r[on] for r in hot_rows if r[on] is not None]
+    if not hot_keys:
+        return left.join(right, on, how)
+    l_hot = left.filter(F.col(on).isin(hot_keys))
+    l_cold = left.filter(~F.col(on).isin(hot_keys) | F.col(on).isNull())
+    r_hot = right.filter(F.col(on).isin(hot_keys))
+    joined_hot = l_hot.join(F.broadcast(r_hot), on, how)
+    joined_cold = l_cold.join(right, on, how)
+    return joined_hot.unionByName(joined_cold)

@@ -1172,3 +1172,36 @@ def test_chunk_dup_stats_planted_boilerplate(spark):
     assert got[1] == (2, 2, 1.0)
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (1, 1, 1.0)
+
+
+def test_skewed_join_exact_vs_plain(spark):
+    from qcache_spark.operators.skew import skewed_join
+
+    # key 7 owns 80% of left rows; key None must keep left-join rows
+    left = spark.createDataFrame(
+        [(7, i) for i in range(800)]
+        + [(i % 5, 1000 + i) for i in range(200)]
+        + [(None, 9999)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(8)] + [(7, "r7b")], ["k", "rv"]
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, "k", how).collect()), key=repr
+        )
+        split = skewed_join(left, right, "k", how=how, hot_keys=[7])
+        got = sorted(map(tuple, split.collect()), key=repr)
+        assert got == plain, how
+    # hot branch is a broadcast join
+    plan = skewed_join(left, right, "k", hot_keys=[7])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # auto-detection at a low threshold finds the hot key
+    auto = skewed_join(left, right, "k", min_count=500)
+    assert sorted(map(tuple, auto.collect()), key=repr) == sorted(
+        map(tuple, left.join(right, "k", "inner").collect()), key=repr
+    )
+    with pytest.raises(ValueError):
+        skewed_join(left, right, "k", how="full")
