@@ -343,3 +343,12 @@ def test_parse_kafka_events_feeds_window_builders(spark):
     out = tumbling_counts(events, streaming=False)
     got = {str(r["window_start"]): r["n_events"] for r in out.collect()}
     assert got == {"2024-01-01 00:00:00": 3, "2024-01-01 01:00:00": 3}
+
+
+def test_stream_matches_batch_sliding(spark, events_batch, events_stream):
+    batch = sliding_rates(events_batch, "1 hour", "15 minutes", streaming=False)
+    stream = sliding_rates(events_stream, "1 hour", "15 minutes", streaming=True)
+    run_to_memory_sink(stream, "sliding_test", output_mode="complete")
+    streamed = spark.table("sliding_test")
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(batch, cols) == _rows(streamed, cols)
