@@ -498,3 +498,22 @@ def test_custom_url_prefix(spark):
         assert code == 200 and len(json.loads(body)) == 3
     finally:
         srv.shutdown()
+
+
+def test_rollup_grammar_over_http(server):
+    """Structured group_by travels the full HTTP path: JSON dict in
+    the q param -> compile -> rollup rows (incl. the grand total) on
+    the wire; malformed specs 400 like any grammar error."""
+    store(server, "gs1", "g,v\na,1\na,2\nb,3\n")
+    code, body, _ = query(
+        server, "gs1",
+        {"group_by": {"rollup": ["g"]}, "select": ["g", ["sum", "v"]]},
+    )
+    assert code == 200
+    rows = {r["g"]: r["v"] for r in json.loads(body)}
+    assert rows == {"a": 3, "b": 3, None: 6}
+    code, body, _ = query(
+        server, "gs1",
+        {"group_by": {"bogus": ["g"]}, "select": ["g", ["sum", "v"]]},
+    )
+    assert code == 400
