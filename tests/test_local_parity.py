@@ -179,3 +179,47 @@ def test_unsliced_len_matches(spark, sf_dir):
     qr = compile_query(q, load_table(spark, sf_dir, "orders"))
     pdf = _load_mirror(os.path.join(sf_dir, "orders.parquet"))
     assert execute_local(q, pdf).unsliced_len == qr.unsliced_len()
+
+
+def test_fcode_fast_paths_match_spark(spark, tmp_path):
+    """The factorize-code predicate/distinct fast paths (r5 latency
+    work) only engage above 10k rows — larger than any sf0.001 table —
+    so exercise them explicitly: a 20k-row low-cardinality string
+    column WITH nulls, mirror-loaded (codes present), compared
+    query-for-query against the Catalyst path."""
+    import pandas as pd
+
+    n = 20000
+    cats = ["alpha", "beta", "gamma", None]
+    pdf = pd.DataFrame(
+        {"k": range(n), "cat": [cats[i % 4] for i in range(n)]}
+    )
+    path = str(tmp_path / "cats.parquet")
+    pdf.to_parquet(path)
+    mirror = _load_mirror(path)
+    assert "__fcode_cat" in mirror.columns  # precondition: codes exist
+
+    sdf = spark.read.parquet(path)
+    queries = [
+        {"where": ["==", "cat", "'alpha'"], "select": ["k", "cat"]},
+        {"where": ["!=", "cat", "'alpha'"], "select": ["k"]},
+        {"where": ["==", "cat", "'not-present'"], "select": ["k"]},
+        {"where": ["!=", "cat", "'not-present'"], "select": ["k"]},
+        {"where": ["!", ["==", "cat", "'beta'"]], "select": ["k"]},
+        {"where": ["like", "cat", "'%eta'"], "select": ["k"]},
+        {"where": ["ilike", "cat", "'AL%'"], "select": ["k"]},
+        {"where": ["like", "cat", "'%a%'"], "select": ["k", "cat"]},
+        {"distinct": ["cat"], "select": ["cat"]},
+    ]
+    for q in queries:
+        local = execute_local(q, mirror).sliced
+        catalyst = compile_query(q, sdf).sliced
+        l_rows = sorted(
+            (tuple(_norm(v) for v in t) for t in local.itertuples(index=False)),
+            key=repr,
+        )
+        c_rows = sorted(
+            (tuple(_norm(r[c]) for c in local.columns) for r in catalyst.collect()),
+            key=repr,
+        )
+        assert l_rows == c_rows, q
