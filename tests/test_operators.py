@@ -1205,3 +1205,19 @@ def test_skewed_join_exact_vs_plain(spark):
     )
     with pytest.raises(ValueError):
         skewed_join(left, right, "k", how="full")
+
+
+def test_dedup_clusters_cycle_and_clique(spark):
+    # ring (cycle) and clique components: shapes with redundant edges
+    # must converge to the same min-label star forest
+    ring = [(i, (i + 1) % 20) for i in range(20)]            # 0..19 cycle
+    clique = [(a, b) for a in range(30, 36) for b in range(30, 36) if a < b]
+    pairs = spark.createDataFrame(ring + clique, ["id_a", "id_b"])
+    ids = spark.createDataFrame(
+        [(i,) for i in list(range(20)) + list(range(30, 36))], ["doc_id"]
+    )
+    res = dedup.dedup_clusters(pairs, ids)
+    got = {r["doc_id"]: r["cluster_id"] for r in res.collect()}
+    assert res.converged is True
+    assert all(got[i] == 0 for i in range(20))
+    assert all(got[i] == 30 for i in range(30, 36))
