@@ -204,6 +204,11 @@ def negative_pairs(
         raise ValueError(f"k must be >= 1, got {k}")
     if max_id is None:
         max_id = df.agg(F.max(F.col(id_col))).collect()[0][0]  # O(1) scalar
+        if max_id is None:
+            raise ValueError(
+                f"cannot infer the id domain: column {id_col!r} has no "
+                "non-null values (pass max_id explicitly)"
+            )
     domain = int(max_id) + 1
     anchors = df.select(F.col(id_col).alias("anchor_id")).filter(
         F.col("anchor_id").isNotNull()

@@ -1221,3 +1221,11 @@ def test_dedup_clusters_cycle_and_clique(spark):
     assert res.converged is True
     assert all(got[i] == 0 for i in range(20))
     assert all(got[i] == 30 for i in range(30, 36))
+
+
+def test_negative_pairs_empty_id_domain_raises(spark):
+    from qcache_spark.operators import sampling
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="id domain"):
+        sampling.negative_pairs(empty, k=2)
