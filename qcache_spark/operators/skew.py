@@ -103,6 +103,11 @@ def skewed_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
+    if not isinstance(on, str):
+        raise ValueError(
+            f"skewed_join splits on ONE key column, got {on!r}; "
+            "for composite keys pre-concatenate them into a single column"
+        )
     if hot_keys is None:
         hot_rows = (
             left.groupBy(on)
