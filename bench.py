@@ -152,10 +152,20 @@ def main() -> None:
         key=lambda kv: kv[1],
         default=("", 1.0),
     )
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:  # pragma: no cover
+        load1 = load5 = -1.0
     contention = {
         "median_over_min_total": round(total / total_min, 3) if total_min else 1.0,
         "worst_query": worst[0],
         "worst_ratio": round(worst[1], 2),
+        # 1- and 5-min load average at the END of the timed loop: on a
+        # 32-core box a loadavg far above the bench's own parallelism
+        # is direct evidence another process stole the cores (the
+        # BENCH_r04 artifact; a leftover JVM reproduced it locally).
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
         "dirty": bool(worst[1] > 3.0),
     }
 
