@@ -254,3 +254,30 @@ def curriculum_buckets(
 
     w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
     return df.withColumn(bucket_col, F.ntile(n_buckets).over(w))
+
+
+def curriculum_buckets_approx(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    relative_error: float = 0.0001,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """The scale path of curriculum_buckets: bucket boundaries from
+    approxQuantile (Greenwald-Khenna, one pass, driver gets n_buckets-1
+    scalars), then a MAP-SIDE assignment — no global range sort at
+    all, so bucketing 100 TB costs one scan plus a boundary broadcast.
+    Buckets are value-contiguous and balanced to within the quantile
+    sketch's relative error; exact NTILE balance (and total
+    determinism on tied scores) needs the sorting variant."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.stat.approxQuantile(score_col, probs, relative_error)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    bucket = F.lit(1) + F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, c: acc + (F.col(score_col) > c).cast("int"),
+    )
+    return df.withColumn(bucket_col, bucket)

@@ -1229,3 +1229,25 @@ def test_negative_pairs_empty_id_domain_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="id domain"):
         sampling.negative_pairs(empty, k=2)
+
+
+def test_curriculum_buckets_approx_balance_and_order(spark, docs):
+    from qcache_spark.operators import sampling
+
+    out = sampling.curriculum_buckets_approx(docs, "n_chars", n_buckets=4)
+    rows = out.select("n_chars", "bucket").collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert set(sizes) == {1, 2, 3, 4}
+    n = len(rows)
+    assert all(abs(s - n / 4) <= 0.25 * n / 4 + 2 for s in sizes.values()), sizes
+    # value-contiguous: max score in bucket b <= min score in bucket b+2
+    by_bucket = {
+        b: [r["n_chars"] for r in rows if r["bucket"] == b] for b in sizes
+    }
+    assert max(by_bucket[1]) <= min(by_bucket[3])
+    assert max(by_bucket[2]) <= min(by_bucket[4])
+    # plan: no global sort — assignment is scan-stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan.split("AdaptiveSparkPlan")[-1].split("Scan")[0]
