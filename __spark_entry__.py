@@ -1126,6 +1126,41 @@ def q78_chunk_dup_stats(spark, sf_dir):
     return _text.chunk_dup_stats(docs, chunk_size=32, stride=16)
 
 
+def q79_contrastive_dataset(spark, sf_dir):
+    """Contrastive training-pair builder, composed from two gated
+    operators: the POSITIVE for each anchor is its strongest exact
+    shared-span partner (q66's edge set; max n_shared, ties -> lowest
+    partner id), and each anchor gets k=2 hash-drawn NEGATIVES (q75's
+    generator, md5-portable). One window over the pair edges + one
+    equi-join — the anchor/positive/negative triples a contrastive
+    embedding run trains on, reproducible bit-for-bit across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.shared_ngram_pairs(docs, n=8)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        "n_shared",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("positive_id"),
+            "n_shared",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("n_shared").desc(), F.col("positive_id").asc()
+    )
+    best = (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    negs = _sampling.negative_pairs(docs, k=2, hash_fn="md5")
+    return best.join(negs, "anchor_id").select(
+        "anchor_id", "positive_id", "n_shared", "j", "negative_id"
+    )
+
+
 def q76_curriculum_buckets(spark, sf_dir):
     """Curriculum bucketing: NTILE(10) over document length with
     deterministic tie-break (operators/sampling.py:curriculum_buckets)
@@ -1148,6 +1183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_curriculum_buckets": q76_curriculum_buckets,
     "q77_group_centroids": q77_group_centroids,
     "q78_chunk_dup_stats": q78_chunk_dup_stats,
+    "q79_contrastive_dataset": q79_contrastive_dataset,
     # --- Gate-slot rotation (round 3) -------------------------------
     # The driver's correctness harness recorded exactly the FIRST 50
     # insertion-order keys of this dict in both round 1 and round 2
@@ -1361,6 +1397,55 @@ OPERATOR_ORACLES: dict[str, str] = {
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         ) WHERE rn = 1
+    """,
+    # q79: q66's pair CTE + best-partner window + q75's negative CTE
+    # joined on the anchor — the composed formulations of the two
+    # gated generators, so the composition itself is oracle-checked.
+    "q79_contrastive_dataset": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+                          i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+                END) AS g
+            FROM toks
+        ), keep AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 200
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), sym AS (
+            SELECT id_a AS anchor_id, id_b AS positive_id, n_shared FROM pairs
+            UNION ALL
+            SELECT id_b, id_a, n_shared FROM pairs
+        ), best AS (
+            SELECT anchor_id, positive_id, n_shared FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                    ORDER BY n_shared DESC, positive_id ASC) AS rn
+                FROM sym
+            ) WHERE rn = 1
+        ), d AS (
+            SELECT MAX(doc_id) + 1 AS domain FROM documents
+        ), negs AS (
+            SELECT anchor_id, j,
+                   ('0x' || substr(md5('29:' || CAST(anchor_id AS VARCHAR)
+                        || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                       % domain AS negative_id
+            FROM (SELECT doc_id AS anchor_id FROM documents
+                  WHERE doc_id IS NOT NULL)
+            CROSS JOIN (SELECT unnest(range(1, 3)) AS j) CROSS JOIN d
+        )
+        SELECT b.anchor_id, b.positive_id, b.n_shared, n.j, n.negative_id
+        FROM best b JOIN negs n USING (anchor_id)
+        WHERE n.negative_id != n.anchor_id
+          AND n.negative_id IN (SELECT doc_id FROM documents)
     """,
     # q75: identical md5-derived 60-bit hash ("29:{anchor}:{j}"), same
     # modulo domain (max doc_id + 1), same existence/self filters.
