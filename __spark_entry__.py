@@ -936,6 +936,13 @@ def q67_training_pipeline(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
 
     norm_key = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # NOTE (r5): a one-window min-id formulation (partitionBy
+    # fingerprint) was tried and REVERTED: it halves the exchanges and
+    # scans, but AQE coalesces the tiny post-window shuffle to one
+    # partition and every downstream text stage (shingling, language
+    # id) then runs single-task — 3.1 s -> 5.2 s at sf0.1. The
+    # agg+semi-join shape keeps the scan's full parallelism under the
+    # heavy text work, which is what actually matters at scale.
     reps = _dedup.exact_dedup_representatives(corpus, norm_key)
     kept = corpus.join(
         reps.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
