@@ -62,6 +62,9 @@ HEADLINE = [
     "q66_shared_spans",
     "q67_training_pipeline",
     "q68_sequence_packing",
+    "q71_dedup_clusters",
+    "q78_chunk_dup_stats",
+    "q79_contrastive_dataset",
 ]
 
 
@@ -185,16 +188,22 @@ def main() -> None:
             bucket_by=("o_custkey", CPUS),
         )
         plain_loader = em.load_table
-        em.load_table = lambda s, d, n: item.df if n == "orders" else plain_loader(s, d, n)
-        fn = queries["q22_window_rank"]
-        fn(spark, SF_DIR).toPandas()
-        runs = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
+        try:
+            em.load_table = (
+                lambda s, d, n: item.df if n == "orders" else plain_loader(s, d, n)
+            )
+            fn = queries["q22_window_rank"]
             fn(spark, SF_DIR).toPandas()
-            runs.append(time.perf_counter() - t0)
-        extras["q22_window_rank_bucketed"] = round(statistics.median(runs), 4)
-        em.load_table = plain_loader
+            runs = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).toPandas()
+                runs.append(time.perf_counter() - t0)
+            extras["q22_window_rank_bucketed"] = round(statistics.median(runs), 4)
+        finally:
+            # restore unconditionally — a failure mid-probe must not leave
+            # the bucketed routing installed for the rest of the bench
+            em.load_table = plain_loader
         cat.delete("orders_bucketed")
     except Exception as e:  # the delta probe must never fail the bench
         extras["q22_window_rank_bucketed_error"] = str(e)[:200]
@@ -212,6 +221,7 @@ def main() -> None:
         "q57_asof_join",
         "q60_decontamination",
         "q67_training_pipeline",
+        "q71_dedup_clusters",  # iterative CC — the likeliest superlinear plan
     ]
     sweep_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if (
@@ -219,11 +229,11 @@ def main() -> None:
         and os.path.isdir(sweep_dir)
         and os.path.realpath(sweep_dir) != os.path.realpath(SF_DIR)
     ):
+        prev_loader = em.load_table
         try:
             small = CachedDirLoader(spark, sweep_dir)
             small.warm(["lineitem", "orders", "customer", "events", "documents",
                         "embeddings"])
-            prev_loader = em.load_table
             em.load_table = (
                 lambda s, d, n: small(s, d, n)
                 if d == sweep_dir
@@ -249,10 +259,15 @@ def main() -> None:
                         math.log10(t_big / t_small) / decades, 3
                     ),
                 }
-            em.load_table = prev_loader
             extras["scale_sweep"] = sweep
         except Exception as e:  # the sweep must never fail the bench
             extras["scale_sweep_error"] = str(e)[:200]
+        finally:
+            # unconditional restore: an exception mid-sweep must not leave
+            # the sweep-dir routing wrapper installed (wrappers nest across
+            # reruns and the published loader state would differ from the
+            # clean path)
+            em.load_table = prev_loader
 
     print(
         json.dumps(

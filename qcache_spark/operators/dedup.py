@@ -601,7 +601,17 @@ def dedup_clusters(
             converged = True
             break
         prev_sig = sig
-    labels = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
+    # groupBy-min, not a raw select: at the star-forest fixpoint each u
+    # already has exactly one edge so this is a no-op, but if the loop
+    # exited at max_iters short of convergence a node can still carry
+    # several (u,v) edges and a raw select would fan the label join out
+    # into duplicate id rows with conflicting cluster_ids. min(v) keeps
+    # the one-row-per-id contract in all cases (and only ever lowers
+    # labels, consistent with the algorithm).
+    labels = (
+        e.groupBy(F.col("u").alias(id_col))
+        .agg(F.min("v").alias("cluster_id"))
+    )
     result = ids.join(labels, id_col, "left").select(
         id_col,
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),

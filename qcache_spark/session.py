@@ -102,8 +102,19 @@ def normalize_event_ts(df, col: str = "ts"):
         )
     if isinstance(dt, T.TimestampType):
         # A writer that produced micros-precision ltz: reinterpret as
-        # naive UTC wall time (engine sessions run UTC).
-        return df.withColumn(col, F.col(col).cast(T.TimestampNTZType()))
+        # naive UTC wall time. A plain ltz->ntz CAST renders the instant
+        # in the *session* timezone, so a caller-supplied non-UTC session
+        # (load_table explicitly supports sessions not built by
+        # get_spark()) would silently shift every event time. Go through
+        # unix_micros (timezone-independent) and anchor on the ntz epoch,
+        # exactly like the long branch above.
+        return df.withColumn(
+            col,
+            F.expr(
+                f"timestampadd(MICROSECOND, unix_micros({col}),"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -78,6 +78,18 @@ def _watermark_ntz(
     output time columns via _restore_ntz."""
     was_ntz = isinstance(events.schema[event_col].dataType, T.TimestampNTZType)
     if was_ntz:
+        # The ntz->ltz->ntz round trip is only a wall-time identity when
+        # the session renders in UTC; a non-UTC session would shift both
+        # window boundaries and the watermark cutoff. Fail loudly instead
+        # of silently drifting (get_spark pins UTC; external sessions may
+        # not).
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                "streaming windows over TIMESTAMP_NTZ event time require "
+                f"spark.sql.session.timeZone=UTC (got {tz!r}); build the "
+                "session with qcache_spark.session.get_spark or set the conf"
+            )
         events = events.withColumn(event_col, F.col(event_col).cast("timestamp"))
     return events.withWatermark(event_col, watermark), was_ntz
 
