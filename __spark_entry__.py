@@ -1169,9 +1169,16 @@ def q79_contrastive_dataset(spark, sf_dir):
 
 
 def q76_curriculum_buckets(spark, sf_dir):
-    """Curriculum bucketing: NTILE(10) over document length with
+    """Curriculum bucketing: exact NTILE(10) over document length with
     deterministic tie-break (operators/sampling.py:curriculum_buckets)
-    — the easy→hard scheduling / quality-threshold primitive."""
+    — the easy→hard scheduling / quality-threshold primitive.
+
+    Scale path (round 6): distributed exact NTILE — range repartition
+    on (score, id), per-partition-id row_number windows, broadcast
+    cumulative offsets, NTILE arithmetic on the global rank. No
+    empty-partition-spec Window / SinglePartition exchange anywhere in
+    the plan (plan-asserted in tests); same oracle as before because
+    the bucket assignment is bit-identical to SQL NTILE."""
     docs = load_table(spark, sf_dir, "documents")
     return _sampling.curriculum_buckets(docs, "n_chars").select(
         "doc_id", "n_chars", "bucket"
