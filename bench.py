@@ -68,6 +68,12 @@ HEADLINE = [
 ]
 
 
+# Tables the heavy-query sweep needs warm (shared with tools/scale_sweep.py)
+HEAVY_SWEEP_TABLES = [
+    "lineitem", "orders", "customer", "events", "documents", "embeddings",
+]
+
+
 class CachedDirLoader:
     """Serve load_table from a pre-persisted in-memory cache, the
     engine's operating model (datasets live in the cache, queries hit
