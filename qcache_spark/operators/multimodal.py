@@ -19,9 +19,16 @@ the lib is absent here, so that branch is covered by a
 skip-if-missing test). `fake_decode=True` (default) substitutes a
 deterministic, schema-correct fake (content-hash-seeded) so the
 Spark-side plumbing (schemas, batch iteration, UDF signatures,
-partitioning) stays testable with zero codec surface. Audio/video
-frame EXTRACTION beyond byte-slicing still needs ffmpeg and stays
-stubbed.
+partitioning) stays testable with zero codec surface.
+
+Video (round 6): `sample_frames(real_decode=True)` extracts REAL
+frames — uncompressed Y4M (YUV4MPEG2) parses natively in numpy (the
+video analogue of the PNM image path; exercised end-to-end by the
+test suite), and compressed containers are transcoded to Y4M by the
+optional ffmpeg binary (`video_decoder_available()`; absent here →
+skip-if-missing test + loud RuntimeError in production). Extracted
+frames are emitted as P6 PPM blobs, so they compose directly with the
+image operators' real-decode path.
 """
 from __future__ import annotations
 
@@ -255,24 +262,168 @@ def extract_image_features(
     return src.mapInPandas(features, IMAGE_FEATURES_SCHEMA)
 
 
+def video_decoder_available() -> bool:
+    """True when the OPTIONAL compressed-container decoder (the ffmpeg
+    binary) is on PATH. Uncompressed Y4M (YUV4MPEG2) decodes natively
+    without it — see _frames_from_y4m."""
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _yuv_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Full-range (JFIF) YCbCr -> RGB, vectorized; deterministic and
+    engine-independent (pure integer inputs, fixed float coefficients,
+    clip + round). Limited-range studio swing is not rescaled — frame
+    STATISTICS downstream only need a fixed, documented mapping."""
+    y = y.astype(np.float32)
+    cb = cb.astype(np.float32) - 128.0
+    cr = cr.astype(np.float32) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _frames_from_y4m(data: bytes) -> Iterator[tuple[int, np.ndarray]]:
+    """Native YUV4MPEG2 (Y4M) parser — pure numpy, no codec library.
+    Y4M is the uncompressed video interchange format (a text header +
+    raw YUV planes per frame), i.e. exactly the video analogue of PNM
+    for images. Yields (frame_index, HxWx3 uint8 RGB). Supports C444,
+    C422 and the C420 family (jpeg/mpeg2/paldv siting differences only
+    affect chroma placement, irrelevant to frame statistics); chroma is
+    upsampled by nearest-neighbor repeat."""
+    eol = data.index(b"\n")
+    header = data[:eol].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    width = height = 0
+    cs = "420jpeg"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "C":
+            cs = tok[1:]
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad Y4M geometry in header: {header!r}")
+    if cs.startswith("444"):
+        cw, ch = width, height
+    elif cs.startswith("422"):
+        cw, ch = (width + 1) // 2, height
+    elif cs.startswith("420"):
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    ysz, csz = width * height, cw * ch
+    pos, idx = eol + 1, 0
+    while pos < len(data):
+        feol = data.index(b"\n", pos)
+        if not data[pos:feol].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M: missing FRAME marker")
+        pos = feol + 1
+        if pos + ysz + 2 * csz > len(data):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(data, np.uint8, ysz, pos).reshape(height, width)
+        cb = np.frombuffer(data, np.uint8, csz, pos + ysz).reshape(ch, cw)
+        cr = np.frombuffer(data, np.uint8, csz, pos + ysz + csz).reshape(ch, cw)
+        if (cw, ch) != (width, height):
+            cb = np.repeat(np.repeat(cb, -(-height // ch), 0)[:height],
+                           -(-width // cw), 1)[:, :width]
+            cr = np.repeat(np.repeat(cr, -(-height // ch), 0)[:height],
+                           -(-width // cw), 1)[:, :width]
+        yield idx, _yuv_to_rgb(y, cb, cr)
+        idx += 1
+        pos += ysz + 2 * csz
+
+
+def _frame_to_ppm(rgb: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 frame as binary PPM (P6) — the format the
+    image half of this module decodes natively, so extracted frames
+    feed straight into extract_image_features/resize_images with
+    fake_decode=False."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def _extract_frames_real(
+    payload: bytes, every_n: int, max_frames: int
+) -> list[tuple[int, bytes]]:
+    """Real frame extraction: native for Y4M; any other container is
+    transcoded TO Y4M by the ffmpeg binary when present (one optional
+    tool, one parser — the video twin of the Pillow pattern), else
+    raises so a misconfigured production pipeline fails loudly instead
+    of silently emitting stub frames."""
+    data = payload or b""
+    if not data.startswith(b"YUV4MPEG2"):
+        if not video_decoder_available():
+            raise RuntimeError(
+                "compressed video container and no ffmpeg on PATH; "
+                "install ffmpeg or pre-transcode to Y4M"
+            )
+        import subprocess
+
+        data = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", "pipe:0",
+             "-f", "yuv4mpegpipe", "pipe:1"],
+            input=data, stdout=subprocess.PIPE, check=True,
+        ).stdout
+    out = []
+    for idx, rgb in _frames_from_y4m(data):
+        if idx % max(every_n, 1):
+            continue
+        out.append((idx, _frame_to_ppm(rgb)))
+        if len(out) >= max_frames:
+            break
+    return out
+
+
 def sample_frames(
-    media: DataFrame, every_n: int = 2, max_frames: int = 4
+    media: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 4,
+    real_decode: bool = False,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one input blob → N frame rows
-    (flatMap shape via mapInPandas yielding more rows than input).
-    Frames are byte slices of the payload under the stub; a real
-    implementation replaces the slicing with an ffmpeg seek+decode."""
+    """Video frame-sampling: one input blob → N frame rows (flatMap
+    shape via mapInPandas yielding more rows than input).
+
+    real_decode=True routes through _extract_frames_real — native Y4M
+    parsing in numpy (always available; exercised end-to-end by the
+    test suite), ffmpeg-transcode-to-Y4M for compressed containers
+    when the binary is on PATH (skip-if-absent test), loud failure
+    otherwise. Extracted frames are emitted as P6 PPM blobs, so the
+    output composes directly with extract_image_features /
+    resize_images(fake_decode=False). The default keeps the
+    deterministic byte-slicing stand-in so the plumbing stays testable
+    against blobs that are not real video.
+
+    Scale shape (either path): one Arrow batch pipeline over the blob
+    column, no shuffle; decode parallelism == scan parallelism."""
 
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, blobs = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = payload or b""
-                n = min(max_frames, max(len(payload) // max(every_n, 1), 1))
-                for i in range(n):
-                    ids.append(media_id)
-                    idxs.append(i * every_n)
-                    blobs.append(payload[i * every_n: i * every_n + 16])
+                if real_decode:
+                    for idx, ppm in _extract_frames_real(
+                        payload, every_n, max_frames
+                    ):
+                        ids.append(media_id)
+                        idxs.append(idx)
+                        blobs.append(ppm)
+                else:
+                    n = min(max_frames, max(len(payload) // max(every_n, 1), 1))
+                    for i in range(n):
+                        ids.append(media_id)
+                        idxs.append(i * every_n)
+                        blobs.append(payload[i * every_n: i * every_n + 16])
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame_payload": blobs}
             )

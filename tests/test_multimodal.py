@@ -171,3 +171,103 @@ def test_decode_compressed_without_pillow_fails_loudly():
         pytest.skip("Pillow present — the loud-failure branch is unreachable")
     with pytest.raises(ImportError):
         mm._decode_image_real(b"\x89PNG\r\n\x1a\n not-really-a-png")
+
+
+def _y4m(width, height, frames, cs="C444"):
+    """Build a Y4M blob from a list of (y, cb, cr) plane tuples."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 {cs}\n".encode()
+    body = b"".join(
+        b"FRAME\n" + y.tobytes() + cb.tobytes() + cr.tobytes()
+        for y, cb, cr in frames
+    )
+    return head + body
+
+
+def _gray_frame(width, height, luma):
+    """Neutral-chroma frame: Y=luma, Cb=Cr=128 -> RGB (luma,luma,luma)."""
+    import numpy as np
+
+    y = np.full((height, width), luma, np.uint8)
+    c = np.full((height, width), 128, np.uint8)
+    return y, c, c
+
+
+def test_y4m_native_parse_and_rgb():
+    import numpy as np
+
+    blob = _y4m(4, 2, [_gray_frame(4, 2, 50), _gray_frame(4, 2, 200)])
+    frames = list(mm._frames_from_y4m(blob))
+    assert [i for i, _ in frames] == [0, 1]
+    assert frames[0][1].shape == (2, 4, 3)
+    # neutral chroma: RGB == luma in the full-range matrix
+    assert np.unique(frames[0][1]).tolist() == [50]
+    assert np.unique(frames[1][1]).tolist() == [200]
+
+
+def test_y4m_c420_chroma_upsample():
+    import numpy as np
+
+    y = np.full((4, 4), 128, np.uint8)
+    cb = np.full((2, 2), 128, np.uint8)
+    cr = np.full((2, 2), 255, np.uint8)  # strong red shift
+    blob = _y4m(4, 4, [(y, cb, cr)], cs="C420jpeg")
+    (_, rgb), = mm._frames_from_y4m(blob)
+    assert rgb.shape == (4, 4, 3)
+    assert rgb[0, 0, 0] > 200 and rgb[0, 0, 2] == 128  # red up, blue flat
+
+
+def test_y4m_malformed_rejected():
+    with pytest.raises(ValueError):
+        list(mm._frames_from_y4m(b"YUV4MPEG2 W4 H2 C444\nNOPE\n" + b"\0" * 64))
+    with pytest.raises(ValueError):
+        list(mm._frames_from_y4m(b"RIFF not a y4m\n"))
+
+
+def test_sample_frames_real_decode_end_to_end(spark):
+    """Y4M blob -> sample_frames(real) -> PPM frame blobs -> the IMAGE
+    real-decode path computes exact per-frame statistics. The full
+    video pipeline with zero optional dependencies."""
+    blob = _y4m(4, 2, [_gray_frame(4, 2, v) for v in (10, 60, 110, 160, 210)])
+    media = spark.createDataFrame(
+        [(7, "video", "video/x-yuv4mpeg", blob, {})], mm.MEDIA_SCHEMA
+    )
+    out = mm.sample_frames(media, every_n=2, max_frames=2, real_decode=True)
+    rows = {r["frame_index"]: r for r in out.collect()}
+    assert sorted(rows) == [0, 2]  # every 2nd frame, capped at 2
+    img = mm._decode_pnm(bytes(rows[2]["frame_payload"]))
+    assert img.shape == (2, 4, 3)
+    assert img.mean() == 110.0
+    # frames feed the image feature extractor unchanged
+    feats = mm.extract_image_features(
+        out.select(
+            out.media_id, out.frame_payload.alias("payload")
+        ),
+        fake_decode=False,
+    ).collect()
+    assert {f["mean_luma"] for f in feats} == {10.0, 110.0}
+
+
+def test_sample_frames_compressed_without_ffmpeg_fails_loudly():
+    if mm.video_decoder_available():
+        pytest.skip("ffmpeg present — loud-failure branch unreachable")
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        mm._extract_frames_real(b"\x00\x00\x00 ftypisom fake-mp4", 1, 4)
+
+
+def test_sample_frames_ffmpeg_transcode():
+    """Compressed-container branch — runs wherever ffmpeg is on PATH,
+    skips cleanly here."""
+    if not mm.video_decoder_available():
+        pytest.skip("ffmpeg not on PATH")
+    import subprocess
+
+    blob = _y4m(4, 2, [_gray_frame(4, 2, 99)] * 3)
+    avi = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", "-c:v", "rawvideo",
+         "-f", "avi", "pipe:1"],
+        input=blob, stdout=subprocess.PIPE, check=True,
+    ).stdout
+    frames = mm._extract_frames_real(avi, 1, 2)
+    assert len(frames) == 2
+    img = mm._decode_pnm(frames[0][1])
+    assert img.shape == (2, 4, 3)
