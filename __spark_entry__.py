@@ -366,6 +366,7 @@ def q25_time_bucket(spark, sf_dir):
 
 from qcache_spark.operators import asof as _asof
 from qcache_spark.operators import dedup as _dedup
+from qcache_spark.operators import funnel as _funnel
 from qcache_spark.operators import sampling as _sampling
 from qcache_spark.operators import similarity as _similarity
 from qcache_spark.operators import text as _text
@@ -1185,7 +1186,138 @@ def q76_curriculum_buckets(spark, sf_dir):
     )
 
 
+def q80_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column
+    (operators/similarity.py:quantize_embeddings) — the embedding-store
+    compression primitive (float32 -> int8 + one scale/vector = 4x
+    smaller ANN index). Gate emits an exact-integer summary per vector
+    (scale pinned at 1e-9 resolution via floor, quantized sums, max
+    magnitude) so the oracle comparison has zero float tolerance; the
+    reconstruction-error bound is pytest-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _similarity.quantize_embeddings(emb)
+    sum_q = F.aggregate(
+        F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    sum_abs_q = F.aggregate(
+        F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+    )
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1e9)).cast("long").alias("scale_e9"),
+        sum_q.alias("sum_q"),
+        sum_abs_q.alias("sum_abs_q"),
+        F.array_max(F.transform(F.col("qvec"), F.abs)).alias("max_abs_q"),
+    )
+
+
+def q81_weighted_sample(spark, sf_dir):
+    """Length-weighted deterministic Bernoulli sample
+    (operators/sampling.py:weighted_sample): P[keep] = n_chars/1024,
+    md5-portable hash, exact decimal-domain comparison — the oracle
+    reproduces the identical kept set with HUGEINT arithmetic. Scan-
+    stage narrow filter; no RNG, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.weighted_sample(
+        docs, "n_chars", denom=1024, seed=3, hash_fn="md5"
+    ).select("doc_id", "n_chars")
+
+
+def q82_user_funnel(spark, sf_dir):
+    """Strict ordered conversion funnel view -> click -> purchase
+    (operators/funnel.py:user_funnel): step i+1 counts only events
+    strictly after the user's first completion of step i. Every
+    shuffle keys on user_id (min-agg + equi-join per step); no global
+    ordering, no per-user history materialization."""
+    events = load_table(spark, sf_dir, "events")
+    return _funnel.user_funnel(events, ["view", "click", "purchase"])
+
+
+def q83_ngram_novelty(spark, sf_dir):
+    """Inter-document trigram novelty (operators/text.py:
+    ngram_novelty): per document, its distinct word-trigram count and
+    how many of those trigrams no smaller-id document contains —
+    the ingest-order "new content" measure. Scan-stage gram flatMap,
+    one partial-agg shuffle on the gram for min-doc attribution, one
+    equi-join back; integers only, zero float tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.ngram_novelty(docs, n=3)
+
+
+def q84_vocab_overlap(spark, sf_dir):
+    """Pairwise language vocabulary overlap (operators/text.py:
+    vocab_overlap): distinct-token sets per lang, intersection sizes
+    for all unordered lang pairs (zero-overlap pairs included via the
+    broadcast sizes cross join). The cross-corpus contamination probe.
+    Vocabulary-sized shuffles only; bodies never move."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.vocab_overlap(docs, "lang")
+
+
+def q85_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit over the star schema: orphan counts
+    for lineitem->orders, orders->customer, customer->nation. Each
+    relation projects to its KEY COLUMN before the anti-join, so the
+    exchanges carry 8-byte keys, never rows — auditing 100 TB of fact
+    tables shuffles only the key sets (and the dim sides broadcast).
+    The data-quality gate every pipeline runs before training."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def audit(name, child_keys, parent_keys):
+        cond = (
+            child_keys[child_keys.columns[0]]
+            == parent_keys[parent_keys.columns[0]]
+        )
+        return child_keys.join(parent_keys, cond, "left_anti").agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+
+    out = audit("lineitem->orders", li, orders.select("o_orderkey"))
+    out = out.unionByName(
+        audit(
+            "orders->customer",
+            orders.select("o_custkey"),
+            cust.select("c_custkey"),
+        )
+    )
+    return out.unionByName(
+        audit(
+            "customer->nation",
+            cust.select("c_nationkey"),
+            F.broadcast(nation.select("n_nationkey")),
+        )
+    )
+
+
+def q86_table_profile(spark, sf_dir):
+    """Column-profile report over orders (operators/text.py:
+    profile_table): per column, row/null/exact-distinct counts and
+    min/max rendered to strings. ONE aggregation pass for all columns
+    (single scan + 1-row shuffle); the unpivot explodes the single
+    aggregated row. Float columns are excluded from the GATE because
+    Java and DuckDB format doubles differently — the operator itself
+    profiles any type."""
+    orders = load_table(spark, sf_dir, "orders")
+    return _text.profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_orderdate"],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- Round-6 additions (listed first -> gated slots) ------------
+    "q86_table_profile": q86_table_profile,
+    "q80_embedding_quantize": q80_embedding_quantize,
+    "q81_weighted_sample": q81_weighted_sample,
+    "q82_user_funnel": q82_user_funnel,
+    "q83_ngram_novelty": q83_ngram_novelty,
+    "q84_vocab_overlap": q84_vocab_overlap,
+    "q85_fk_orphan_audit": q85_fk_orphan_audit,
     # --- Round-5 additions (listed first -> gated slots) ------------
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
@@ -2009,6 +2141,149 @@ OPERATOR_ORACLES: dict[str, str] = {
 
 
 ORACLES: dict[str, str] = {
+    # q86: one SELECT per profiled column; COUNT(DISTINCT) excludes
+    # nulls in both engines, min/max rendered as strings (timestamp
+    # wall-time text matches under the engine's UTC sessions).
+    "q86_table_profile": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                  "o_orderpriority", "o_orderdate"]
+    ),
+    # q80: identical quantization arithmetic — float->double promotion,
+    # floor(x/scale + 0.5) rounding (engine-independent, unlike
+    # round-half-even), floor(scale*1e9) pin; sums cast away from
+    # HUGEINT per the driver's raw-value hashing.
+    "q80_embedding_quantize": """
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   greatest(list_max(list_transform(embedding,
+                                                    x -> abs(x))),
+                            1e-30) / 127.0 AS scale
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                                  x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                       AS qvec
+            FROM s
+        )
+        SELECT vec_id,
+               CAST(floor(scale * 1e9) AS BIGINT) AS scale_e9,
+               CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS sum_q,
+               CAST(list_aggregate(list_transform(qvec, x -> abs(x)),
+                                   'sum') AS BIGINT) AS sum_abs_q,
+               CAST(list_aggregate(list_transform(qvec, x -> abs(x)),
+                                   'max') AS INTEGER) AS max_abs_q
+        FROM q
+    """,
+    # q81: md5-derived 60-bit hash (q54's portable formulation); the
+    # weighted comparison runs in HUGEINT so the boundary is exact.
+    "q81_weighted_sample": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE CAST(('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT)::HUGEINT * 1024
+              < n_chars::HUGEINT * 1152921504606846976::HUGEINT
+    """,
+    # q82: strict sequential funnel — each step's completion is the
+    # min event time strictly after the previous step's completion.
+    "q82_user_funnel": """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step_index, 'view' AS step,
+               (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+    # q83: same tokenizer as q56/q63 (regexp split on non-letter/digit
+    # runs); per-doc DISTINCT trigrams, min-doc-id attribution.
+    "q83_ngram_novelty": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^\\p{L}\\p{N}]+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ), ng AS (
+            SELECT DISTINCT doc_id,
+                   ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+            FROM toks, UNNEST(CASE WHEN len(ts) >= 3
+                                   THEN generate_series(1, len(ts) - 2)
+                                   ELSE [] END) AS g(i)
+        ), first AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM ng GROUP BY gram
+        ), per_doc AS (
+            SELECT ng.doc_id,
+                   COUNT(*) AS n_ngrams,
+                   CAST(SUM(CASE WHEN first_doc = ng.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM ng JOIN first USING (gram)
+            GROUP BY ng.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(n_ngrams, 0) AS n_ngrams,
+               COALESCE(n_novel, 0) AS n_novel
+        FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+    # q84: distinct-token vocabularies per lang; total pair coverage
+    # via the sizes cross join, intersection by token equi-join.
+    "q84_vocab_overlap": """
+        WITH vocab AS (
+            SELECT DISTINCT lang AS g, t.tok
+            FROM documents,
+                 UNNEST(list_filter(regexp_split_to_array(lower(text),
+                                                          '[^\\p{L}\\p{N}]+'),
+                                    x -> x <> '')) AS t(tok)
+        ), sizes AS (
+            SELECT g, COUNT(*) AS n FROM vocab GROUP BY g
+        ), inter AS (
+            SELECT a.g AS ga, b.g AS gb, COUNT(*) AS n_common
+            FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.g < b.g
+            GROUP BY a.g, b.g
+        )
+        SELECT sa.g AS lang_a, sb.g AS lang_b,
+               sa.n AS n_a, sb.n AS n_b,
+               COALESCE(n_common, 0) AS n_common
+        FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+        LEFT JOIN inter ON inter.ga = sa.g AND inter.gb = sb.g
+    """,
+    # q85: orphan = child key with no parent row (NOT EXISTS ≡ the
+    # engine's left_anti join).
+    "q85_fk_orphan_audit": """
+        SELECT 'lineitem->orders' AS relation,
+               COUNT(*) AS n_orphans
+        FROM lineitem WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'orders->customer', COUNT(*)
+        FROM orders WHERE NOT EXISTS (
+            SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        UNION ALL
+        SELECT 'customer->nation', COUNT(*)
+        FROM customer WHERE NOT EXISTS (
+            SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                SUM(l_quantity) AS l_quantity,

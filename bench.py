@@ -65,6 +65,8 @@ HEADLINE = [
     "q71_dedup_clusters",
     "q78_chunk_dup_stats",
     "q79_contrastive_dataset",
+    "q83_ngram_novelty",
+    "q84_vocab_overlap",
 ]
 
 

@@ -342,3 +342,37 @@ def curriculum_buckets_approx(
         lambda acc, c: acc + (F.col(score_col) > c).cast("int"),
     )
     return df.withColumn(bucket_col, bucket)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    denom: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row iff
+
+        hash60(id, seed) * denom  <  weight * 2^60
+
+    i.e. P[keep] = min(weight/denom, 1), independently per row but as a
+    pure function of (seed, id) — the weighted analogue of hash_sample,
+    with all of its properties (reproducible across engines/partitions/
+    days, no RNG state, scan-stage narrow filter; see module
+    docstring). Length-weighted corpus sampling ("keep long documents
+    proportionally more often") is the canonical use.
+
+    The comparison is EXACT: both sides are integers up to
+    weight*2^60 (~2^80 for 7-digit weights), far past int64, so the
+    engine compares in decimal(38,0) and an external oracle can use
+    HUGEINT/DECIMAL — no float probability is ever formed, the
+    boundary cannot drift between engines."""
+    if denom < 1:
+        raise ValueError(f"denom must be >= 1, got {denom}")
+    h = hash60(F.col(id_col), seed, hash_fn).cast("decimal(38,0)")
+    w = F.col(weight_col).cast("decimal(38,0)")
+    return df.filter(
+        h * F.lit(int(denom)).cast("decimal(38,0)")
+        < w * F.lit(HASH_SCALE).cast("decimal(38,0)")
+    )

@@ -588,3 +588,164 @@ def chunk_dup_stats(
         F.sum("_dup").alias("n_dup_chunks"),
         F.round(F.sum("_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inter-document n-gram novelty: for each document, how many of
+    its DISTINCT word n-grams are introduced BY it — i.e. no document
+    with a smaller id contains them. High-novelty documents carry new
+    content; near-zero novelty flags template/boilerplate tails that
+    survived exact dedup. (doc_id order is the corpus's arrival order,
+    so this is "novel at ingest time".)
+
+    Returns (id, n_ngrams, n_novel) — exact integers (the fraction is
+    a trivial ratio for the caller; emitting only integers keeps the
+    result bit-comparable across engines).
+
+    Scale shape: n-gram generation is a scan-stage flatMap (built-in
+    transform over the token array — no UDF); one partial-agg shuffle
+    keyed on the n-gram computes each gram's minimum doc id (hot grams
+    combine map-side); one equi-join attributes first-introduction
+    back to documents and reduces per doc. The shuffle carries 64-bit-
+    hashable short strings, never document bodies."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.filter(word_tokens(F.col(text_col)), lambda t: t != "")
+    # guard: sequence(1, stop) DESCENDS when stop < 1 (Spark semantics),
+    # which would index element_at(toks, 0) and raise — docs shorter
+    # than n tokens get an empty gram array instead.
+    grams = F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+    expl = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    first = expl.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    per_doc = (
+        expl.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+    )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups (languages, sources,
+    shards): distinct-token sets per group, intersection sizes for
+    every unordered group pair. Jaccard = n_common/(n_a+n_b-n_common)
+    is left to the caller — the emitted columns are exact integers.
+
+    The cross-corpus contamination / domain-shift probe: a "zh" shard
+    sharing most of its vocabulary with "en" flags mislabeled data.
+
+    Scale shape: one distinct shuffle on (group, token) — vocabulary-
+    sized, not corpus-sized — then a self-equi-join ON TOKEN between
+    group vocabularies and a partial-count shuffle per pair. Group
+    pair coverage is total (zero-overlap pairs included) via the tiny
+    sizes×sizes cross join, which is broadcast."""
+    vocab = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(word_tokens(F.col(text_col)), lambda t: t != "")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "tok")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        F.broadcast(sizes.alias("sa"))
+        .join(F.broadcast(sizes.alias("sb")))
+        .filter(F.col("sa.g") < F.col("sb.g"))
+        .select(
+            F.col("sa.g").alias("ga"),
+            F.col("sb.g").alias("gb"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    return pairs.join(inter, ["ga", "gb"], "left").select(
+        F.col("ga").alias(f"{group_col}_a"),
+        F.col("gb").alias(f"{group_col}_b"),
+        "n_a",
+        "n_b",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-profile summary — the pre-training data-quality report:
+    per column, row/null/distinct counts and min/max (rendered to
+    strings so heterogeneous column types stack into one frame).
+
+    ONE aggregation job computes every column's statistics (a single
+    global agg with 4·k expressions — Spark evaluates them in one
+    partial-agg pass, so profiling 100 TB is one scan + one 1-row
+    shuffle, not k jobs); the per-column unpivot happens on the single
+    aggregated row, driver-free. count_distinct over many columns
+    expands the partial rows k-fold, which is the documented cost of
+    EXACT distincts — callers profiling very wide tables at scale can
+    accept approx_count_distinct instead (see operators/sketch.py);
+    the gate uses exact so the oracle can reproduce it."""
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__n_{c}").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -1304,3 +1304,144 @@ def test_curriculum_buckets_approx_balance_and_order(spark, docs):
     # plan: no global sort — assignment is scan-stage
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan.split("AdaptiveSparkPlan")[-1].split("Scan")[0]
+
+
+# ---------------- round-6 operators ----------------
+
+
+def test_quantize_embeddings_reconstruction(spark, embeddings):
+    out = similarity.quantize_embeddings(embeddings).collect()
+    assert len(out) == embeddings.count()
+    for r in out[:50]:
+        assert len(r["qvec"]) == 64
+        assert max(abs(v) for v in r["qvec"]) <= 127
+        # int8 symmetric quantization: per-element error <= scale/2,
+        # so MSE <= (scale/2)^2
+        assert r["recon_mse"] <= (r["scale"] / 2) ** 2 + 1e-12
+        assert r["scale"] > 0
+    with pytest.raises(ValueError):
+        similarity.quantize_embeddings(embeddings, bits=1)
+
+
+def test_quantize_embeddings_scan_stage_only(spark, embeddings):
+    plan = (
+        similarity.quantize_embeddings(embeddings)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure scan-stage map: no shuffle
+
+
+def test_weighted_sample_deterministic_and_monotone(spark, docs):
+    from qcache_spark.operators import sampling
+
+    a = {r["doc_id"] for r in
+         sampling.weighted_sample(docs, "n_chars", 1024, seed=3).collect()}
+    b = {r["doc_id"] for r in
+         sampling.weighted_sample(docs.repartition(7), "n_chars", 1024,
+                                  seed=3).collect()}
+    assert a == b  # partitioning-independent
+    # denom -> 1 keeps everything with weight >= 1
+    all_ids = {r["doc_id"] for r in
+               sampling.weighted_sample(docs, "n_chars", 1, seed=3).collect()}
+    assert all_ids == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # larger denom keeps a subset
+    c = {r["doc_id"] for r in
+         sampling.weighted_sample(docs, "n_chars", 4096, seed=3).collect()}
+    assert c <= a
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(docs, "n_chars", 0)
+
+
+def test_user_funnel_strict_ordering(spark):
+    from qcache_spark.operators import funnel
+
+    rows = [
+        # u1 completes the full ordered funnel
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2: purchase BEFORE click -> stops after click
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:02:00", "purchase"),
+        (2, "2024-01-01 10:04:00", "click"),
+        # u3: click before view -> only view counts; later click converts
+        (3, "2024-01-01 09:00:00", "click"),
+        (3, "2024-01-01 10:00:00", "view"),
+        # u4: no view -> never enters
+        (4, "2024-01-01 10:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, t) for u, ts, t in rows],
+        "user_id long, ts_s string, event_type string",
+    ).selectExpr("user_id", "cast(ts_s as timestamp_ntz) as ts", "event_type")
+    out = {r["step"]: r["n_users"] for r in
+           funnel.user_funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+    with pytest.raises(ValueError):
+        funnel.user_funnel(ev, [])
+    with pytest.raises(ValueError):
+        funnel.user_funnel(ev, ["view", "view"])
+
+
+def test_ngram_novelty_attribution(spark):
+    from qcache_spark.operators import text as text_ops
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # grams: ab g, b g d
+            (2, "alpha beta gamma epsilon"),    # shares "alpha beta gamma"
+            (3, "zz"),                          # < 3 tokens -> 0 grams
+            (4, None),                          # null text -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_ngrams"], r["n_novel"]) for r in
+           text_ops.ngram_novelty(d, n=3).collect()}
+    assert out[1] == (2, 2)           # both trigrams first seen here
+    assert out[2] == (2, 1)           # "alpha beta gamma" inherited from 1
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 0)
+    with pytest.raises(ValueError):
+        text_ops.ngram_novelty(d, n=0)
+
+
+def test_vocab_overlap_pairs_total(spark):
+    from qcache_spark.operators import text as text_ops
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat"),
+            (2, "en", "the dog ran"),
+            (3, "de", "der cat hund"),
+            (4, "fr", "xyz"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r["lang_a"], r["lang_b"]): r for r in
+           text_ops.vocab_overlap(d, "lang").collect()}
+    # total pair coverage including the zero-overlap fr pairs
+    assert set(out) == {("de", "en"), ("de", "fr"), ("en", "fr")}
+    r = out[("de", "en")]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 5, 1)  # only "cat"
+    assert out[("en", "fr")]["n_common"] == 0
+
+
+def test_profile_table_one_job_and_values(spark):
+    from qcache_spark.operators import text as text_ops
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    out = {r["col_name"]: r for r in text_ops.profile_table(d).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 1
+    assert out["k"]["n_distinct"] == 2  # nulls excluded
+    assert (out["k"]["min_value"], out["k"]["max_value"]) == ("1", "2")
+    assert out["s"]["n_distinct"] == 2
+    with pytest.raises(ValueError):
+        text_ops.profile_table(d, ["nope"])
+    # single aggregation: exactly one frame-wide agg, no per-column jobs
+    plan = (
+        text_ops.profile_table(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2  # partial->final agg only (+expand)

@@ -26,6 +26,7 @@ POINTS = [
     (0.01, "/root/testdata/sf0.01"),
     (0.1, "/root/testdata/sf0.1"),
     (1.0, os.path.join(REPO, ".scaledata", "sf1")),
+    (10.0, os.path.join(REPO, ".scaledata", "sf10")),  # skipped if absent
 ]
 HEAVY = [
     "q31_minhash_lsh_pairs",
