@@ -585,6 +585,12 @@ def dedup_clusters(
         # the plan at the stored partitions — the standard device for
         # iterative DataFrame algorithms (on a cluster with a
         # checkpoint dir, reliable .checkpoint() adds fault tolerance).
+        # eager=True measured FASTER than letting the signature agg
+        # materialize a lazy checkpoint (3.5 s vs 4.0 s for the q71
+        # bench entry): the dedicated checkpoint job pipelines the
+        # round's shuffles at full width, while folding the
+        # materialization into the agg serializes checkpoint writes
+        # behind the agg's reduce.
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = tuple(
             e2.agg(
