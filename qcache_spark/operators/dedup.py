@@ -548,6 +548,7 @@ def dedup_clusters(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph via the
     alternating large-star / small-star algorithm (Kiveris et al.,
@@ -568,7 +569,17 @@ def dedup_clusters(
     signature of the edge set going stable across rounds; `max_iters`
     is a pure safety valve (30 rounds covers any graph whose node ids
     fit in a long). The returned DataFrame keeps the ``converged``
-    attribute for callers that probe it."""
+    attribute for callers that probe it.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``.checkpoint()`` into that directory (HDFS/S3 path on a
+    cluster) instead of ``localCheckpoint()``. localCheckpoint stores
+    blocks on executors — fast, but a lost executor kills the job
+    mid-iteration; reliable checkpoints survive executor loss, the
+    right trade for multi-hour 100 TB clustering runs (VERDICT r5
+    item 6)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -591,7 +602,11 @@ def dedup_clusters(
         # round's shuffles at full width, while folding the
         # materialization into the agg serializes checkpoint writes
         # behind the agg's reduce.
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e))
+        if checkpoint_dir is not None:
+            e2 = e2.checkpoint(eager=True)
+        else:
+            e2 = e2.localCheckpoint(eager=True)
         sig = tuple(
             e2.agg(
                 F.count(F.lit(1)),

