@@ -12,6 +12,12 @@
                                       joins across datasets, windows,
                                       CTEs; rejects DDL/DML/multi-
                                       statement/path-based tables)
+    POST   /qcache/dataset/<key>/pipeline
+                                      read-only pipeline operators
+                                      (extension — dedup_count,
+                                      cardinality, split_counts,
+                                      quality_summary; see
+                                      server/pipeline.py)
 
 Headers: `X-QCache-types` (type hints), `X-QCache-stand-in-columns`,
 `X-QCache-unsliced-length` (pre-slice count, README.rst:398-405).
@@ -259,6 +265,8 @@ class QCacheHandler(BaseHTTPRequestHandler):
                 return ("dataset", urllib.parse.unquote(rest[1]), query)
             if len(rest) == 3 and rest[0] == "dataset" and rest[2] == "q":
                 return ("dataset_q", urllib.parse.unquote(rest[1]), query)
+            if len(rest) == 3 and rest[0] == "dataset" and rest[2] == "pipeline":
+                return ("dataset_pipeline", urllib.parse.unquote(rest[1]), query)
         return (None, None, query)
 
     def _guard(self, fn):
@@ -313,6 +321,9 @@ class QCacheHandler(BaseHTTPRequestHandler):
         if route == "dataset_q":
             body = self._read_body().decode("utf-8")
             self._run_query(key, body)
+        elif route == "dataset_pipeline":
+            body = self._read_body().decode("utf-8")
+            self._run_pipeline(key, body)
         elif route == "dataset":
             self._store_dataset(key)
         elif route == "sql":
@@ -417,6 +428,41 @@ class QCacheHandler(BaseHTTPRequestHandler):
             extra_headers={"X-QCache-unsliced-length": str(unsliced_len)},
         )
 
+
+    # -- pipeline-operator endpoint -----------------------------------
+
+    def _run_pipeline(self, key: str, body_text: str) -> None:
+        """Read-only pipeline operators over a stored dataset (see
+        server/pipeline.py for the op table and validation rules).
+        Same error/negotiation contract as _run_query: 400 on any
+        malformed body, 404 on unknown dataset, CSV/JSON out."""
+        from .pipeline import run_pipeline_op
+
+        t0 = time.perf_counter()
+        accept = self._accept_type()
+        try:
+            spec = json.loads(body_text)
+        except json.JSONDecodeError as e:
+            raise MalformedQueryException(f"Invalid pipeline JSON: {e}")
+
+        try:
+            item = self.catalog.get(key)
+        except UnknownDatasetException:
+            self.stats.inc("miss_count")
+            self._error(404, f"Unknown dataset: {key}")
+            return
+        self.stats.inc("hit_count")
+
+        stand_ins = parse_stand_in_header(self.headers.get("X-QCache-stand-in-columns"))
+        df = apply_stand_in_columns(item.df, stand_ins)
+        result = run_pipeline_op(df, spec)
+        rows = result.collect()
+        if accept == CONTENT_TYPE_CSV:
+            body = rows_to_csv(rows, result.columns).encode("utf-8")
+        else:
+            body = rows_to_json(rows).encode("utf-8")
+        self.stats.append("query_durations", time.perf_counter() - t0)
+        self._send(200, body, accept)
 
     # -- SQL endpoint -------------------------------------------------
 

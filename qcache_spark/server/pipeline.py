@@ -1,0 +1,185 @@
+"""Read-only pipeline-operator endpoint (VERDICT r5 item 5).
+
+The reference's value proposition is queries-over-HTTP (qcache
+README.rst: store a table, query it without writing code against the
+engine). The training-data operator families this engine adds on top
+(dedup, sketches, sampling, text quality) were Python-API only; this
+module exposes the flagship ones through the same serving layer:
+
+    POST /qcache/dataset/<key>/pipeline   {"op": <name>, "params": {…}}
+
+Supported ops — all read-only AGGREGATE shapes (the result is a
+summary, never a re-materialized table, so the endpoint stays safe to
+expose and cheap to serve):
+
+    dedup_count      exact duplicate census over all or a subset of
+                     columns → one row {n_rows, n_distinct, n_duplicates}
+    cardinality      HLL++ (or exact) distinct count of one column,
+                     optionally grouped → one row per group
+    split_counts     deterministic hash split (train_test_split) →
+                     one row per split name with its row count
+    quality_summary  text quality_score distribution → one row
+                     {n_rows, avg_quality, min_quality, max_quality,
+                      p50_quality}
+
+Discipline matches the query endpoint: any malformed body — bad JSON,
+unknown op, unknown/missing/mistyped params, unknown columns — raises
+MalformedQueryException, which the HTTP layer maps to a 400 with the
+message; unknown dataset stays a 404. Responses go through the same
+CSV/JSON content negotiation as query results.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import MalformedQueryException
+from ..operators import dedup as _dedup  # noqa: F401  (family anchor)
+from ..operators import sketch as _sketch
+from ..operators import text as _text
+from ..operators.sampling import train_test_split
+
+
+def _fail(msg: str):
+    raise MalformedQueryException(msg)
+
+
+def _check_columns(df: DataFrame, cols: list, what: str) -> list[str]:
+    if (
+        not isinstance(cols, list)
+        or not cols
+        or not all(isinstance(c, str) for c in cols)
+    ):
+        _fail(f"{what} must be a non-empty list of column names")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        _fail(f"Unknown column(s) in {what}: {missing}")
+    return cols
+
+
+def _check_column(df: DataFrame, col, what: str) -> str:
+    if not isinstance(col, str):
+        _fail(f"{what} must be a column name string")
+    if col not in df.columns:
+        _fail(f"Unknown column in {what}: {col!r}")
+    return col
+
+
+def _reject_unknown(params: dict, allowed: set[str], op: str) -> None:
+    unknown = set(params) - allowed
+    if unknown:
+        _fail(f"Unknown parameter(s) for op {op!r}: {sorted(unknown)}")
+
+
+def _op_dedup_count(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(params, {"columns"}, "dedup_count")
+    cols = params.get("columns")
+    if cols is not None:
+        cols = _check_columns(df, cols, "columns")
+    else:
+        cols = df.columns
+    # two single-row aggregates cross-joined: both partial-aggregate
+    # map-side, the distinct is one shuffle on the chosen columns only
+    n_rows = df.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_distinct = (
+        df.select(*cols).distinct().agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return n_rows.crossJoin(n_distinct).select(
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicates"),
+    )
+
+
+def _op_cardinality(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(params, {"column", "group_by", "rsd", "exact"}, "cardinality")
+    if "column" not in params:
+        _fail("cardinality requires a 'column' parameter")
+    col = _check_column(df, params["column"], "column")
+    keys = params.get("group_by", [])
+    if keys:
+        keys = _check_columns(df, keys, "group_by")
+    rsd = params.get("rsd", 0.05)
+    if not isinstance(rsd, (int, float)) or isinstance(rsd, bool) or not (
+        0 < rsd <= 0.5
+    ):
+        _fail("rsd must be a number in (0, 0.5]")
+    exact = params.get("exact", False)
+    if not isinstance(exact, bool):
+        _fail("exact must be a boolean")
+    return _sketch.cardinality_by(df, list(keys), col, rsd=float(rsd), exact=exact)
+
+
+def _op_split_counts(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(params, {"key_column", "weights", "seed"}, "split_counts")
+    if "key_column" not in params:
+        _fail("split_counts requires a 'key_column' parameter")
+    key = _check_column(df, params["key_column"], "key_column")
+    weights = params.get("weights")
+    if (
+        not isinstance(weights, dict)
+        or not weights
+        or not all(isinstance(k, str) for k in weights)
+        or not all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in weights.values()
+        )
+    ):
+        _fail("weights must be a non-empty {split_name: number} object")
+    seed = params.get("seed", 0)
+    if not isinstance(seed, int) or isinstance(seed, bool):
+        _fail("seed must be an integer")
+    try:
+        split = train_test_split(df, key, dict(weights), seed=seed)
+    except ValueError as e:  # negative / zero-sum weights
+        _fail(f"Invalid weights: {e}")
+    # NULL keys get a NULL split by contract (no stable identity →
+    # never silently lands in a split); the NULL-count row surfaces
+    # them instead of hiding them
+    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _op_quality_summary(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(params, {"text_column"}, "quality_summary")
+    col = params.get("text_column", "text")
+    col = _check_column(df, col, "text_column")
+    from pyspark.sql import types as T
+
+    if not isinstance(df.schema[col].dataType, T.StringType):
+        _fail(f"text_column {col!r} must be a string column")
+    scored = _text.quality_score(df, col)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+        F.percentile_approx("quality_score", 0.5).alias("p50_quality"),
+    )
+
+
+_OPS = {
+    "dedup_count": _op_dedup_count,
+    "cardinality": _op_cardinality,
+    "split_counts": _op_split_counts,
+    "quality_summary": _op_quality_summary,
+}
+
+
+def run_pipeline_op(df: DataFrame, spec) -> DataFrame:
+    """Validate a pipeline request body and return the (lazy) result
+    DataFrame. Raises MalformedQueryException on ANY invalid input —
+    the HTTP layer's 400 contract."""
+    if not isinstance(spec, dict):
+        _fail("Pipeline body must be a JSON object")
+    unknown = set(spec) - {"op", "params"}
+    if unknown:
+        _fail(f"Unknown key(s) in pipeline body: {sorted(unknown)}")
+    op = spec.get("op")
+    if op not in _OPS:
+        _fail(
+            f"Unknown pipeline op: {op!r} (supported: {sorted(_OPS)})"
+        )
+    params = spec.get("params", {})
+    if not isinstance(params, dict):
+        _fail("params must be a JSON object")
+    return _OPS[op](df, dict(params))

@@ -517,3 +517,153 @@ def test_rollup_grammar_over_http(server):
         {"group_by": {"bogus": ["g"]}, "select": ["g", ["sum", "v"]]},
     )
     assert code == 400
+
+
+# -- pipeline-operator endpoint (server/pipeline.py) ------------------
+
+
+def pipeline(base, key, spec, accept="application/json"):
+    return call(
+        base,
+        "POST",
+        f"/qcache/dataset/{key}/pipeline",
+        json.dumps(spec).encode(),
+        {"Accept": accept},
+    )
+
+
+def test_pipeline_dedup_count(server):
+    store(server, "pl1", "a,b\n1,x\n1,x\n2,y\n3,y\n")
+    code, body, _ = pipeline(server, "pl1", {"op": "dedup_count"})
+    assert code == 200
+    assert json.loads(body) == [
+        {"n_rows": 4, "n_distinct": 3, "n_duplicates": 1}
+    ]
+    code, body, _ = pipeline(
+        server, "pl1", {"op": "dedup_count", "params": {"columns": ["b"]}}
+    )
+    assert json.loads(body) == [
+        {"n_rows": 4, "n_distinct": 2, "n_duplicates": 2}
+    ]
+
+
+def test_pipeline_cardinality(server):
+    store(server, "pl2", "g,v\na,1\na,1\na,2\nb,9\n")
+    code, body, _ = pipeline(
+        server,
+        "pl2",
+        {"op": "cardinality", "params": {"column": "v", "exact": True}},
+    )
+    assert code == 200
+    assert json.loads(body) == [{"n_distinct": 3}]
+    code, body, _ = pipeline(
+        server,
+        "pl2",
+        {
+            "op": "cardinality",
+            "params": {"column": "v", "group_by": ["g"], "exact": True},
+        },
+    )
+    got = {r["g"]: r["n_distinct"] for r in json.loads(body)}
+    assert got == {"a": 2, "b": 1}
+    # HLL estimate at tiny cardinalities is exact
+    code, body, _ = pipeline(
+        server, "pl2", {"op": "cardinality", "params": {"column": "v"}}
+    )
+    assert json.loads(body) == [{"n_distinct": 3}]
+
+
+def test_pipeline_split_counts(server):
+    rows = "".join(f"{i},p\n" for i in range(40))
+    store(server, "pl3", "id,x\n" + rows)
+    code, body, _ = pipeline(
+        server,
+        "pl3",
+        {
+            "op": "split_counts",
+            "params": {
+                "key_column": "id",
+                "weights": {"train": 8, "valid": 1, "test": 1},
+            },
+        },
+    )
+    assert code == 200
+    got = {r["split"]: r["n_rows"] for r in json.loads(body)}
+    assert set(got) <= {"train", "valid", "test"}
+    assert sum(got.values()) == 40
+    assert got["train"] > got.get("valid", 0)  # 8:1:1 weighting
+
+
+def test_pipeline_quality_summary(server):
+    body = json.dumps(
+        [
+            {"doc": 1, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc": 2, "text": "1234 5678 !!!! ????"},
+        ]
+    )
+    store(server, "pl4", body, ctype="application/json")
+    code, out, _ = pipeline(
+        server, "pl4", {"op": "quality_summary", "params": {"text_column": "text"}}
+    )
+    assert code == 200
+    (row,) = json.loads(out)
+    assert row["n_rows"] == 2
+    assert 0.0 <= row["min_quality"] <= row["p50_quality"] <= row["max_quality"] <= 1.0
+    assert row["max_quality"] > 0.5  # the clean English sentence
+
+
+def test_pipeline_csv_negotiation(server):
+    store(server, "pl5", "a\n1\n1\n")
+    code, body, _ = pipeline(
+        server, "pl5", {"op": "dedup_count"}, accept="text/csv"
+    )
+    assert code == 200
+    lines = body.decode().splitlines()
+    assert lines[0] == "n_rows,n_distinct,n_duplicates"
+    assert lines[1] == "2,1,1"
+
+
+def test_pipeline_errors(server):
+    store(server, "pl6", "a,b\n1,x\n")
+    # unknown dataset -> 404
+    code, _, _ = pipeline(server, "nope_pipeline", {"op": "dedup_count"})
+    assert code == 404
+    # malformed JSON -> 400
+    code, body, _ = call(
+        server, "POST", "/qcache/dataset/pl6/pipeline", b"{not json",
+        {"Accept": "application/json"},
+    )
+    assert code == 400
+    # unknown op -> 400 listing supported ops
+    code, body, _ = pipeline(server, "pl6", {"op": "drop_table"})
+    assert code == 400 and b"dedup_count" in body
+    # unknown column -> 400
+    code, _, _ = pipeline(
+        server, "pl6", {"op": "cardinality", "params": {"column": "zz"}}
+    )
+    assert code == 400
+    # unknown param -> 400
+    code, _, _ = pipeline(
+        server, "pl6", {"op": "dedup_count", "params": {"colums": ["a"]}}
+    )
+    assert code == 400
+    # bad weights -> 400, not a 500
+    code, _, _ = pipeline(
+        server,
+        "pl6",
+        {
+            "op": "split_counts",
+            "params": {"key_column": "a", "weights": {"train": -1}},
+        },
+    )
+    assert code == 400
+    # bad rsd -> 400
+    code, _, _ = pipeline(
+        server,
+        "pl6",
+        {"op": "cardinality", "params": {"column": "a", "rsd": 2.0}},
+    )
+    assert code == 400
+    # non-object body -> 400
+    code, _, _ = pipeline(server, "pl6", ["op", "dedup_count"])
+    assert code == 400
