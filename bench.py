@@ -67,6 +67,8 @@ HEADLINE = [
     "q79_contrastive_dataset",
     "q83_ngram_novelty",
     "q84_vocab_overlap",
+    "q87_fuzzy_match",
+    "q88_skewed_join",
 ]
 
 

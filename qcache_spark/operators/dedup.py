@@ -430,6 +430,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_key: Column | None = None,
+    max_dist: int = 2,
+    block_cap: int | None = None,
+) -> DataFrame:
+    """Fuzzy string matching: pairs whose edit (Levenshtein) distance
+    is <= ``max_dist``, found by blocking instead of an all-pairs
+    scan. The classic record-linkage shape (Fellegi–Sunter style
+    blocking + verify): an equi-join on a cheap ``block_key`` generates
+    candidates, the JVM ``levenshtein`` expression verifies — no
+    Python in either stage.
+
+    ``block_key`` defaults to the last whitespace token, lowercased
+    (the head noun for name-like strings); callers pass any Column for
+    other domains (phonetic code, sorted-trigram prefix, length
+    bucket). Pairs crossing blocks are unseen by construction — the
+    usual blocking recall trade, stated rather than hidden.
+
+    ``block_cap`` bounds the quadratic worst case: at most cap members
+    per block enter the join (first by id order — deterministic, and
+    the row_number filter compiles to a pre-shuffle WindowGroupLimit
+    heap, so oversized blocks are truncated map-side, the same device
+    as stratified_sample). A hot block of 10^6 rows would otherwise
+    produce 10^12 candidates; with the cap it is bounded at cap^2,
+    and the truncation is visible in the row count rather than in a
+    job that never finishes.
+    """
+    key = (
+        block_key
+        if block_key is not None
+        else F.element_at(F.split(F.lower(F.col(text_col)), " "), -1)
+    )
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"),
+                     key.alias("_blk"))
+    if block_cap is not None:
+        w = Window.partitionBy("_blk").orderBy("_id")
+        base = (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= block_cap)
+            .drop("_rn")
+        )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("_ta"), "_blk"
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("_tb"), "_blk"
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def simhash_column(text_col: str, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash via a single JVM aggregate expression: each
     token's hash votes ±1 per bit position; the sign vector packs

@@ -412,6 +412,55 @@ def test_dedup_clusters_reliable_checkpoint_dir(spark, tmp_path):
     assert files, "reliable checkpoint wrote nothing into checkpoint_dir"
 
 
+def test_edit_distance_pairs_blocking_and_cap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "rad widget"),      # dist 1 from id 1, same block
+            (3, "bluish widget"),   # dist 5 from id 1 -> over max_dist
+            (4, "red gear"),        # different block, never compared
+            (5, "ted widget"),      # dist 1 from 1, dist 2 from 2
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_pairs(df, max_dist=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
+
+    # cap=2 keeps only the two lowest ids per block -> id 5 drops out
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.edit_distance_pairs(df, max_dist=2, block_cap=2).collect()
+    }
+    assert capped == {(1, 2)}
+
+    # custom block key: length bucket finds the cross-noun pair the
+    # default (last-token) blocking cannot see
+    from pyspark.sql import functions as F
+
+    pairs = dedup.edit_distance_pairs(
+        df,
+        block_key=F.length("text"),
+        max_dist=3,
+    )
+    assert (3, 5) not in {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+
+def test_edit_distance_pairs_cap_plan_has_window_group_limit(spark):
+    # the block_cap row_number filter must compile to a pre-shuffle
+    # WindowGroupLimit heap (map-side truncation of oversized blocks)
+    df = spark.createDataFrame([(i, f"name {i%3}") for i in range(30)], ["doc_id", "text"])
+    plan = (
+        dedup.edit_distance_pairs(df, block_cap=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
 def test_ivf_write_is_idempotent(spark, embeddings, tmp_path):
     # rewriting an index to the same path must overwrite _meta too
     # (regression: saveAsTextFile threw FileAlreadyExistsException)
