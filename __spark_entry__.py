@@ -1371,12 +1371,43 @@ def q88_skewed_join(spark, sf_dir):
     )
 
 
+def q89_interval_join(spark, sf_dir):
+    """Stream-stream interval join, gated on its batch path
+    (streaming/joins.py:interval_join — batch/stream unification:
+    the parity pytest proves the streaming run produces these same
+    rows): each view event paired with the same user's purchases
+    within the next 4 hours. The streaming form is THE stateful join
+    shape — watermark on both sides + the interval condition bound
+    the buffered state to rate x (watermark + within). Output keeps
+    integer ids and the gap in seconds (no wire timestamps — Java/
+    DuckDB timestamp rendering differs; the gap captures the times)."""
+    from qcache_spark.streaming import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(v, p, on="user_id", within="4 hours", streaming=False)
+    return j.select(
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        "user_id",
+        # ntz has no direct long cast; ntz->ltz is a wall-time identity
+        # under the engine's UTC-pinned session, ltz->long is epoch s
+        (
+            F.col("ts_r").cast("timestamp").cast("long")
+            - F.col("ts").cast("timestamp").cast("long")
+        ).alias("gap_s"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 6) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-6 ordering:
-    #   1-9   q80-q88: new this round, never externally gated.
-    #   10-38 q22-q50: green in r01/r02 but rotated out since round 3
+    #   1-10  q80-q89: new this round, never externally gated.
+    #   11-39 q22-q50: green in r01/r02 but rotated out since round 3
     #         -- the longest-ungated entries come back for a fresh
     #         external signal (VERDICT r5 item 7).
     #   39-47 the SQL-oracled round-5 entries: gated once (r05), get a
@@ -1397,6 +1428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_fk_orphan_audit": q85_fk_orphan_audit,
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_skewed_join": q88_skewed_join,
+    "q89_interval_join": q89_interval_join,
     "q22_window_rank": q22_window_rank,
     "q23_window_running_sum": q23_window_running_sum,
     "q24_rollup": q24_rollup,
@@ -1434,10 +1466,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_curriculum_buckets": q76_curriculum_buckets,
     "q77_group_centroids": q77_group_centroids,
     "q78_chunk_dup_stats": q78_chunk_dup_stats,
-    "q79_contrastive_dataset": q79_contrastive_dataset,
     "q67_training_pipeline": q67_training_pipeline,
     "q57_asof_join": q57_asof_join,
     "q66_shared_spans": q66_shared_spans,
+    "q79_contrastive_dataset": q79_contrastive_dataset,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
@@ -2230,6 +2262,23 @@ ORACLES: dict[str, str] = {
         FROM capped a JOIN capped b ON a.blk = b.blk AND a.id < b.id
         WHERE a.rn <= 50 AND b.rn <= 50
           AND levenshtein(a.t, b.t) <= 2
+    """,
+    # q89: the interval-join batch path in plain SQL — same key
+    # equality + closed time range; gap in whole seconds.
+    "q89_interval_join": """
+        WITH v AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'view'
+        ), p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               v.user_id,
+               CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
     """,
     # q88: the skew-split is exact for inner joins, so the oracle is
     # the PLAIN join — the gate proves the plan surgery is semantics-

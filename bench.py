@@ -69,6 +69,7 @@ HEADLINE = [
     "q84_vocab_overlap",
     "q87_fuzzy_match",
     "q88_skewed_join",
+    "q89_interval_join",
 ]
 
 

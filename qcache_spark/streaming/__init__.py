@@ -3,7 +3,7 @@ from .dedupe import (
     dedup_stream_by_content,
     dedup_within_watermark,
 )
-from .joins import enrich_with_dimension
+from .joins import enrich_with_dimension, interval_join
 from .kafka import (
     KAFKA_WIRE_SCHEMA,
     kafka_reader_options,
@@ -25,6 +25,7 @@ __all__ = [
     "dedup_stream_by_content",
     "dedup_within_watermark",
     "enrich_with_dimension",
+    "interval_join",
     "KAFKA_WIRE_SCHEMA",
     "kafka_reader_options",
     "parse_kafka_events",

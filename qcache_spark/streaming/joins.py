@@ -35,3 +35,75 @@ def enrich_with_dimension(
         raise ValueError(f"dim_cols collide with stream columns: {sorted(collisions)}")
     right = dim.select(F.col(right_on).alias(left_on), *dim_cols)
     return stream.join(F.broadcast(right), left_on, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "15 minutes",
+    watermark: str = "30 minutes",
+    suffix: str = "_r",
+    streaming: bool = True,
+) -> DataFrame:
+    """Stream-stream interval join: pair each left row with every
+    right row sharing its key whose event time falls in
+    ``[left_ts, left_ts + within]`` (views -> purchases within 15
+    minutes, orders -> fills, request -> response).
+
+    This is the one join shape that genuinely needs BOTH sides
+    buffered in streaming state. The two ingredients Spark requires —
+    and that make the state finite — are explicit here: a watermark on
+    both inputs, and a time-INTERVAL join condition. Together they let
+    the state store evict a buffered row as soon as the other side's
+    watermark passes the end of its match window, so state size is
+    bounded by (input rate x (watermark + within)) regardless of how
+    long the streams run. Without the interval condition the state
+    grows forever — Spark would have to keep every row in case a
+    match arrives; that formulation is refused upstream rather than
+    deployed.
+
+    Batch mode (``streaming=False``) is the same construction minus
+    the watermarks — the oracle-gate path, identical results on the
+    same input (batch/stream unification, like every builder here).
+
+    The right side's columns are suffixed (``ts`` -> ``ts_r`` etc.);
+    the join key stays unsuffixed and appears once. Works on the
+    engine-canonical TIMESTAMP_NTZ event time via the same ntz->ltz
+    watermark shim as the window builders (UTC-pinned, loud failure
+    otherwise).
+    """
+    from .windows import _restore_ntz, _watermark_ntz
+
+    collide = {c + suffix for c in right.columns} & set(left.columns)
+    if collide:
+        raise ValueError(f"suffixed right columns collide with left: {sorted(collide)}")
+
+    if streaming:
+        l_src, l_ntz = _watermark_ntz(left, left_ts, watermark)
+        r_src, r_ntz = _watermark_ntz(right, right_ts, watermark)
+    else:
+        l_src, l_ntz = left, False
+        r_src, r_ntz = right, False
+        # batch comparisons between ntz and ltz would cast implicitly;
+        # keep both sides as-is (same source type in practice)
+
+    # Suffix EVERY right column, key included: when both sides derive
+    # from the same stream (a self-join), unsuffixed key references
+    # resolve ambiguously to one lineage attribute (Spark warns
+    # "trivially true equals predicate"); distinct names make the
+    # resolution purely name-based and unambiguous.
+    r_renamed = r_src.select(
+        *[F.col(c).alias(c + suffix) for c in r_src.columns]
+    )
+    rts = right_ts + suffix
+    rkey = on + suffix
+    cond = (
+        (F.col(on) == F.col(rkey))
+        & (F.col(rts) >= F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    joined = l_src.join(r_renamed, cond).drop(rkey)
+    return _restore_ntz(joined, l_ntz or r_ntz, left_ts, rts)

@@ -352,3 +352,63 @@ def test_stream_matches_batch_sliding(spark, events_batch, events_stream):
     streamed = spark.table("sliding_test")
     cols = ["window_start", "event_type", "n_events"]
     assert _rows(batch, cols) == _rows(streamed, cols)
+
+
+def test_interval_join_stream_matches_batch(spark, events_batch, events_stream):
+    """Stream-stream interval join (both sides buffered in state)
+    must produce exactly the batch rows on the same input."""
+    from qcache_spark.streaming import interval_join
+
+    def views(e):
+        return e.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+
+    def purchases(e):
+        return e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+
+    batch = interval_join(
+        views(events_batch), purchases(events_batch),
+        on="user_id", within="4 hours", streaming=False,
+    )
+    stream = interval_join(
+        views(events_stream), purchases(events_stream),
+        on="user_id", within="4 hours", watermark="30 minutes", streaming=True,
+    )
+    run_to_memory_sink(stream, "interval_join_test", output_mode="append")
+    streamed = spark.table("interval_join_test")
+    cols = ["event_id", "event_id_r", "user_id"]
+    assert _rows(batch, cols) == _rows(streamed, cols)
+    assert len(_rows(batch, cols)) > 0
+
+
+def test_interval_join_plan_is_stateful_symmetric_hash(spark, events_stream):
+    # the streaming plan must be the symmetric hash join with state
+    # watermarks on both sides -- the finite-state formulation
+    from qcache_spark.streaming import interval_join
+
+    v = events_stream.filter(F.col("event_type") == "view").select("user_id", "ts")
+    p = events_stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    j = interval_join(v, p, on="user_id", within="1 hour", streaming=True)
+    assert j.isStreaming
+    # optimized/executed plans require writeStream.start(); the
+    # ANALYZED plan is inspectable and must show the finite-state
+    # formulation: a watermark on EACH input feeding the inner join
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert "Join Inner" in plan
+    assert plan.count("EventTimeWatermark") == 2
+
+
+def test_interval_join_suffix_collision_rejected(spark, events_batch):
+    from qcache_spark.streaming import interval_join
+
+    left = events_batch.select("event_id", "user_id", "ts").withColumn(
+        "ts_r", F.col("ts")
+    )
+    right = events_batch.select("event_id", "user_id", "ts")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, on="user_id", streaming=False)
