@@ -1402,12 +1402,88 @@ def q89_interval_join(spark, sf_dir):
     )
 
 
+def q90_pagerank(spark, sf_dir):
+    """PageRank (operators/graph.py) over the bipartite order<->part
+    purchase graph from lineitem — edges in both directions, weighted
+    by line count (duplicates kept deliberately: an order with 3 lines
+    of one part pushes 3 edge-contributions, and the SQL oracle
+    replicates that). 3 iterations in exact integer micro-units (floor
+    division everywhere), so DuckDB unrolling the same 3 rounds
+    produces IDENTICAL longs — the only way an iterative float-free
+    algorithm gets a value-exact external oracle. Top 20 parts,
+    deterministic tiebreak on id."""
+    from qcache_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o_id = F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+    p_id = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    edges = li.select(o_id.alias("src"), p_id.alias("dst")).union(
+        li.select(p_id.alias("src"), o_id.alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3)
+    return (
+        ranks.filter(F.col("id").startswith("p"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unroll the exact integer PageRank iteration as chained CTEs —
+    DuckDB's recursive CTEs do not allow per-step aggregation, but a
+    fixed iteration count needs no recursion."""
+    parts = [
+        """
+        WITH e AS (
+            SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                   'p' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                   'o' || CAST(l_orderkey AS VARCHAR)
+            FROM lineitem
+        ), nodes AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION SELECT dst FROM e
+            )
+        ), deg AS (
+            SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1
+        ), r0 AS (
+            SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+            SELECT n.id,
+                   CAST(150000 + (85 * COALESCE(c.s, 0)) // 100
+                        AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.rank // d.deg) AS s
+                FROM e
+                JOIN r{i - 1} r ON e.src = r.id
+                JOIN deg d ON r.id = d.id
+                GROUP BY 1
+            ) c ON n.id = c.id
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT id, rank FROM r{iters}
+        WHERE id LIKE 'p%'
+        ORDER BY rank DESC, id
+        LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 6) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-6 ordering:
-    #   1-10  q80-q89: new this round, never externally gated.
-    #   11-39 q22-q50: green in r01/r02 but rotated out since round 3
+    #   1-11  q80-q90: new this round, never externally gated.
+    #   12-40 q22-q50: green in r01/r02 but rotated out since round 3
     #         -- the longest-ungated entries come back for a fresh
     #         external signal (VERDICT r5 item 7).
     #   39-47 the SQL-oracled round-5 entries: gated once (r05), get a
@@ -1429,6 +1505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_skewed_join": q88_skewed_join,
     "q89_interval_join": q89_interval_join,
+    "q90_pagerank": q90_pagerank,
     "q22_window_rank": q22_window_rank,
     "q23_window_running_sum": q23_window_running_sum,
     "q24_rollup": q24_rollup,
@@ -1465,10 +1542,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_negative_sampling": q75_negative_sampling,
     "q76_curriculum_buckets": q76_curriculum_buckets,
     "q77_group_centroids": q77_group_centroids,
-    "q78_chunk_dup_stats": q78_chunk_dup_stats,
     "q67_training_pipeline": q67_training_pipeline,
     "q57_asof_join": q57_asof_join,
     "q66_shared_spans": q66_shared_spans,
+    "q78_chunk_dup_stats": q78_chunk_dup_stats,
     "q79_contrastive_dataset": q79_contrastive_dataset,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q72_cardinality_sketch": q72_cardinality_sketch,
@@ -2263,6 +2340,8 @@ ORACLES: dict[str, str] = {
         WHERE a.rn <= 50 AND b.rn <= 50
           AND levenshtein(a.t, b.t) <= 2
     """,
+    # q90: the same integer PageRank unrolled as chained CTEs
+    "q90_pagerank": _pagerank_oracle_sql(3),
     # q89: the interval-join batch path in plain SQL — same key
     # equality + closed time range; gap in whole seconds.
     "q89_interval_join": """

@@ -70,6 +70,7 @@ HEADLINE = [
     "q87_fuzzy_match",
     "q88_skewed_join",
     "q89_interval_join",
+    "q90_pagerank",
 ]
 
 

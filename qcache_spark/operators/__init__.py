@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, skew, text  # noqa: F401
+from . import dedup, graph, multimodal, similarity, skew, text  # noqa: F401
 
-__all__ = ["dedup", "multimodal", "similarity", "skew", "text"]
+__all__ = ["dedup", "graph", "multimodal", "similarity", "skew", "text"]

@@ -1,0 +1,99 @@
+"""Graph analytics over edge-list DataFrames.
+
+PageRank here is the second iterative DataFrame algorithm in the repo
+(after dedup.dedup_clusters' connected components) and follows the
+same execution discipline: per-round lineage truncation via
+localCheckpoint (or reliable .checkpoint when a directory is given),
+two key-partitioned shuffles per round, no component/neighborhood ever
+materialized inside one task.
+
+Determinism contract: ranks are computed in integer micro-units with
+floor division at every step. Floating-point PageRank is not
+reproducible across engines (per-destination contribution sums depend
+on association order); the integer formulation makes every
+intermediate value exact, so an external SQL engine unrolling the same
+k iterations produces IDENTICAL longs — which is what lets the q90
+gate exist at all. The cost is bounded mass leakage (≤ deg micro-unit
+floors per node per round), irrelevant for ranking use.
+
+Public algorithm (Page et al. 1998, "The PageRank citation ranking");
+simplified variant without dangling-mass redistribution, documented.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Iterative PageRank over a directed edge list.
+
+    Each node starts with ``scale`` micro-units of rank; one round is
+
+        contrib(u->v) = r(u) div out_deg(u)          (exact long)
+        r'(v) = base + (damping_pct * sum contrib) div 100
+        base  = ((100 - damping_pct) * scale) div 100
+
+    Per round: one shuffle keyed on ``src`` (ranks ⋈ edges — degree
+    rides along, joined once before the loop) and one keyed on ``dst``
+    (the contribution sum). Nodes without in-edges keep ``base``.
+    Dangling nodes (no out-edges) contribute nothing — the simplified
+    PageRank variant; their rank is still computed.
+
+    Returns (id, rank) for every node, rank in integer micro-units.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = ((100 - damping_pct) * scale) // 100
+
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        # floor division on non-negative longs: SQL `div` == floor
+        contribs = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .join(deg, ranks["id"] == deg["id"])
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank"),
+        )
+        # same device as dedup_clusters: each round references the
+        # previous round's frame; without truncation the plan tree
+        # grows geometrically and the driver chokes analyzing it
+        if checkpoint_dir is not None:
+            ranks = new_ranks.checkpoint(eager=True)
+        else:
+            ranks = new_ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1562,3 +1562,52 @@ def test_profile_table_one_job_and_values(spark):
         text_ops.profile_table(d)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 2  # partial->final agg only (+expand)
+
+
+# ---------------------------------------------------------- pagerank
+
+
+def test_pagerank_star_hub_dominates(spark):
+    from qcache_spark.operators.graph import pagerank
+
+    # star: spokes 1..5 all point at hub 0 (and back, so the hub has
+    # out-degree and the spokes receive mass)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(1, 6)],
+        ["src", "dst"],
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert set(ranks) == set(range(6))
+    hub = ranks[0]
+    assert all(hub > ranks[i] for i in range(1, 6))
+    # spokes are symmetric -> identical integer ranks (exact arithmetic)
+    assert len({ranks[i] for i in range(1, 6)}) == 1
+
+
+def test_pagerank_sink_keeps_base_only(spark):
+    from qcache_spark.operators.graph import pagerank
+
+    # 1 -> 2: node 1 has no in-edges, so after the first round it
+    # holds exactly base = (100-85)% of 1e6 = 150000 forever
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert ranks[1] == 150_000
+    assert ranks[2] > ranks[1]
+
+
+def test_pagerank_reliable_checkpoint_and_validation(spark, tmp_path):
+    import os
+
+    from qcache_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    ckpt = str(tmp_path / "pr_ckpt")
+    ranks = pagerank(edges, iters=2, checkpoint_dir=ckpt).collect()
+    # 3-cycle is symmetric: all ranks equal
+    assert len({r["rank"] for r in ranks}) == 1
+    assert any(fs for _, _, fs in os.walk(ckpt))
+
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, damping_pct=100)
