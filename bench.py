@@ -234,6 +234,7 @@ def main() -> None:
         "q60_decontamination",
         "q67_training_pipeline",
         "q71_dedup_clusters",  # iterative CC — the likeliest superlinear plan
+        "q90_pagerank",        # iterative ranking — same risk class as CC
     ]
     sweep_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if (

@@ -35,6 +35,7 @@ HEAVY = [
     "q60_decontamination",
     "q67_training_pipeline",
     "q71_dedup_clusters",
+    "q90_pagerank",
 ]
 
 
