@@ -21,6 +21,8 @@ expose and cheap to serve):
     quality_summary  text quality_score distribution → one row
                      {n_rows, avg_quality, min_quality, max_quality,
                       p50_quality}
+    top_values       exact heavy hitters of one column → n rows
+                     {value, n_rows}, deterministic tiebreak
 
 Discipline matches the query endpoint: any malformed body — bad JSON,
 unknown op, unknown/missing/mistyped params, unknown columns — raises
@@ -157,11 +159,30 @@ def _op_quality_summary(df: DataFrame, params: dict) -> DataFrame:
     )
 
 
+def _op_top_values(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(params, {"column", "n"}, "top_values")
+    if "column" not in params:
+        _fail("top_values requires a 'column' parameter")
+    col = _check_column(df, params["column"], "column")
+    n = params.get("n", 10)
+    if not isinstance(n, int) or isinstance(n, bool) or not (1 <= n <= 1000):
+        _fail("n must be an integer in [1, 1000]")
+    # heavy hitters: one partial-agg shuffle on the column, then a
+    # top-n TakeOrdered — deterministic tiebreak on the value itself
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col("value"))
+        .limit(n)
+    )
+
+
 _OPS = {
     "dedup_count": _op_dedup_count,
     "cardinality": _op_cardinality,
     "split_counts": _op_split_counts,
     "quality_summary": _op_quality_summary,
+    "top_values": _op_top_values,
 }
 
 

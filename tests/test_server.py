@@ -667,3 +667,25 @@ def test_pipeline_errors(server):
     # non-object body -> 400
     code, _, _ = pipeline(server, "pl6", ["op", "dedup_count"])
     assert code == 400
+
+
+def test_pipeline_top_values(server):
+    store(server, "pl7", "k\n" + "a\n" * 5 + "b\n" * 3 + "c\n" + "d\n")
+    code, body, _ = pipeline(
+        server, "pl7", {"op": "top_values", "params": {"column": "k", "n": 2}}
+    )
+    assert code == 200
+    assert json.loads(body) == [
+        {"value": "a", "n_rows": 5},
+        {"value": "b", "n_rows": 3},
+    ]
+    # deterministic tiebreak on the value itself: c before d at n=4
+    code, body, _ = pipeline(
+        server, "pl7", {"op": "top_values", "params": {"column": "k", "n": 4}}
+    )
+    assert [r["value"] for r in json.loads(body)] == ["a", "b", "c", "d"]
+    # bad n -> 400
+    code, _, _ = pipeline(
+        server, "pl7", {"op": "top_values", "params": {"column": "k", "n": 0}}
+    )
+    assert code == 400
