@@ -1486,10 +1486,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   12-40 q22-q50: green in r01/r02 but rotated out since round 3
     #         -- the longest-ungated entries come back for a fresh
     #         external signal (VERDICT r5 item 7).
-    #   39-47 the SQL-oracled round-5 entries: gated once (r05), get a
-    #         second round. q70/q72 sit just below the cap -- they are
-    #         rows-only by design, so a gate slot adds no value signal
-    #         beyond their pytest bounds.
+    #   41-47 the SQL-oracled round-5 entries (q69, q71, q73-q77):
+    #         gated once (r05), get a second round. q78/q79 and the
+    #         rows-only-by-design q70/q72 sit just below the cap,
+    #         where a gate slot adds the least new signal.
     #   48-50 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating.
     # Everything below slot 50 (q51-q56, q58-q65, q68, q1-q21 --

@@ -58,14 +58,26 @@ def pagerank(
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    # Materialize the loop's STATIC inputs once: e, nodes and deg are
+    # referenced in every round, and without a lineage cut each round
+    # would re-evaluate the full upstream scan (for q90: two lineitem
+    # scans per reference — ~4x iters scans instead of one each),
+    # silently breaking the two-shuffles-per-round cost model.
+    e = _cut(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    nodes = _cut(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    deg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
+    deg = _cut(
+        e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     )
     base = ((100 - damping_pct) * scale) // 100
 
@@ -92,8 +104,5 @@ def pagerank(
         # same device as dedup_clusters: each round references the
         # previous round's frame; without truncation the plan tree
         # grows geometrically and the driver chokes analyzing it
-        if checkpoint_dir is not None:
-            ranks = new_ranks.checkpoint(eager=True)
-        else:
-            ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = _cut(new_ranks)
     return ranks

@@ -15,7 +15,10 @@ expose and cheap to serve):
     dedup_count      exact duplicate census over all or a subset of
                      columns → one row {n_rows, n_distinct, n_duplicates}
     cardinality      HLL++ (or exact) distinct count of one column,
-                     optionally grouped → one row per group
+                     optionally grouped → one row per group, capped at
+                     the top 1000 groups by distinct count (the cap
+                     keeps a near-unique group key from
+                     re-materializing the dataset over the wire)
     split_counts     deterministic hash split (train_test_split) →
                      one row per split name with its row count
     quality_summary  text quality_score distribution → one row
@@ -73,6 +76,12 @@ def _reject_unknown(params: dict, allowed: set[str], op: str) -> None:
         _fail(f"Unknown parameter(s) for op {op!r}: {sorted(unknown)}")
 
 
+# Hard bound on rows any pipeline op may return: the endpoint serves
+# SUMMARIES; a grouped op on a near-unique key must not re-materialize
+# the dataset over HTTP.
+_MAX_GROUPS = 1000
+
+
 def _op_dedup_count(df: DataFrame, params: dict) -> DataFrame:
     _reject_unknown(params, {"columns"}, "dedup_count")
     cols = params.get("columns")
@@ -99,6 +108,8 @@ def _op_cardinality(df: DataFrame, params: dict) -> DataFrame:
         _fail("cardinality requires a 'column' parameter")
     col = _check_column(df, params["column"], "column")
     keys = params.get("group_by", [])
+    if not isinstance(keys, list):
+        _fail("group_by must be a list of column names")
     if keys:
         keys = _check_columns(df, keys, "group_by")
     rsd = params.get("rsd", 0.05)
@@ -109,7 +120,15 @@ def _op_cardinality(df: DataFrame, params: dict) -> DataFrame:
     exact = params.get("exact", False)
     if not isinstance(exact, bool):
         _fail("exact must be a boolean")
-    return _sketch.cardinality_by(df, list(keys), col, rsd=float(rsd), exact=exact)
+    out = _sketch.cardinality_by(df, list(keys), col, rsd=float(rsd), exact=exact)
+    if keys:
+        # keep the aggregate-summary contract: a (near-)unique group
+        # key would otherwise re-materialize the dataset over HTTP.
+        # Top groups by distinct count, deterministic tiebreak.
+        out = out.orderBy(
+            F.col("n_distinct").desc(), *[F.col(k) for k in keys]
+        ).limit(_MAX_GROUPS)
+    return out
 
 
 def _op_split_counts(df: DataFrame, params: dict) -> DataFrame:
@@ -196,7 +215,7 @@ def run_pipeline_op(df: DataFrame, spec) -> DataFrame:
     if unknown:
         _fail(f"Unknown key(s) in pipeline body: {sorted(unknown)}")
     op = spec.get("op")
-    if op not in _OPS:
+    if not isinstance(op, str) or op not in _OPS:
         _fail(
             f"Unknown pipeline op: {op!r} (supported: {sorted(_OPS)})"
         )

@@ -106,4 +106,7 @@ def interval_join(
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     joined = l_src.join(r_renamed, cond).drop(rkey)
-    return _restore_ntz(joined, l_ntz or r_ntz, left_ts, rts)
+    # restore per SIDE: with mixed inputs (left ntz, right ltz) a
+    # joint flag would wrongly cast the ltz side's output to ntz
+    joined = _restore_ntz(joined, l_ntz, left_ts)
+    return _restore_ntz(joined, r_ntz, rts)

@@ -436,16 +436,27 @@ def test_edit_distance_pairs_blocking_and_cap(spark):
     }
     assert capped == {(1, 2)}
 
-    # custom block key: length bucket finds the cross-noun pair the
-    # default (last-token) blocking cannot see
+    # custom block key: length bucket finds a cross-noun pair the
+    # default (last-token) blocking cannot see — POSITIVE proof the
+    # parameter is honored, not just absence that holds either way
     from pyspark.sql import functions as F
 
-    pairs = dedup.edit_distance_pairs(
-        df,
-        block_key=F.length("text"),
-        max_dist=3,
-    )
-    assert (3, 5) not in {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    df2 = df.union(
+        spark.createDataFrame([(6, "red tear")], ["doc_id", "text"])
+    )  # "red gear" (id 4) vs "red tear": dist 1, same length 8,
+    #    different last token -> invisible to default blocking
+    default_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.edit_distance_pairs(df2, max_dist=2).collect()
+    }
+    assert (4, 6) not in default_pairs
+    length_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.edit_distance_pairs(
+            df2, block_key=F.length("text"), max_dist=2
+        ).collect()
+    }
+    assert (4, 6) in length_pairs
 
 
 def test_edit_distance_pairs_cap_plan_has_window_group_limit(spark):

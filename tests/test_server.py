@@ -689,3 +689,31 @@ def test_pipeline_top_values(server):
         server, "pl7", {"op": "top_values", "params": {"column": "k", "n": 0}}
     )
     assert code == 400
+
+
+def test_pipeline_validation_hardening(server):
+    store(server, "pl8", "a,b\n1,x\n2,y\n3,z\n")
+    # non-string op (unhashable) -> 400, not a 500 TypeError
+    code, _, _ = pipeline(server, "pl8", {"op": ["dedup_count"]})
+    assert code == 400
+    code, _, _ = pipeline(server, "pl8", {"op": {"x": 1}})
+    assert code == 400
+    # group_by: null / non-list -> 400, not a 500 TypeError
+    for bad in (None, "a", 0, False):
+        code, _, _ = pipeline(
+            server,
+            "pl8",
+            {"op": "cardinality", "params": {"column": "b", "group_by": bad}},
+        )
+        assert code == 400, bad
+    # grouped cardinality on a near-unique key stays bounded (cap), so
+    # the summary contract holds even for pathological group keys
+    code, body, _ = pipeline(
+        server,
+        "pl8",
+        {
+            "op": "cardinality",
+            "params": {"column": "b", "group_by": ["a"], "exact": True},
+        },
+    )
+    assert code == 200 and len(json.loads(body)) == 3  # <= _MAX_GROUPS
