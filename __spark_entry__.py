@@ -1415,14 +1415,24 @@ def q90_pagerank(spark, sf_dir):
     from qcache_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o_id = F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
-    p_id = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    # LONG node ids, not strings: orders even (2k), parts odd (2k+1).
+    # The per-round joins sort/shuffle the edge set on the node id;
+    # long keys cut the q90 sweep time ~2x vs 'o<key>'/'p<key>'
+    # strings (string sort + bigger shuffle payload). The wire output
+    # decodes back to the readable prefixed form.
+    o_id = (F.col("l_orderkey") * 2).cast("long")
+    p_id = (F.col("l_partkey") * 2 + 1).cast("long")
     edges = li.select(o_id.alias("src"), p_id.alias("dst")).union(
         li.select(p_id.alias("src"), o_id.alias("dst"))
     )
     ranks = pagerank(edges, iters=3)
     return (
-        ranks.filter(F.col("id").startswith("p"))
+        ranks.filter(F.col("id") % 2 == 1)
+        .select(
+            F.concat(F.lit("p"), F.expr("(id - 1) div 2").cast("string"))
+            .alias("id"),
+            "rank",
+        )
         .orderBy(F.col("rank").desc(), "id")
         .limit(20)
     )
@@ -1435,12 +1445,12 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     parts = [
         """
         WITH e AS (
-            SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
-                   'p' || CAST(l_partkey AS VARCHAR) AS dst
+            SELECT CAST(l_orderkey * 2 AS BIGINT) AS src,
+                   CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
             FROM lineitem
             UNION ALL
-            SELECT 'p' || CAST(l_partkey AS VARCHAR),
-                   'o' || CAST(l_orderkey AS VARCHAR)
+            SELECT CAST(l_partkey * 2 + 1 AS BIGINT),
+                   CAST(l_orderkey * 2 AS BIGINT)
             FROM lineitem
         ), nodes AS (
             SELECT DISTINCT id FROM (
@@ -1469,9 +1479,10 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
         )
     parts.append(
         f"""
-        SELECT id, rank FROM r{iters}
-        WHERE id LIKE 'p%'
-        ORDER BY rank DESC, id
+        SELECT 'p' || CAST((id - 1) // 2 AS VARCHAR) AS id, rank
+        FROM r{iters}
+        WHERE id % 2 = 1
+        ORDER BY rank DESC, 'p' || CAST((id - 1) // 2 AS VARCHAR)
         LIMIT 20
     """
     )
