@@ -481,3 +481,157 @@ def media_dedup_keys(media: DataFrame) -> DataFrame:
         F.sha2(F.col("payload"), 256).alias("payload_sha256"),
         F.length(F.col("payload")).alias("payload_bytes"),
     )
+
+
+# ------------------------------------------------------------- audio
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+    ]
+)
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Native RIFF/WAVE PCM decode — stdlib ``wave`` parses the
+    container, numpy vectorizes the sample conversion. No external
+    dependency: WAV/PCM is to audio what PNM is to images (the
+    uncompressed open format a from-scratch engine can own outright).
+    Returns (samples float64 in [-1, 1], shape (n_frames, channels),
+    sample_rate). 8/16/32-bit PCM supported."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:  # unsigned 8-bit
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:  # signed little-endian 16-bit
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:  # signed little-endian 32-bit
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw} bytes")
+    return arr.reshape(-1, nch), rate
+
+
+def audio_decoder_available() -> bool:
+    """soundfile (libsndfile) presence — needed only for COMPRESSED
+    audio (flac/ogg/...); WAV/PCM always decodes natively."""
+    try:  # pragma: no cover - not installed in this sandbox
+        import soundfile  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _decode_audio_real(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV/PCM natively; compressed formats via soundfile when
+    importable, else a LOUD error (the r5 Pillow pattern: never a
+    silent fake on real media)."""
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    try:  # pragma: no cover - soundfile not in this sandbox
+        import io
+
+        import soundfile as sf
+
+        arr, rate = sf.read(io.BytesIO(payload), always_2d=True)
+        return arr.astype(np.float64), int(rate)
+    except ImportError:
+        raise ImportError(
+            "compressed audio decode needs the optional 'soundfile' "
+            "package; WAV/PCM payloads decode natively without it"
+        )
+
+
+def extract_audio_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Per-clip audio features, Arrow-batched (mapInPandas), no
+    shuffle: duration, RMS loudness, peak amplitude, zero-crossing
+    rate (the crude pitch/noisiness proxy), plus the same
+    payload-size/sha256 columns as the image path. All numpy —
+    ~one vectorized pass per clip."""
+
+    def features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = _decode_audio_real(bytes(payload))
+                n = samples.shape[0]
+                mono = samples.mean(axis=1) if samples.size else samples.reshape(0)
+                rms = float(np.sqrt((mono**2).mean())) if n else 0.0
+                peak = float(np.abs(samples).max()) if n else 0.0
+                zcr = (
+                    float((np.diff(np.signbit(mono)) != 0).mean())
+                    if n > 1
+                    else 0.0
+                )
+                out.append(
+                    (
+                        media_id,
+                        int(rate),
+                        int(samples.shape[1]),
+                        int(n),
+                        float(n / rate) if rate else 0.0,
+                        rms,
+                        peak,
+                        zcr,
+                        len(payload or b""),
+                        hashlib.sha256(payload or b"").hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        features, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def synthetic_audio(
+    spark: SparkSession, n: int = 16, partitions: int = 4,
+    rate: int = 8000, seconds: float = 0.25,
+) -> DataFrame:
+    """Deterministic REAL WAV clips (16-bit PCM mono sine, frequency
+    keyed by id) — the audio analogue of the PNM test images: every
+    byte is a valid RIFF container, so the native decode path is
+    exercised end-to-end with zero external deps."""
+    import io
+    import wave
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                freq = 220.0 + 55.0 * (int(i) % 8)
+                t = np.arange(int(rate * seconds)) / rate
+                pcm = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm.tobytes())
+                rows.append(
+                    (int(i), "audio", "audio/wav", buf.getvalue(),
+                     {"freq_hz": str(freq)})
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "meta"]
+            )
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
