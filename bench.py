@@ -74,6 +74,13 @@ HEADLINE = [
 ]
 
 
+# The r5 HEADLINE prefix, frozen: totals over THIS subset stay
+# comparable round-over-round even as new entries join HEADLINE
+# (reported as extras.total_r5_headline_subset; the top-level `value`
+# tracks the full current suite and grows with coverage by design).
+R5_HEADLINE = HEADLINE[: HEADLINE.index("q68_sequence_packing") + 1]
+
+
 # Tables the heavy-query sweep needs warm (shared with tools/scale_sweep.py)
 HEAVY_SWEEP_TABLES = [
     "lineitem", "orders", "customer", "events", "documents", "embeddings",
@@ -157,6 +164,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     total_min = round(sum(timings_min.values()), 4)
+    total_r5_subset = round(
+        sum(t for n, t in timings.items() if n in R5_HEADLINE), 4
+    )
     # Contention evidence (VERDICT r4: BENCH_r04's heavy-query medians
     # were 2-10x inflated by a busy machine and unusable). On an idle
     # box median/min per query sit within ~1.3x; a large gap means
@@ -189,7 +199,7 @@ def main() -> None:
     # key — quantifies the exchange-free per-key plan the bucketed
     # layout buys. Reported under "extras" so `value` stays comparable
     # round-over-round.
-    extras: dict[str, float] = {}
+    extras: dict[str, float] = {"total_r5_headline_subset": total_r5_subset}
     try:
         from qcache_spark.cache.catalog import DatasetCatalog
 

@@ -631,14 +631,24 @@ def dedup_clusters(
     attribute for callers that probe it.
 
     ``checkpoint_dir``: when set, per-round lineage truncation uses
-    reliable ``.checkpoint()`` into that directory (HDFS/S3 path on a
-    cluster) instead of ``localCheckpoint()``. localCheckpoint stores
-    blocks on executors — fast, but a lost executor kills the job
-    mid-iteration; reliable checkpoints survive executor loss, the
-    right trade for multi-hour 100 TB clustering runs (VERDICT r5
-    item 6)."""
+    reliable ``.checkpoint()`` instead of ``localCheckpoint()``.
+    localCheckpoint stores blocks on executors — fast, but a lost
+    executor kills the job mid-iteration; reliable checkpoints survive
+    executor loss, the right trade for multi-hour 100 TB clustering
+    runs (VERDICT r5 item 6). Each run writes into a fresh
+    SUBDIRECTORY of ``checkpoint_dir`` (returned frames reference the
+    final round's files, so nothing here can self-delete); reclaim it
+    with one recursive delete after the result is consumed, or enable
+    spark.cleaner.referenceTracking.cleanCheckpoints. Note the
+    checkpoint location is a SparkContext-wide setting — other
+    checkpoint users in the same session should partition directories
+    by job."""
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        from ._checkpoint import claim_checkpoint_subdir
+
+        claim_checkpoint_subdir(
+            pairs.sparkSession.sparkContext, checkpoint_dir, "cc"
+        )
     e = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))

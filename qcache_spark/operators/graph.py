@@ -56,7 +56,13 @@ def pagerank(
         raise ValueError("damping_pct must be in (0, 100)")
 
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # fresh per-run subdirectory; see operators/_checkpoint.py for
+        # the lifecycle contract (caller reclaims after consumption)
+        from ._checkpoint import claim_checkpoint_subdir
+
+        claim_checkpoint_subdir(
+            edges.sparkSession.sparkContext, checkpoint_dir, "pagerank"
+        )
 
     def _cut(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:

@@ -361,6 +361,8 @@ def _extract_frames_real(
     raises so a misconfigured production pipeline fails loudly instead
     of silently emitting stub frames."""
     data = payload or b""
+    if not data:
+        raise ValueError("empty video payload (no container bytes)")
     if not data.startswith(b"YUV4MPEG2"):
         if not video_decoder_available():
             raise RuntimeError(
@@ -369,10 +371,17 @@ def _extract_frames_real(
             )
         import subprocess
 
+        # decode ONLY the frames the sampler can use: without
+        # -frames:v, a 100 MB H.264 blob becomes multi-GB of raw YUV
+        # held in one bytes object (stdout=PIPE) before sampling
+        # throws most of it away — an executor OOM for long videos.
+        needed = max(every_n, 1) * max_frames
         data = subprocess.run(
             ["ffmpeg", "-v", "error", "-i", "pipe:0",
+             "-frames:v", str(needed),
              "-f", "yuv4mpegpipe", "pipe:1"],
             input=data, stdout=subprocess.PIPE, check=True,
+            timeout=120,
         ).stdout
     out = []
     for idx, rgb in _frames_from_y4m(data):

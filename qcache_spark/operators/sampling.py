@@ -231,6 +231,12 @@ def negative_pairs(
     return cand.join(ids, "negative_id").select("anchor_id", "j", "negative_id")
 
 
+# last persisted range-partitioned input per SparkSession (by id):
+# curriculum_buckets' returned plan reads its cache, so eviction is
+# deferred to the NEXT call instead of leaking one copy per call
+_CURRICULUM_CACHE: dict = {}
+
+
 def curriculum_buckets(
     df: DataFrame,
     score_col: str,
@@ -283,13 +289,25 @@ def curriculum_buckets(
     # Persist so the counts job and the final plan share one range
     # shuffle instead of recomputing it (on a cluster: MEMORY_AND_DISK
     # spills oversized slices to local disk, never to the driver).
+    # The cache must outlive this function (the RETURNED plan reads
+    # it), so it cannot be unpersisted here; instead each call evicts
+    # the PREVIOUS call's cache — a long-lived session holds at most
+    # one table copy per session instead of one per invocation.
     ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    session_id = id(df.sparkSession)
+    prev = _CURRICULUM_CACHE.pop(session_id, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _CURRICULUM_CACHE[session_id] = ranged
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )  # O(num_partitions) rows — the only driver-side data
     n = sum(c for _, c in counts)
     if n == 0:
+        # nothing downstream will ever read the cache — drop it now
+        _CURRICULUM_CACHE.pop(session_id, None)
+        ranged.unpersist(blocking=False)
         return df.withColumn(bucket_col, F.lit(None).cast("int"))
     offsets, acc = {}, 0
     for pid, c in counts:
@@ -367,12 +385,22 @@ def weighted_sample(
     weight*2^60 (~2^80 for 7-digit weights), far past int64, so the
     engine compares in decimal(38,0) and an external oracle can use
     HUGEINT/DECIMAL — no float probability is ever formed, the
-    boundary cannot drift between engines."""
+    boundary cannot drift between engines.
+
+    Fractional weights are resolved at 2^-20 granularity: both sides
+    are scaled by 2^20 and the weight rounds ONCE at that fixed point
+    (a bare decimal(38,0) cast would round 0.7 to 1 — silently
+    turning a fractional-weight column into a coin flip). For integer
+    weights the scale factor cancels exactly, so results — and the
+    q81 oracle — are unchanged."""
     if denom < 1:
         raise ValueError(f"denom must be >= 1, got {denom}")
+    frac_scale = 1 << 20
     h = hash60(F.col(id_col), seed, hash_fn).cast("decimal(38,0)")
-    w = F.col(weight_col).cast("decimal(38,0)")
+    w_scaled = F.round(F.col(weight_col) * frac_scale).cast("decimal(38,0)")
     return df.filter(
-        h * F.lit(int(denom)).cast("decimal(38,0)")
-        < w * F.lit(HASH_SCALE).cast("decimal(38,0)")
+        h
+        * F.lit(int(denom)).cast("decimal(38,0)")
+        * F.lit(frac_scale).cast("decimal(38,0)")
+        < w_scaled * F.lit(HASH_SCALE).cast("decimal(38,0)")
     )

@@ -725,27 +725,33 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    # positional alias names + one[i] references: column names with
+    # dots/backticks/spaces would break string-based F.col lookups on
+    # the generated aliases (a dot parses as struct access)
+    def _q(c: str):  # backtick-quoted exact-name reference
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.sum(_q(c).isNull().cast("long")).alias(f"__nn_{i}"),
+            F.count_distinct(_q(c)).alias(f"__nd_{i}"),
+            F.min(_q(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(_q(c)).cast("string").alias(f"__mx_{i}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
                 F.lit(c).alias("col_name"),
-                F.col(f"__n_{c}").alias("n_rows"),
-                F.col(f"__nn_{c}").alias("n_null"),
-                F.col(f"__nd_{c}").alias("n_distinct"),
-                F.col(f"__mn_{c}").alias("min_value"),
-                F.col(f"__mx_{c}").alias("max_value"),
+                one[5 * i + 0].alias("n_rows"),
+                one[5 * i + 1].alias("n_null"),
+                one[5 * i + 2].alias("n_distinct"),
+                one[5 * i + 3].alias("min_value"),
+                one[5 * i + 4].alias("max_value"),
             )
-            for c in cols
+            for i, c in enumerate(cols)
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")

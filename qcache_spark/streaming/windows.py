@@ -11,6 +11,7 @@ memory: state for windows older than the watermark is dropped.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +66,42 @@ def read_event_stream(
     return df
 
 
+def _tz_is_utc(tz: str | None) -> bool:
+    """True iff the session timezone renders at UTC year-round.
+
+    Checks the actual OFFSET instead of string-matching a handful of
+    spellings — 'Etc/GMT', 'GMT0', 'Universal', 'UTC+00:00' are all
+    semantically UTC and were previously rejected. Fixed-offset forms
+    are parsed directly; named zones resolve via zoneinfo and must
+    have zero offset in BOTH January and July (ruling out DST)."""
+    if not tz:
+        return False
+    if tz in ("UTC", "GMT", "Z", "UT", "Zulu", "Universal", "Greenwich",
+              "UCT", "GMT0"):
+        return True
+    m = re.fullmatch(
+        r"(?:UTC|GMT|UT)?\s*([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", tz
+    )
+    if m:
+        return (
+            int(m.group(2)) == 0
+            and int(m.group(3) or 0) == 0
+            and int(m.group(4) or 0) == 0
+        )
+    try:
+        from datetime import datetime, timedelta
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        zero = timedelta(0)
+        return (
+            datetime(2024, 1, 15, tzinfo=z).utcoffset() == zero
+            and datetime(2024, 7, 15, tzinfo=z).utcoffset() == zero
+        )
+    except Exception:
+        return False
+
+
 def _watermark_ntz(
     events: DataFrame, event_col: str, watermark: str
 ) -> tuple[DataFrame, bool]:
@@ -84,7 +121,7 @@ def _watermark_ntz(
         # of silently drifting (get_spark pins UTC; external sessions may
         # not).
         tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
-        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        if not _tz_is_utc(tz):
             raise ValueError(
                 "streaming windows over TIMESTAMP_NTZ event time require "
                 f"spark.sql.session.timeZone=UTC (got {tz!r}); build the "

@@ -1622,3 +1622,42 @@ def test_pagerank_reliable_checkpoint_and_validation(spark, tmp_path):
         pagerank(edges, iters=0)
     with pytest.raises(ValueError):
         pagerank(edges, damping_pct=100)
+
+
+def test_weighted_sample_fractional_weights(spark):
+    # review fix: a bare decimal(38,0) cast rounded 0.4 -> 0 (never
+    # kept) and 0.5 -> 1; fractional weights must sample at ~w/denom
+    from qcache_spark.operators import sampling
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"), F.lit(0.4).alias("w")
+    )
+    kept = sampling.weighted_sample(df, "w", 1, seed=5).count()
+    assert 0.3 * 4000 < kept < 0.5 * 4000  # P[keep] = 0.4
+    # integer weights are bit-identical to the unscaled formulation
+    # (the q81 oracle's contract): scale factors cancel exactly
+    di = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("w")
+    )
+    got = {r["doc_id"] for r in sampling.weighted_sample(di, "w", 8, seed=2).collect()}
+    from qcache_spark.operators.sampling import HASH_SCALE, hash60
+
+    want = {
+        r["doc_id"]
+        for r in di.filter(
+            hash60(F.col("doc_id"), 2).cast("decimal(38,0)") * 8
+            < F.col("w").cast("decimal(38,0)") * F.lit(HASH_SCALE).cast("decimal(38,0)")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_profile_table_dotted_column_names(spark):
+    # review fix: unquoted F.col on generated aliases parsed a dot as
+    # struct access and raised AnalysisException
+    from qcache_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["a.b", "plain"])
+    rows = {r["col_name"]: r for r in T.profile_table(df).collect()}
+    assert rows["a.b"]["n_distinct"] == 2
+    assert rows["plain"]["n_null"] == 1

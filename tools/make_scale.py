@@ -73,12 +73,30 @@ def main() -> None:
     os.makedirs(dest)
     spark = get_spark(app_name="make-scale")
 
-    # documents: replica-suffixed vocabulary (replica 0 untouched)
+    # documents: replica-suffixed vocabulary (replica 0 untouched).
+    # The suffix is LETTERS ONLY, attached directly to every
+    # letter/digit run: under BOTH tokenizers in the engine
+    # (dedup.tokenize whitespace split AND text.word_tokens
+    # [^\p{L}\p{N}]+ split) 'wordxc' is one token distinct from
+    # 'word', so cross-replica vocabularies are genuinely disjoint.
+    # (The previous '·<i>' suffix was itself a word_tokens SEPARATOR:
+    # it left base vocabularies identical across replicas and added a
+    # digit token per word — the sweep then measured that distorted
+    # corpus for every word_tokens-based query.)
+    def replica_suffix(i: int) -> str:
+        s = ""
+        while True:
+            s = chr(ord("a") + i % 26) + s
+            i //= 26
+            if i == 0:
+                return "x" + s
+
     docs = load_table(spark, SRC, "documents")
     parts = [docs]
     for i in range(1, mult):
         r = replicate(docs, i, OFF).withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", rf"$1·{i}")
+            "text",
+            F.regexp_replace("text", r"([\p{L}\p{N}]+)", rf"$1{replica_suffix(i)}"),
         )
         r = r.withColumn("n_chars", F.length("text"))
         parts.append(r)
@@ -89,15 +107,26 @@ def main() -> None:
         os.path.join(dest, "documents.parquet")
     )
 
-    # embeddings: circular shift by replica (orthogonal per replica)
+    # embeddings: circular shift by replica; once the shift wraps
+    # (i >= dim) a bare shift would REPEAT replica i-dim's vectors
+    # exactly (replica 64 == replica 0 at dim=64 — mass fake
+    # duplicates), so wrapped replicas are additionally negated.
+    # Two full wraps would repeat again; refuse past that.
     emb = load_table(spark, SRC, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
+    if mult > 2 * dim:
+        raise SystemExit(
+            f"mult={mult} exceeds the decorrelation capacity of "
+            f"shift+negate over dim={dim} vectors (max {2 * dim})"
+        )
     parts = [emb]
     for i in range(1, mult):
         k = i % dim
         shifted = F.concat(
             F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
         )
+        if i >= dim:
+            shifted = F.transform(shifted, lambda x: -x)
         parts.append(replicate(emb, i, OFF).withColumn("embedding", shifted))
     union = parts[0]
     for p in parts[1:]:
