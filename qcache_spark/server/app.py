@@ -16,8 +16,12 @@
                                       read-only pipeline operators
                                       (extension — dedup_count,
                                       cardinality, split_counts,
-                                      quality_summary; see
-                                      server/pipeline.py)
+                                      quality_summary, top_values;
+                                      see server/pipeline.py)
+    POST   /qcache/dataset/<key>/explain
+                                      Catalyst formatted plan for a
+                                      query dict (extension; compile
+                                      only, nothing executes)
 
 Headers: `X-QCache-types` (type hints), `X-QCache-stand-in-columns`,
 `X-QCache-unsliced-length` (pre-slice count, README.rst:398-405).
@@ -267,6 +271,8 @@ class QCacheHandler(BaseHTTPRequestHandler):
                 return ("dataset_q", urllib.parse.unquote(rest[1]), query)
             if len(rest) == 3 and rest[0] == "dataset" and rest[2] == "pipeline":
                 return ("dataset_pipeline", urllib.parse.unquote(rest[1]), query)
+            if len(rest) == 3 and rest[0] == "dataset" and rest[2] == "explain":
+                return ("dataset_explain", urllib.parse.unquote(rest[1]), query)
         return (None, None, query)
 
     def _guard(self, fn):
@@ -324,6 +330,9 @@ class QCacheHandler(BaseHTTPRequestHandler):
         elif route == "dataset_pipeline":
             body = self._read_body().decode("utf-8")
             self._run_pipeline(key, body)
+        elif route == "dataset_explain":
+            body = self._read_body().decode("utf-8")
+            self._run_explain(key, body)
         elif route == "dataset":
             self._store_dataset(key)
         elif route == "sql":
@@ -428,6 +437,41 @@ class QCacheHandler(BaseHTTPRequestHandler):
             extra_headers={"X-QCache-unsliced-length": str(unsliced_len)},
         )
 
+
+    # -- explain endpoint ---------------------------------------------
+
+    def _run_explain(self, key: str, body_text: str) -> None:
+        """POST /dataset/<key>/explain: compile the query dict and
+        return Catalyst's formatted physical plan as text/plain —
+        the operational 'why is this slow / did my filter push down'
+        introspection surface (PushedFilters, WholeStageCodegen spans,
+        exchanges are all visible). Compilation only; nothing
+        executes. Same 400/404 discipline as the query endpoint;
+        update statements are rejected (they have no read plan)."""
+        try:
+            q = json.loads(body_text)
+        except json.JSONDecodeError as e:
+            raise MalformedQueryException(f"Invalid query JSON: {e}")
+        if isinstance(q, dict) and "update" in q:
+            raise MalformedQueryException(
+                "explain supports read queries only, not updates"
+            )
+        try:
+            item = self.catalog.get(key)
+        except UnknownDatasetException:
+            self.stats.inc("miss_count")
+            self._error(404, f"Unknown dataset: {key}")
+            return
+        self.stats.inc("hit_count")
+        stand_ins = parse_stand_in_header(self.headers.get("X-QCache-stand-in-columns"))
+        df = apply_stand_in_columns(item.df, stand_ins)
+        result = compile_query(q, df, enum_columns=item.enum_columns)
+        plan = result.sliced._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        self._send(200, plan.encode("utf-8"), "text/plain")
 
     # -- pipeline-operator endpoint -----------------------------------
 

@@ -717,3 +717,31 @@ def test_pipeline_validation_hardening(server):
         },
     )
     assert code == 200 and len(json.loads(body)) == 3  # <= _MAX_GROUPS
+
+
+def test_explain_endpoint(server):
+    store(server, "ex1", "a,b\n1,x\n2,y\n3,z\n")
+    code, body, _ = call(
+        server,
+        "POST",
+        "/qcache/dataset/ex1/explain",
+        json.dumps({"where": [">", "a", 1], "select": ["a"]}).encode(),
+    )
+    assert code == 200
+    plan = body.decode()
+    assert "Filter" in plan or "LocalTableScan" in plan
+    # update statements have no read plan -> 400
+    code, _, _ = call(
+        server,
+        "POST",
+        "/qcache/dataset/ex1/explain",
+        json.dumps({"update": [["a", 1]]}).encode(),
+    )
+    assert code == 400
+    # malformed JSON -> 400, unknown dataset -> 404
+    code, _, _ = call(server, "POST", "/qcache/dataset/ex1/explain", b"{oops")
+    assert code == 400
+    code, _, _ = call(
+        server, "POST", "/qcache/dataset/nope_ex/explain", b"{}"
+    )
+    assert code == 404
