@@ -1489,6 +1489,43 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     return "".join(parts)
 
 
+def q91_triangle_count(spark, sf_dir):
+    """Top-20 triangle-participation nodes of the part co-purchase
+    graph (operators/graph.py:triangle_participation): parts are
+    adjacent when some order contains both. Degree-ordered orientation
+    bounds the wedge join at m^1.5 total with no hub hotspot (the
+    "last reducer" fix); the DuckDB oracle brute-forces the canonical
+    a<b<c closure, proving orientation exact. Edge build is a
+    lineitem self-join on the order key — per-order line counts are
+    bounded (TPC-H <= 7), so the pair fanout is O(rows), not O(rows^2).
+    """
+    from qcache_spark.operators.graph import triangle_participation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return (
+        triangle_participation(edges)
+        .orderBy(F.col("n_triangles").desc(), "id")
+        .limit(20)
+    )
+
+
+def q92_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences
+    (operators/funnel.py:event_transitions): counts + distinct users
+    per (prev_type -> next_type) pair. One user-keyed window (lag) +
+    one vocabulary-bounded agg; oracle is the identical LAG in SQL."""
+    events = load_table(spark, sf_dir, "events")
+    return _funnel.event_transitions(events)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 6) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
@@ -1506,6 +1543,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Everything below slot 50 (q51-q56, q58-q65, q68, q1-q21 --
     # all multi-round green) remains value-checked every run by the
     # local DuckDB replica (tests/test_entry_oracle.py).
+    "q91_triangle_count": q91_triangle_count,
+    "q92_event_transitions": q92_event_transitions,
     "q86_table_profile": q86_table_profile,
     "q80_embedding_quantize": q80_embedding_quantize,
     "q81_weighted_sample": q81_weighted_sample,
@@ -2329,6 +2368,44 @@ OPERATOR_ORACLES: dict[str, str] = {
 
 
 ORACLES: dict[str, str] = {
+    # q91: brute-force canonical a<b<c closure — equals the engine's
+    # degree-ordered oriented count iff orientation loses nothing
+    "q91_triangle_count": """
+        WITH und AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), nodes AS (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY id
+        ORDER BY n_triangles DESC, id
+        LIMIT 20
+    """,
+    # q92: identical LAG (same user partition, same ts,id order)
+    "q92_event_transitions": """
+        WITH seq AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS from_type,
+                   event_type AS to_type
+            FROM events
+        )
+        SELECT from_type, to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
     # q86: one SELECT per profiled column; COUNT(DISTINCT) excludes
     # nulls in both engines, min/max rendered as strings (timestamp
     # wall-time text matches under the engine's UTC sessions).

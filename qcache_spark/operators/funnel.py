@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,41 @@ def user_funnel(
     for frame in per_step[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: for each consecutive (prev_type -> next_type) pair in a
+    user's timeline, how many transitions occur and how many distinct
+    users make them. The behavior-model / curriculum-sequencing
+    primitive (and the sanity check on synthetic event generators).
+
+    ONE window keyed on the user (partitionBy user, orderBy ts with an
+    id tiebreak — deterministic under timestamp collisions), then a
+    transition-keyed partial agg. No global ordering, no per-user
+    history materialization: window state per task is a single lag
+    value. The agg shuffle carries (type, type) pairs — bounded by the
+    event-type vocabulary squared, regardless of input size.
+
+    Returns (from_type, to_type, n_transitions, n_users).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    return (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct(F.col("u")).alias("n_users"),
+        )
+    )

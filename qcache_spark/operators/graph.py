@@ -25,6 +25,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_participation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Degree-ordered orientation (Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer"): every undirected
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, which bounds every node's out-degree by O(sqrt(m)) —
+    so the wedge self-join (the only quadratic step) is bounded by
+    m^1.5 TOTAL and, critically, no single hub node ever enumerates
+    its full neighborhood squared. A 100 TB social/co-occurrence graph
+    has power-law hubs; the naive a<b<c self-join puts deg(hub)^2
+    wedges in ONE task, the oriented form spreads them.
+
+    Exactness: orientation never loses a triangle (each triangle has
+    exactly one source under any total order), so the result equals
+    the brute-force a<b<c count — which is what the q91 DuckDB oracle
+    computes, proving the optimization semantics-free.
+
+    Shuffles: distinct(edge) + degree agg + 2 node-keyed joins +
+    wedge join on the pivot + closing join on the (b,c) edge — all
+    key-partitioned, no neighborhood materialized per task.
+
+    Returns (id, n_triangles) for nodes in >= 1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = und.join(
+        deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    # total order = (degree, id); struct comparison is lexicographic
+    ord_u = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    ord_v = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    fwd = ranked.filter(ord_u < ord_v).select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db")
+    )
+    bwd = ranked.filter(ord_v < ord_u).select(
+        F.col("v").alias("a"), F.col("u").alias("b"), F.col("du").alias("db")
+    )
+    oriented = fwd.union(bwd)
+    # wedges at pivot a: out-neighbor pairs (b, c) with ord(b) < ord(c)
+    o1 = oriented.select("a", "b", "db")
+    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc"))
+    wedges = o1.join(o2, o1["a"] == o2["a2"]).filter(
+        F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+        < F.struct(F.col("dc").alias("d"), F.col("c").alias("i"))
+    ).select("a", "b", "c")
+    # ord(b) < ord(c) means a closing edge {b,c} is oriented b -> c
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
