@@ -388,6 +388,7 @@ from qcache_spark.operators import funnel as _funnel
 from qcache_spark.operators import sampling as _sampling
 from qcache_spark.operators import similarity as _similarity
 from qcache_spark.operators import text as _text
+from qcache_spark.operators import timeseries as _timeseries
 
 
 def q26_dedup_exact_text(spark, sf_dir):
@@ -1526,6 +1527,28 @@ def q92_event_transitions(spark, sf_dir):
     return _funnel.event_transitions(events)
 
 
+def q93_time_bucket_ohlc(spark, sf_dir):
+    """Hourly OHLC bars per event type (operators/timeseries.py:ohlc):
+    the resample/downsample primitive as ONE partial agg — open/close
+    via min_by/max_by on the composite (ts, id) key, no window, no
+    per-bucket sort; the exchange carries one row per (type, hour).
+    Integer epoch buckets + long micro-unit sums on the wire."""
+    events = load_table(spark, sf_dir, "events")
+    return _timeseries.ohlc(events, bucket_seconds=3600)
+
+
+def q94_percentile_outliers(spark, sf_dir):
+    """Exact per-type p99 + winsorized tail statistics
+    (operators/timeseries.py:grouped_percentile_stats): distributed
+    grouped rank via ONE range shuffle + per-partition sorts +
+    broadcast offsets — the q76 distributed-NTILE device generalized
+    to per-group rank, so no event type's history ever transits a
+    single task. Oracle replicates with a plain per-type ROW_NUMBER
+    (exact at sf0.01; the plans differ, the values must not)."""
+    events = load_table(spark, sf_dir, "events")
+    return _timeseries.grouped_percentile_stats(events, pct=0.99)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 6) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
@@ -1545,6 +1568,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # local DuckDB replica (tests/test_entry_oracle.py).
     "q91_triangle_count": q91_triangle_count,
     "q92_event_transitions": q92_event_transitions,
+    "q93_time_bucket_ohlc": q93_time_bucket_ohlc,
+    "q94_percentile_outliers": q94_percentile_outliers,
     "q86_table_profile": q86_table_profile,
     "q80_embedding_quantize": q80_embedding_quantize,
     "q81_weighted_sample": q81_weighted_sample,
@@ -2405,6 +2430,67 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM seq WHERE from_type IS NOT NULL
         GROUP BY from_type, to_type
+    """,
+    # q93: open/close via ROW_NUMBER (DuckDB's arg_min/arg_max take no
+    # composite key); same (ts, id) order, same epoch-second buckets
+    "q93_time_bucket_ohlc": """
+        WITH b AS (
+            -- epoch_us // 1_000_000: integer floor of the second
+            -- (epoch() is a DOUBLE and CAST .. AS BIGINT ROUNDS,
+            -- shifting boundary events into the next bucket)
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000)
+                     - ((epoch_us(ts) // 1000000) % 3600) AS bucket_start_s,
+                   value, ts, event_id
+            FROM events
+        ), o AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bucket_start_s
+                       ORDER BY ts, event_id
+                   ) AS rn_a,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bucket_start_s
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn_z
+            FROM b
+        )
+        SELECT event_type, bucket_start_s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_value_e4
+        FROM o
+        GROUP BY event_type, bucket_start_s
+    """,
+    # q94: per-type ROW_NUMBER replica of the distributed grouped rank
+    "q94_percentile_outliers": """
+        WITH v AS (
+            SELECT event_type AS g, value AS v, event_id AS i
+            FROM events WHERE value IS NOT NULL
+        ), r AS (
+            SELECT g, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, i) AS rk,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM v
+        ), cut AS (
+            SELECT g, v AS p_value, n, rk AS k
+            FROM r
+            WHERE rk = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT))
+        )
+        SELECT r.g AS event_type,
+               CAST(cut.n AS BIGINT) AS n,
+               CAST(cut.k AS BIGINT) AS k,
+               cut.p_value,
+               CAST(SUM(CASE WHEN r.v > cut.p_value THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tail,
+               CAST(SUM(CAST(round(LEAST(r.v, cut.p_value) * 10000)
+                             AS BIGINT)) AS BIGINT) AS win_sum_e4
+        FROM r JOIN cut USING (g)
+        GROUP BY r.g, cut.n, cut.k, cut.p_value
     """,
     # q86: one SELECT per profiled column; COUNT(DISTINCT) excludes
     # nulls in both engines, min/max rendered as strings (timestamp
