@@ -1549,27 +1549,63 @@ def q94_percentile_outliers(spark, sf_dir):
     return _timeseries.grouped_percentile_stats(events, pct=0.99)
 
 
+def q95_prefix_jaccard_join(spark, sf_dir):
+    """Lossless set-similarity self-join at shingle-set Jaccard >= 0.6
+    (operators/dedup.py:prefix_jaccard_pairs): prefix filtering over
+    the global rarest-first element order — the EXACT counterpart to
+    the probabilistic MinHash-LSH pairs (q31), over the same 3-gram
+    shingle space. The oracle brute-forces the UNBLOCKED element join;
+    green proves prefix filtering loses no pair. Integer threshold
+    arithmetic, zero float tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.prefix_jaccard_pairs(docs, threshold_pct=60, shingle_size=3)
+
+
+def q96_knn_label_consistency(spark, sf_dir):
+    """k-NN label-noise audit (operators/similarity.py:
+    knn_label_agreement): every 8th vector probes the corpus; exact-
+    integer int8 dot products rank neighbors (portable across engines,
+    unlike float cosine), WindowGroupLimit keeps the per-probe top-k
+    pre-shuffle. Oracle replicates quantization + dot + ranking in
+    SQL — value-exact, no float tolerance anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 8 == 0)
+    return _similarity.knn_label_agreement(emb, probes, k=5)
+
+
+def q97_token_pmi(spark, sf_dir):
+    """Top-100 PMI collocations within a +-2 token window
+    (operators/text.py:token_cooccurrence_pmi): pair generation is
+    scan-stage array zipping (no positional self-join); exchanges are
+    vocabulary-bounded. PMI ships as round(pmi*1e6) LONG with a fixed
+    ln association order so the SQL oracle reproduces every bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.token_cooccurrence_pmi(docs, window=2, min_count=5, top_n=100)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 6) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-6 ordering:
-    #   1-11  q80-q90: new this round, never externally gated.
-    #   12-40 q22-q50: green in r01/r02 but rotated out since round 3
+    #   1-7   q91-q97: newest (second half of round 6), never gated.
+    #   8-18  q80-q90: new this round, never externally gated.
+    #   19-47 q22-q50: green in r01/r02 but rotated out since round 3
     #         -- the longest-ungated entries come back for a fresh
     #         external signal (VERDICT r5 item 7).
-    #   41-47 the SQL-oracled round-5 entries (q69, q71, q73-q77):
-    #         gated once (r05), get a second round. q78/q79 and the
-    #         rows-only-by-design q70/q72 sit just below the cap,
-    #         where a gate slot adds the least new signal.
     #   48-50 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating.
-    # Everything below slot 50 (q51-q56, q58-q65, q68, q1-q21 --
-    # all multi-round green) remains value-checked every run by the
-    # local DuckDB replica (tests/test_entry_oracle.py).
+    # The SQL-oracled round-5 entries (q69, q71, q73-q78) sit just
+    # below the cap — gated green in r05, they add the least new
+    # signal. Everything below slot 50 (q51-q65, q68, q1-q21 -- all
+    # multi-round green) remains value-checked every run by the local
+    # DuckDB replica (tests/test_entry_oracle.py).
     "q91_triangle_count": q91_triangle_count,
     "q92_event_transitions": q92_event_transitions,
     "q93_time_bucket_ohlc": q93_time_bucket_ohlc,
     "q94_percentile_outliers": q94_percentile_outliers,
+    "q95_prefix_jaccard_join": q95_prefix_jaccard_join,
+    "q96_knn_label_consistency": q96_knn_label_consistency,
+    "q97_token_pmi": q97_token_pmi,
     "q86_table_profile": q86_table_profile,
     "q80_embedding_quantize": q80_embedding_quantize,
     "q81_weighted_sample": q81_weighted_sample,
@@ -1610,6 +1646,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_intersect": q48_intersect,
     "q49_except": q49_except,
     "q50_argmin_argmax": q50_argmin_argmax,
+    "q67_training_pipeline": q67_training_pipeline,
+    "q57_asof_join": q57_asof_join,
+    "q66_shared_spans": q66_shared_spans,
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
     "q71_dedup_clusters": q71_dedup_clusters,
     "q73_asof_forward": q73_asof_forward,
@@ -1617,9 +1656,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_negative_sampling": q75_negative_sampling,
     "q76_curriculum_buckets": q76_curriculum_buckets,
     "q77_group_centroids": q77_group_centroids,
-    "q67_training_pipeline": q67_training_pipeline,
-    "q57_asof_join": q57_asof_join,
-    "q66_shared_spans": q66_shared_spans,
     "q78_chunk_dup_stats": q78_chunk_dup_stats,
     "q79_contrastive_dataset": q79_contrastive_dataset,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
@@ -2491,6 +2527,116 @@ ORACLES: dict[str, str] = {
                              AS BIGINT)) AS BIGINT) AS win_sum_e4
         FROM r JOIN cut USING (g)
         GROUP BY r.g, cut.n, cut.k, cut.p_value
+    """,
+    # q95: brute-force all pairs sharing ANY shingle (no prefix
+    # block), same 3-gram construction as q32, same integer threshold
+    # test — equals the engine's prefix-filtered join iff the filter
+    # is lossless
+    "q95_prefix_jaccard_join": """
+        WITH sets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(regexp_split_to_array(
+                                 lower(trim(text)), '\\s+')) - 1, 1)),
+                       i -> array_to_string(list_slice(
+                                regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'),
+                                i, i + 2), ' '))) AS sh
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(sh) AS tok FROM sets
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS INTEGER) AS inter
+            FROM tok a JOIN tok b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, inter,
+               CAST(sa.n AS INTEGER) AS n_a,
+               CAST(sb.n AS INTEGER) AS n_b
+        FROM pairs
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE inter * 100 >= 60 * (sa.n + sb.n - inter)
+    """,
+    # q96: the q80 quantization replica + integer dot (list_dot_product
+    # on INT lists is integer-valued; < 2^21 so the DOUBLE carries it
+    # exactly) + the same (dot DESC, cand_id) ranking
+    "q96_knn_label_consistency": """
+        WITH s AS (
+            SELECT vec_id, label, embedding,
+                   greatest(list_max(list_transform(embedding,
+                                                    x -> abs(x))),
+                            1e-30) / 127.0 AS scale
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                                  x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                       AS qvec
+            FROM s
+        ), sc AS (
+            SELECT p.vec_id AS probe_id, p.label AS probe_label,
+                   c.vec_id AS cand_id, c.label AS cand_label,
+                   CAST(list_dot_product(c.qvec, p.qvec) AS BIGINT) AS dot
+            FROM q p JOIN q c ON c.vec_id <> p.vec_id
+            WHERE p.vec_id % 8 = 0
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY probe_id ORDER BY dot DESC, cand_id
+                   ) AS rn
+            FROM sc
+        )
+        SELECT probe_id AS vec_id, probe_label AS label,
+               CAST(SUM(CASE WHEN cand_label = probe_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+               CAST(MAX(CASE WHEN rn = 1 THEN cand_id END) AS BIGINT)
+                   AS top1_id,
+               CAST(MAX(dot) AS BIGINT) AS top1_dot
+        FROM r WHERE rn <= 5
+        GROUP BY probe_id, probe_label
+    """,
+    # q97: positional self-join replica of the engine's scan-stage
+    # pair zipping; the ln-sum association order matches verbatim
+    "q97_token_pmi": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^\\p{L}\\p{N}]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) AS p
+            FROM toks
+        ), pair AS (
+            SELECT LEAST(x.tok, y.tok) AS a, GREATEST(x.tok, y.tok) AS b
+            FROM pos x JOIN pos y
+              ON x.doc_id = y.doc_id AND y.p - x.p BETWEEN 1 AND 2
+        ), pc AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM pair GROUP BY a, b
+        ), tc AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY tok
+        ), tot AS (
+            SELECT CAST((SELECT SUM(n_ab) FROM pc) AS BIGINT) AS n_pairs,
+                   CAST((SELECT SUM(c) FROM tc) AS BIGINT) AS n_tok
+        )
+        SELECT pc.a, pc.b, pc.n_ab,
+               CAST(ROUND(((((ln(pc.n_ab) - ln(tot.n_pairs))
+                             - ln(ca.c)) - ln(cb.c))
+                           + 2.0 * ln(tot.n_tok)) * 1e6) AS BIGINT)
+                   AS pmi_e6
+        FROM pc
+        JOIN tc ca ON ca.tok = pc.a
+        JOIN tc cb ON cb.tok = pc.b
+        CROSS JOIN tot
+        WHERE pc.n_ab >= 5
+        ORDER BY pmi_e6 DESC, pc.a, pc.b
+        LIMIT 100
     """,
     # q86: one SELECT per profiled column; COUNT(DISTINCT) excludes
     # nulls in both engines, min/max rendered as strings (timestamp

@@ -430,6 +430,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_pct: int = 60,
+    shingle_size: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join: all document pairs whose word-
+    token sets have Jaccard >= threshold_pct/100, via prefix filtering
+    (Chaudhuri et al. 2006 "A primitive operator for similarity
+    joins"; Xiao et al. 2008 PPJoin) — the third near-dup family next
+    to MinHash-LSH (probabilistic) and SimHash (bit-sketch), and the
+    only one of the three that is LOSSLESS: a pair meeting the
+    threshold provably shares >= 1 token among its prefixes, so the
+    blocked join finds every qualifying pair. The q95 oracle is the
+    unblocked brute-force join — green means the optimization is
+    semantics-free.
+
+    Prefix principle: sort each token set by GLOBAL token frequency
+    (rarest first, ties by token string — one shared total order);
+    with |x| tokens and threshold t, any pair with J >= t must match
+    inside the first  L = |x| - ceil(t*|x|) + 1  tokens. Candidates
+    therefore join only on prefix tokens — dominated by RARE tokens,
+    so bucket sizes stay small exactly where a plain token join
+    explodes (every pair sharing "the").
+
+    Plan: token explode (scan stage) -> token-frequency agg -> ONE
+    vocabulary-sized ranking window (the q63 device: the window input
+    is the distinct vocabulary, zipf-bounded, never the corpus) ->
+    per-doc prefix via a doc-keyed window -> prefix equi-join ->
+    array_intersect verify on the candidate set. Threshold arithmetic
+    is pure integer (inter*100 >= t*(union)) — no float tolerance.
+
+    Set elements are lowercased word tokens by default; pass
+    `shingle_size=n` for word n-gram shingle sets (the q31/q32
+    element space) — far more discriminative on templated corpora,
+    where bag-of-words Jaccard saturates (measured at sf0.01: 71k
+    token-set pairs vs 25 shingle-set pairs at the same threshold).
+
+    Returns (id_a, id_b, inter, n_a, n_b) for qualifying pairs.
+    """
+    if not 0 < threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in (0, 100], got {threshold_pct}")
+    from pyspark.sql import Window
+
+    from .text import word_tokens
+
+    if shingle_size is None:
+        elems = F.array_remove(
+            F.array_distinct(word_tokens(F.col(text_col))), ""
+        )
+    else:
+        elems = F.array_distinct(shingles(F.col(text_col), shingle_size))
+    sets = df.select(
+        F.col(id_col).alias("_id"), elems.alias("_s")
+    ).filter(F.size("_s") > 0)
+    tok = sets.select("_id", F.explode("_s").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab_rank = dfreq.withColumn(
+        "rank", F.row_number().over(Window.orderBy("cnt", "tok"))
+    ).select("tok", "rank")
+    per_doc = Window.partitionBy("_id")
+    ranked = tok.join(vocab_rank, "tok").select(
+        "_id",
+        "tok",
+        F.row_number().over(per_doc.orderBy("rank")).alias("pos"),
+        F.count(F.lit(1)).over(per_doc).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.expr(f"({threshold_pct} * n + 99) div 100") + 1
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "tok")
+        .join(prefix.select(F.col("_id").alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("inter"),
+            F.size("_sa").alias("n_a"),
+            F.size("_sb").alias("n_b"),
+        )
+        .filter(
+            F.col("inter") * 100
+            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -229,6 +229,77 @@ class IVFIndex:
         return index
 
 
+def knn_label_agreement(
+    df: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN label-consistency audit over int8-quantized embeddings —
+    the "confident learning" mislabel probe: for each probe vector,
+    its k nearest corpus neighbors by inner product, and how many of
+    them share the probe's own label. A low n_agree flags a likely
+    labeling error or an out-of-distribution example; the aggregate
+    distribution is the standard label-noise estimate run before
+    training on a labeled corpus.
+
+    Distances are EXACT-INTEGER dot products of the q80 int8
+    quantization (operators/similarity.py:quantize_embeddings):
+    max |q| = 127, so a 64-dim dot is < 2^21 — every intermediate is
+    an exact long, which is what lets an external SQL engine
+    reproduce the ranking bit-for-bit (the q96 oracle). Float cosine
+    rankings are NOT portable across engines (association order);
+    integer dots are.
+
+    Plan: quantize both sides (scan-stage transform, no UDF),
+    broadcast the probe set (the audit pattern: probes are a sample,
+    the corpus is the big side), JVM zip_with/aggregate dot, then a
+    per-probe top-k window — Spark's WindowGroupLimit pushes the
+    rank <= k filter into a pre-shuffle per-partition heap (the q64
+    device), so each map task emits at most k rows per probe and the
+    exchange carries O(|probes| * k), never the corpus.
+
+    Returns (vec_id, label, n_agree, top1_id, top1_dot) per probe.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    labels = df.select(F.col(id_col), F.col(label_col))
+    cand = quantize_embeddings(df, vec_col, id_col).select(
+        F.col(id_col).alias("cand_id"), F.col("qvec").alias("cvec")
+    ).join(labels.select(F.col(id_col).alias("cand_id"),
+                         F.col(label_col).alias("cand_label")), "cand_id")
+    probe = quantize_embeddings(probes, vec_col, id_col).select(
+        F.col(id_col).alias("probe_id"), F.col("qvec").alias("pvec")
+    ).join(labels.select(F.col(id_col).alias("probe_id"),
+                         F.col(label_col).alias("probe_label")), "probe_id")
+    dot = F.aggregate(
+        F.zip_with("cvec", "pvec", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(probe), cand["cand_id"] != probe["probe_id"])
+        .select("probe_id", "probe_label", "cand_id", "cand_label", dot.alias("dot"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("probe_id").orderBy(F.col("dot").desc(), "cand_id")
+    )
+    knn = scored.withColumn("rn", rn).filter(F.col("rn") <= k)
+    return knn.groupBy(
+        F.col("probe_id").alias(id_col), F.col("probe_label").alias(label_col)
+    ).agg(
+        F.sum((F.col("cand_label") == F.col("probe_label")).cast("long")).alias(
+            "n_agree"
+        ),
+        F.min_by("cand_id", "rn").alias("top1_id"),
+        F.max("dot").alias("top1_dot"),
+    )
+
+
 def recall_at_k(ann: DataFrame, exact: DataFrame, id_col: str = "vec_id") -> float:
     """Recall@k of an ANN result against the exact top-k: the standard
     knob-tuning measurement for IVF `n_probe` (and any other ANN

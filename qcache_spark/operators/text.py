@@ -755,3 +755,98 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def token_cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top PMI token pairs within a +-`window` co-occurrence window —
+    the word2vec/GloVe preprocessing statistic (Church & Hanks 1990),
+    and the collocation probe run on a corpus before tokenizer
+    training. PMI(a,b) = ln( P(a,b) / (P(a) P(b)) ) over pair and
+    token instance counts.
+
+    Scale shape: pair generation is PURE ARRAY EXPRESSIONS in the scan
+    stage — for each offset d in 1..window, zip the token array with
+    itself shifted by d (transform over an index sequence); no
+    positional self-join, no shuffle until the (a, b) partial agg.
+    The exchanges carry (pair, count) and (token, count) — vocabulary-
+    bounded, never the corpus. Marginals attach with two token-keyed
+    joins and the two global scalars ride a 1-row cross join.
+
+    Determinism: all counts are exact longs; PMI is emitted as
+    round(pmi * 1e6) LONG with the ln-sum written in one fixed
+    association order, so a replicating engine evaluating the same
+    IEEE expression produces the identical integer (the q59 device).
+    Pairs are unordered (least/greatest normalization); ties in the
+    top-n break on (pair) lexicographically.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.array_remove(word_tokens(F.col(text_col)), "")
+    from .dedup import let
+
+    def pairs_of(t: Column) -> Column:
+        per_d = [
+            F.when(
+                F.size(t) > d,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - d),
+                    lambda i: F.struct(
+                        F.least(
+                            F.element_at(t, i), F.element_at(t, i + F.lit(d))
+                        ).alias("a"),
+                        F.greatest(
+                            F.element_at(t, i), F.element_at(t, i + F.lit(d))
+                        ).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            for d in range(1, window + 1)
+        ]
+        return F.concat(*per_d) if len(per_d) > 1 else per_d[0]
+
+    pair_rows = df.select(
+        F.explode(let(toks, pairs_of)).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair_counts = pair_rows.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    tok_counts = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = pair_counts.agg(
+        F.sum("n_ab").alias("n_pairs")
+    ).crossJoin(tok_counts.agg(F.sum("c").alias("n_tok")))
+    scored = (
+        pair_counts.filter(F.col("n_ab") >= min_count)
+        .join(tok_counts.select(F.col("tok").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(tok_counts.select(F.col("tok").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            # one fixed association order, replicated verbatim by the
+            # oracle: (((ln(nab) - ln(np)) - ln(ca)) - ln(cb)) + 2*ln(nt)
+            F.round(
+                (
+                    F.log(F.col("n_ab"))
+                    - F.log(F.col("n_pairs"))
+                    - F.log(F.col("c_a"))
+                    - F.log(F.col("c_b"))
+                    + F.lit(2.0) * F.log(F.col("n_tok"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_e6").desc(), "a", "b").limit(top_n)

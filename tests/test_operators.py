@@ -1661,3 +1661,168 @@ def test_profile_table_dotted_column_names(spark):
     rows = {r["col_name"]: r for r in T.profile_table(df).collect()}
     assert rows["a.b"]["n_distinct"] == 2
     assert rows["plain"]["n_null"] == 1
+
+
+# -------------------------------------------------- round-6 batch-2 operators
+
+def test_triangle_participation_known_graph(spark):
+    from qcache_spark.operators.graph import triangle_participation
+
+    # triangles {1,2,3} and {2,3,4} share edge (2,3); (9,10) is inert
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (9, 10)], ["src", "dst"]
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_participation(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+    # reversed duplicates and self-loops must not change counts
+    noisy = edges.union(
+        spark.createDataFrame([(2, 1), (3, 2), (5, 5)], ["src", "dst"])
+    )
+    got2 = {r["id"]: r["n_triangles"] for r in triangle_participation(noisy).collect()}
+    assert got2 == got
+
+
+def test_event_transitions_tiny(spark):
+    import datetime as dt
+
+    from qcache_spark.operators.funnel import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 100, t0, "a"),
+        (2, 100, t0 + dt.timedelta(seconds=1), "b"),
+        (3, 100, t0 + dt.timedelta(seconds=2), "a"),
+        (4, 200, t0, "a"),
+        (5, 200, t0 + dt.timedelta(seconds=1), "b"),
+        (6, 300, t0, "a"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["n_users"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == {("a", "b"): (2, 2), ("b", "a"): (1, 1)}
+
+
+def test_ohlc_composite_key_determinism(spark):
+    import datetime as dt
+
+    from qcache_spark.operators.timeseries import ohlc
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # two events share the open timestamp: id breaks the tie
+    rows = [
+        (2, t0, "x", 20.0),
+        (1, t0, "x", 10.0),
+        (3, t0 + dt.timedelta(minutes=5), "x", 5.0),
+        (4, t0 + dt.timedelta(minutes=59), "x", 30.0),
+        (5, t0 + dt.timedelta(hours=1), "x", 99.0),  # next bucket
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    got = {r["bucket_start_s"]: r for r in ohlc(df).collect()}
+    assert len(got) == 2
+    first = got[min(got)]
+    assert first["open"] == 10.0 and first["close"] == 30.0
+    assert first["high"] == 30.0 and first["low"] == 5.0
+    assert first["n"] == 4 and first["sum_value_e4"] == 650000
+
+
+def test_grouped_percentile_stats_matches_naive(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from qcache_spark.operators.timeseries import grouped_percentile_stats
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r
+        for r in grouped_percentile_stats(events, pct=0.9).collect()
+    }
+    # naive single-window replica (fine at test scale, the scale trap
+    # the operator exists to avoid)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    naive = (
+        events.filter(F.col("value").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("rk") == F.greatest(F.lit(1), F.ceil(0.9 * F.col("n"))))
+        .select("event_type", "value", "n")
+    )
+    for r in naive.collect():
+        g = got[r["event_type"]]
+        assert g["p_value"] == r["value"]
+        assert g["n"] == r["n"]
+        assert 0 <= g["n_tail"] <= g["n"] - g["k"] + 5
+
+
+def test_grouped_percentile_no_single_partition_window(spark, sf_dir):
+    """Scale guard: every Window in the plan must key on __pid (the
+    range-partitioned local sort), never an empty/global spec."""
+    from qcache_spark.operators.timeseries import grouped_percentile_stats
+
+    events = load_table(spark, sf_dir, "events")
+    df = grouped_percentile_stats(events, pct=0.99)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, line
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    from qcache_spark.operators.dedup import prefix_jaccard_pairs
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox leaps over the lazy dog"),   # near-dup of 1
+        (3, "lorem ipsum dolor sit amet consectetur"),
+        (4, "lorem ipsum dolor sit amet elit"),               # near-dup of 3
+        (5, "completely different text about spark engines"),
+        (6, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"])
+        for r in prefix_jaccard_pairs(df, threshold_pct=60).collect()
+    }
+    # python brute force over the same token sets
+    import re
+
+    sets = {i: set(t for t in re.split(r"[^\w]+", s.lower()) if t) for i, s in corpus}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if union and inter * 100 >= 60 * union:
+                    want[(i, j)] = (inter, len(sets[i]), len(sets[j]))
+    assert got == want
+    assert (1, 6) in got and (1, 2) in got and (3, 4) in got
+
+
+def test_knn_label_agreement_bounds(spark, embeddings):
+    from qcache_spark.operators.similarity import knn_label_agreement
+
+    probes = embeddings.filter(F.col("vec_id") % 64 == 0)
+    rows = knn_label_agreement(embeddings, probes, k=3).collect()
+    assert len(rows) == probes.count()
+    for r in rows:
+        assert 0 <= r["n_agree"] <= 3
+        assert r["top1_id"] != r["vec_id"]  # self excluded
+    # deterministic: a second run returns the identical result
+    again = knn_label_agreement(embeddings, probes, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_token_pmi_finds_collocation(spark):
+    from qcache_spark.operators.text import token_cooccurrence_pmi
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(i, f"{filler} new york {filler}") for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = token_cooccurrence_pmi(df, window=2, min_count=5, top_n=5).collect()
+    assert out, "no pairs returned"
+    # ("new","york") occurs in every doc exactly once within the window
+    pair = {(r["a"], r["b"]): r["n_ab"] for r in out}
+    assert pair.get(("new", "york")) == 10
