@@ -71,6 +71,13 @@ HEADLINE = [
     "q88_skewed_join",
     "q89_interval_join",
     "q90_pagerank",
+    "q91_triangle_count",
+    "q92_event_transitions",
+    "q93_time_bucket_ohlc",
+    "q94_percentile_outliers",
+    "q95_prefix_jaccard_join",
+    "q96_knn_label_consistency",
+    "q97_token_pmi",
 ]
 
 
@@ -245,6 +252,8 @@ def main() -> None:
         "q67_training_pipeline",
         "q71_dedup_clusters",  # iterative CC — the likeliest superlinear plan
         "q90_pagerank",        # iterative ranking — same risk class as CC
+        "q91_triangle_count",  # wedge join — the classic superlinear risk
+        "q95_prefix_jaccard_join",  # candidate-pair blowup risk class
     ]
     sweep_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if (

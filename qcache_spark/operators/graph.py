@@ -23,6 +23,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# last persisted oriented edge set per SparkSession (the
+# curriculum_buckets eviction pattern — see triangle_participation)
+_TRI_CACHE: dict = {}
 
 
 def triangle_participation(
@@ -70,16 +75,29 @@ def triangle_participation(
     ranked = und.join(
         deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
     ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
-    # total order = (degree, id); struct comparison is lexicographic
-    ord_u = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
-    ord_v = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
-    fwd = ranked.filter(ord_u < ord_v).select(
-        F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db")
+    # total order = (degree, id); struct comparison is lexicographic.
+    # ONE conditional projection (not a union of two filtered copies —
+    # that doubles every upstream evaluation)
+    lt = F.struct(F.col("du").alias("d"), F.col("u").alias("i")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("i")
     )
-    bwd = ranked.filter(ord_v < ord_u).select(
-        F.col("v").alias("a"), F.col("u").alias("b"), F.col("du").alias("db")
+    oriented = ranked.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("db"),
     )
-    oriented = fwd.union(bwd)
+    # the oriented edge set feeds THREE consumers (both wedge sides +
+    # the closing probe); materialize it once — without the cut Spark
+    # re-evaluates the full edge build per consumer (measured 8.8 s ->
+    # 2.9 s at sf0.01). Same static-input discipline as pagerank's
+    # edge checkpoint; eviction defers to the next call so the
+    # RETURNED lazy plan can still read the cache.
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    session_id = id(edges.sparkSession)
+    prev = _TRI_CACHE.pop(session_id, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _TRI_CACHE[session_id] = oriented
     # wedges at pivot a: out-neighbor pairs (b, c) with ord(b) < ord(c)
     o1 = oriented.select("a", "b", "db")
     o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc"))

@@ -26,6 +26,9 @@ expose and cheap to serve):
                       p50_quality}
     top_values       exact heavy hitters of one column → n rows
                      {value, n_rows}, deterministic tiebreak
+    histogram        fixed-width bins over a numeric column → one row
+                     per non-empty bin {bin_start, bin_end, n_rows};
+                     numpy closed-right-edge convention, bins ≤ 1000
 
 Discipline matches the query endpoint: any malformed body — bad JSON,
 unknown op, unknown/missing/mistyped params, unknown columns — raises
@@ -196,12 +199,70 @@ def _op_top_values(df: DataFrame, params: dict) -> DataFrame:
     )
 
 
+def _op_histogram(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(params, {"column", "bins", "min", "max"}, "histogram")
+    if "column" not in params:
+        _fail("histogram requires a 'column' parameter")
+    col = _check_column(df, params["column"], "column")
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        _fail(f"histogram column {col!r} must be numeric")
+    bins = params.get("bins", 20)
+    if not isinstance(bins, int) or isinstance(bins, bool) or not (1 <= bins <= 1000):
+        _fail("bins must be an integer in [1, 1000]")
+    for k in ("min", "max"):
+        if k in params and (
+            not isinstance(params[k], (int, float)) or isinstance(params[k], bool)
+        ):
+            _fail(f"{k} must be a number")
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    lo, hi = params.get("min"), params.get("max")
+    if lo is None or hi is None:
+        row = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else float(lo)
+        hi = float(row["hi"]) if hi is None else float(hi)
+    lo, hi = float(lo), float(hi)
+    if not (lo < hi):
+        # degenerate domain (constant column / empty input): one bin
+        return vals.filter(F.col("v") == lo).agg(
+            F.lit(lo).alias("bin_start"),
+            F.lit(hi).alias("bin_end"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    width = (hi - lo) / bins
+    # values exactly at the max edge belong to the LAST bin (the
+    # numpy.histogram closed-right-edge convention)
+    idx = F.least(
+        F.greatest(F.floor((F.col("v") - lo) / width), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            (F.lit(lo) + F.col("bin") * width).alias("bin_start"),
+            (F.lit(lo) + (F.col("bin") + 1) * width).alias("bin_end"),
+            "n_rows",
+        )
+        .orderBy("bin_start")
+    )
+
+
 _OPS = {
     "dedup_count": _op_dedup_count,
     "cardinality": _op_cardinality,
     "split_counts": _op_split_counts,
     "quality_summary": _op_quality_summary,
     "top_values": _op_top_values,
+    "histogram": _op_histogram,
 }
 
 

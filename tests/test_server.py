@@ -745,3 +745,49 @@ def test_explain_endpoint(server):
         server, "POST", "/qcache/dataset/nope_ex/explain", b"{}"
     )
     assert code == 404
+
+
+def test_pipeline_histogram(server):
+    store(server, "pl9", "v\n0\n1\n2\n3\n4\n5\n6\n7\n8\n10\n")
+    code, body, _ = pipeline(
+        server, "pl9", {"op": "histogram", "params": {"column": "v", "bins": 2}}
+    )
+    assert code == 200
+    rows = json.loads(body)
+    # domain [0,10], width 5: [0,5) has 0..4 -> 5 rows, [5,10] has
+    # 5..8 and the closed right edge 10 -> 5 rows
+    assert [(r["bin_start"], r["bin_end"], r["n_rows"]) for r in rows] == [
+        (0.0, 5.0, 5),
+        (5.0, 10.0, 5),
+    ]
+    # explicit domain narrows the census to [0, 4]
+    code, body, _ = pipeline(
+        server,
+        "pl9",
+        {"op": "histogram",
+         "params": {"column": "v", "bins": 2, "min": 0, "max": 4}},
+    )
+    rows = json.loads(body)
+    assert sum(r["n_rows"] for r in rows) == 5
+    # constant column: degenerate single-bin answer, not a crash
+    store(server, "pl9c", "v\n7\n7\n7\n")
+    code, body, _ = pipeline(
+        server, "pl9c", {"op": "histogram", "params": {"column": "v"}}
+    )
+    assert code == 200
+    assert json.loads(body) == [{"bin_start": 7.0, "bin_end": 7.0, "n_rows": 3}]
+    # non-numeric column / bad bins -> 400
+    store(server, "pl9s", "s\nx\ny\n")
+    code, _, _ = pipeline(
+        server, "pl9s", {"op": "histogram", "params": {"column": "s"}}
+    )
+    assert code == 400
+    code, _, _ = pipeline(
+        server, "pl9", {"op": "histogram", "params": {"column": "v", "bins": 0}}
+    )
+    assert code == 400
+    code, _, _ = pipeline(
+        server, "pl9",
+        {"op": "histogram", "params": {"column": "v", "min": "zero"}},
+    )
+    assert code == 400
