@@ -12,6 +12,7 @@ from .kafka import (
 )
 from .stateful import user_profiles_batch, user_profiles_stateful
 from .windows import (
+    ohlc_bars,
     read_event_stream,
     run_to_memory_sink,
     run_to_parquet_sink,
@@ -32,6 +33,7 @@ __all__ = [
     "read_kafka_stream",
     "user_profiles_batch",
     "user_profiles_stateful",
+    "ohlc_bars",
     "read_event_stream",
     "run_to_memory_sink",
     "run_to_parquet_sink",

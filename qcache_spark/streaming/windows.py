@@ -183,6 +183,39 @@ def sliding_rates(
     return _restore_ntz(out, was_ntz, "window_start")
 
 
+def ohlc_bars(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-(window, event_type) OHLC bars — the streaming form of
+    operators/timeseries.ohlc (same semantics: open/close by the
+    composite (ts, event_id) key, deterministic under timestamp
+    collisions; micro-unit sums). min_by/max_by are ordinary
+    declarative aggregates, so the incremental state per open window
+    is ONE (key, value) pair per extreme — constant per window, and
+    the watermark closes windows, so an unbounded stream holds
+    ~(watermark / window_size) open bars per event type."""
+    if streaming:
+        src, was_ntz = _watermark_ntz(events, "ts", watermark)
+    else:
+        src, was_ntz = events, False
+    key = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"))
+    out = src.groupBy(
+        F.window("ts", window_size).start.alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by(F.col("value"), key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by(F.col("value"), key).alias("close"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_e4"),
+    )
+    return _restore_ntz(out, was_ntz, "bucket_start")
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "10 minutes",

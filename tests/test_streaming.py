@@ -412,3 +412,29 @@ def test_interval_join_suffix_collision_rejected(spark, events_batch):
     right = events_batch.select("event_id", "user_id", "ts")
     with pytest.raises(ValueError, match="collide"):
         interval_join(left, right, on="user_id", streaming=False)
+
+
+def test_stream_matches_batch_ohlc(spark, events_batch, events_stream):
+    """Streaming OHLC bars (min_by/max_by incremental state) must
+    equal the batch run AND the operators/timeseries.ohlc epoch-bucket
+    semantics on the same input."""
+    from qcache_spark.streaming import ohlc_bars
+
+    batch = ohlc_bars(events_batch, streaming=False)
+    stream = ohlc_bars(events_stream, streaming=True)
+    run_to_memory_sink(stream, "ohlc_test", output_mode="complete")
+    streamed = spark.table("ohlc_test")
+    cols = ["bucket_start", "event_type", "n", "open", "high", "low",
+            "close", "sum_value_e4"]
+    assert _rows(batch, cols) == _rows(streamed, cols)
+    # cross-check vs the batch timeseries operator (epoch buckets)
+    from qcache_spark.operators.timeseries import ohlc
+
+    ts_op = {
+        (r["event_type"], r["bucket_start_s"]): (r["n"], r["open"], r["close"])
+        for r in ohlc(events_batch).collect()
+    }
+    for r in batch.collect():
+        k = (r["event_type"],
+             int(r["bucket_start"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()))
+        assert ts_op[k] == (r["n"], r["open"], r["close"])

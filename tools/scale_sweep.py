@@ -36,6 +36,8 @@ HEAVY = [
     "q67_training_pipeline",
     "q71_dedup_clusters",
     "q90_pagerank",
+    "q91_triangle_count",       # wedge join — classic superlinear risk
+    "q95_prefix_jaccard_join",  # candidate-pair blowup risk class
 ]
 
 
