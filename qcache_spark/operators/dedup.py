@@ -456,12 +456,13 @@ def prefix_jaccard_pairs(
     so bucket sizes stay small exactly where a plain token join
     explodes (every pair sharing "the").
 
-    Plan: token explode (scan stage) -> token-frequency agg -> ONE
-    vocabulary-sized ranking window (the q63 device: the window input
-    is the distinct vocabulary, zipf-bounded, never the corpus) ->
-    per-doc prefix via a doc-keyed window -> prefix equi-join ->
-    array_intersect verify on the candidate set. Threshold arithmetic
-    is pure integer (inter*100 >= t*(union)) — no float tolerance.
+    Plan: element explode (scan stage) -> element-frequency agg ->
+    per-doc prefix via a doc-keyed window ordered by the (frequency,
+    element) tuple (NO global rank structure — see the inline note) ->
+    prefix equi-join with the exact length filter (J >= t requires
+    min(|x|,|y|)*100 >= t*max(|x|,|y|)) -> array_intersect verify on
+    the surviving candidates. Threshold arithmetic is pure integer
+    (inter*100 >= t*(union)) — no float tolerance.
 
     Set elements are lowercased word tokens by default; pass
     `shingle_size=n` for word n-gram shingle sets (the q31/q32
@@ -488,14 +489,18 @@ def prefix_jaccard_pairs(
     ).filter(F.size("_s") > 0)
     tok = sets.select("_id", F.explode("_s").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab_rank = dfreq.withColumn(
-        "rank", F.row_number().over(Window.orderBy("cnt", "tok"))
-    ).select("tok", "rank")
+    # The shared total order is the (frequency, element) TUPLE itself —
+    # no global row_number materialization. (An earlier version ranked
+    # the vocabulary through a single-partition window; fine for zipf-
+    # bounded word vocabularies, but SHINGLE vocabularies grow ~linearly
+    # with the corpus, which made that window a global sort of nearly
+    # corpus-sized input — the q76 trap. Ordering each doc's elements
+    # by the tuple is the identical order without any global structure.)
     per_doc = Window.partitionBy("_id")
-    ranked = tok.join(vocab_rank, "tok").select(
+    ranked = tok.join(dfreq, "tok").select(
         "_id",
         "tok",
-        F.row_number().over(per_doc.orderBy("rank")).alias("pos"),
+        F.row_number().over(per_doc.orderBy("cnt", "tok")).alias("pos"),
         F.count(F.lit(1)).over(per_doc).alias("n"),
     )
     prefix = ranked.filter(
@@ -503,9 +508,19 @@ def prefix_jaccard_pairs(
         <= F.col("n") - F.expr(f"({threshold_pct} * n + 99) div 100") + 1
     )
     cand = (
-        prefix.select(F.col("_id").alias("id_a"), "tok")
-        .join(prefix.select(F.col("_id").alias("id_b"), "tok"), "tok")
+        prefix.select(F.col("_id").alias("id_a"), "tok", F.col("n").alias("na"))
+        .join(
+            prefix.select(
+                F.col("_id").alias("id_b"), "tok", F.col("n").alias("nb")
+            ),
+            "tok",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        # exact length filter: J >= t forces min|x| >= t * max|x|
+        .filter(
+            F.least("na", "nb") * 100
+            >= threshold_pct * F.greatest("na", "nb")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
