@@ -29,6 +29,8 @@ expose and cheap to serve):
     histogram        fixed-width bins over a numeric column → one row
                      per non-empty bin {bin_start, bin_end, n_rows};
                      numpy closed-right-edge convention, bins ≤ 1000
+    funnel           strict ordered conversion funnel over event rows
+                     → one row per step {step_index, step, n_users}
 
 Discipline matches the query endpoint: any malformed body — bad JSON,
 unknown op, unknown/missing/mistyped params, unknown columns — raises
@@ -256,6 +258,27 @@ def _op_histogram(df: DataFrame, params: dict) -> DataFrame:
     )
 
 
+def _op_funnel(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(
+        params, {"steps", "user_column", "type_column", "ts_column"}, "funnel"
+    )
+    steps = params.get("steps")
+    if (
+        not isinstance(steps, list)
+        or len(steps) < 1
+        or not all(isinstance(s, str) for s in steps)
+    ):
+        _fail("funnel requires 'steps': a non-empty list of event-type strings")
+    if len(set(steps)) != len(steps):
+        _fail(f"funnel steps must be distinct, got {steps}")
+    user = _check_column(df, params.get("user_column", "user_id"), "user_column")
+    typ = _check_column(df, params.get("type_column", "event_type"), "type_column")
+    ts = _check_column(df, params.get("ts_column", "ts"), "ts_column")
+    from ..operators.funnel import user_funnel
+
+    return user_funnel(df, steps, user_col=user, type_col=typ, ts_col=ts)
+
+
 _OPS = {
     "dedup_count": _op_dedup_count,
     "cardinality": _op_cardinality,
@@ -263,6 +286,7 @@ _OPS = {
     "quality_summary": _op_quality_summary,
     "top_values": _op_top_values,
     "histogram": _op_histogram,
+    "funnel": _op_funnel,
 }
 
 

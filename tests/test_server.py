@@ -791,3 +791,35 @@ def test_pipeline_histogram(server):
         {"op": "histogram", "params": {"column": "v", "min": "zero"}},
     )
     assert code == 400
+
+
+def test_pipeline_funnel(server):
+    store(
+        server,
+        "pl10",
+        "user_id,event_type,ts\n"
+        "1,view,2024-01-01 00:00:00\n"
+        "1,click,2024-01-01 00:01:00\n"
+        "1,purchase,2024-01-01 00:02:00\n"
+        "2,view,2024-01-01 00:00:00\n"
+        "2,click,2024-01-01 00:01:00\n"
+        # user 3 clicks BEFORE viewing: strict ordering drops the click
+        "3,click,2024-01-01 00:00:00\n"
+        "3,view,2024-01-01 00:01:00\n",
+    )
+    code, body, _ = pipeline(
+        server,
+        "pl10",
+        {"op": "funnel", "params": {"steps": ["view", "click", "purchase"]}},
+    )
+    assert code == 200
+    rows = {r["step"]: r["n_users"] for r in json.loads(body)}
+    assert rows == {"view": 3, "click": 2, "purchase": 1}
+    # duplicate steps / empty steps / unknown column -> 400
+    for bad in (
+        {"steps": ["view", "view"]},
+        {"steps": []},
+        {"steps": ["view"], "user_column": "nope"},
+    ):
+        code, _, _ = pipeline(server, "pl10", {"op": "funnel", "params": bad})
+        assert code == 400
