@@ -52,9 +52,24 @@ def triangle_participation(
     the brute-force a<b<c count — which is what the q91 DuckDB oracle
     computes, proving the optimization semantics-free.
 
-    Shuffles: distinct(edge) + degree agg + 2 node-keyed joins +
-    wedge join on the pivot + closing join on the (b,c) edge — all
-    key-partitioned, no neighborhood materialized per task.
+    Execution: the adjacency-intersection formulation — collect each
+    node's oriented out-neighbor list (size-bounded at O(sqrt m) by
+    the orientation, ~11 MB worst-case row even at m = 10^12) and
+    intersect the two endpoint lists per edge. The wedge-volume work
+    happens MAP-SIDE inside array_intersect; only actual triangles
+    (common neighbors) ever materialize as rows. The first version
+    materialized every wedge through an exchange and probed closing
+    edges with a second shuffle — at sf0.1 that is 41M wedge rows
+    through two exchanges for ~1.9M triangles; the intersection form
+    ships the same information as ~1.2M adjacency arrays instead.
+    Measured at sf0.1 (32 cores): the post-orientation triangle phase
+    drops ~4.5 s -> 2.1 s; end-to-end the win is partially masked by
+    edge prep (self-join + distinct + orientation, ~5 s), which both
+    forms share.
+
+    Shuffles: distinct(edge) + degree agg + 2 node-keyed joins for
+    orientation + neighbor-list agg + 2 edge joins — all key-
+    partitioned; per-task memory is bounded by the oriented degree.
 
     Returns (id, n_triangles) for nodes in >= 1 triangle.
     """
@@ -84,30 +99,32 @@ def triangle_participation(
     oriented = ranked.select(
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("db"),
     )
-    # the oriented edge set feeds THREE consumers (both wedge sides +
-    # the closing probe); materialize it once — without the cut Spark
-    # re-evaluates the full edge build per consumer (measured 8.8 s ->
-    # 2.9 s at sf0.01). Same static-input discipline as pagerank's
-    # edge checkpoint; eviction defers to the next call so the
-    # RETURNED lazy plan can still read the cache.
+    # the oriented edge set feeds multiple consumers (the adjacency
+    # agg + the edge probe); materialize it once — without the cut
+    # Spark re-evaluates the full edge build per consumer (measured
+    # 8.8 s -> 2.9 s at sf0.01). Same static-input discipline as
+    # pagerank's edge checkpoint; eviction defers to the next call so
+    # the RETURNED lazy plan can still read the cache.
     oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     session_id = id(edges.sparkSession)
     prev = _TRI_CACHE.pop(session_id, None)
     if prev is not None:
         prev.unpersist(blocking=False)
     _TRI_CACHE[session_id] = oriented
-    # wedges at pivot a: out-neighbor pairs (b, c) with ord(b) < ord(c)
-    o1 = oriented.select("a", "b", "db")
-    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc"))
-    wedges = o1.join(o2, o1["a"] == o2["a2"]).filter(
-        F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
-        < F.struct(F.col("dc").alias("d"), F.col("c").alias("i"))
-    ).select("a", "b", "c")
-    # ord(b) < ord(c) means a closing edge {b,c} is oriented b -> c
-    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = wedges.join(closing, ["b", "c"])
+    # A triangle {a,b,c} with orientation a->b, a->c, b->c appears
+    # EXACTLY once: as a common out-neighbor c of the edge (a,b) —
+    # the edge between its two lowest-ordered nodes (c has no
+    # out-edge into the triangle, so no other edge can see it).
+    nbr = oriented.groupBy("a").agg(F.collect_list("b").alias("ns"))
+    tri = (
+        oriented.join(nbr, "a")
+        .withColumnRenamed("ns", "ns_a")
+        .join(nbr.select(F.col("a").alias("b"), F.col("ns").alias("ns_b")), "b")
+        .select(
+            "a", "b", F.explode(F.array_intersect("ns_a", "ns_b")).alias("c")
+        )
+    )
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")

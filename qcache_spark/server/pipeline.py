@@ -31,6 +31,9 @@ expose and cheap to serve):
                      numpy closed-right-edge convention, bins ≤ 1000
     funnel           strict ordered conversion funnel over event rows
                      → one row per step {step_index, step, n_users}
+    percentiles      Greenwald-Khanna approx quantiles of a numeric
+                     column, optionally grouped → one flat row per
+                     group with a p<prob> column per probability
 
 Discipline matches the query endpoint: any malformed body — bad JSON,
 unknown op, unknown/missing/mistyped params, unknown columns — raises
@@ -258,6 +261,61 @@ def _op_histogram(df: DataFrame, params: dict) -> DataFrame:
     )
 
 
+def _op_percentiles(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(
+        params, {"column", "probabilities", "group_by", "accuracy"}, "percentiles"
+    )
+    if "column" not in params:
+        _fail("percentiles requires a 'column' parameter")
+    col = _check_column(df, params["column"], "column")
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        _fail(f"percentiles column {col!r} must be numeric")
+    probs = params.get("probabilities", [0.5, 0.9, 0.99])
+    if (
+        not isinstance(probs, list)
+        or not probs
+        or len(probs) > 100
+        or not all(
+            isinstance(p, (int, float))
+            and not isinstance(p, bool)
+            and 0.0 <= p <= 1.0
+            for p in probs
+        )
+    ):
+        _fail("probabilities must be 1-100 numbers in [0, 1]")
+    keys = params.get("group_by", [])
+    if not isinstance(keys, list):
+        _fail("group_by must be a list of column names")
+    if keys:
+        keys = _check_columns(df, keys, "group_by")
+    accuracy = params.get("accuracy", 10000)
+    if not isinstance(accuracy, int) or isinstance(accuracy, bool) or not (
+        100 <= accuracy <= 100000
+    ):
+        _fail("accuracy must be an integer in [100, 100000]")
+    from ..operators.sketch import approx_quantiles_by
+
+    out = approx_quantiles_by(df, list(keys), col, [float(p) for p in probs],
+                              accuracy=accuracy)
+    # one column per requested probability (wire-friendly flat row)
+    out = out.select(
+        *keys,
+        *[
+            F.col("quantiles")[i].alias(f"p{str(p).replace('.', '_')}")
+            for i, p in enumerate(probs)
+        ],
+    )
+    if keys:
+        out = out.orderBy(*[F.col(k) for k in keys]).limit(_MAX_GROUPS)
+    return out
+
+
 def _op_funnel(df: DataFrame, params: dict) -> DataFrame:
     _reject_unknown(
         params, {"steps", "user_column", "type_column", "ts_column"}, "funnel"
@@ -287,6 +345,7 @@ _OPS = {
     "top_values": _op_top_values,
     "histogram": _op_histogram,
     "funnel": _op_funnel,
+    "percentiles": _op_percentiles,
 }
 
 

@@ -823,3 +823,35 @@ def test_pipeline_funnel(server):
     ):
         code, _, _ = pipeline(server, "pl10", {"op": "funnel", "params": bad})
         assert code == 400
+
+
+def test_pipeline_percentiles(server):
+    store(server, "pl11", "g,v\n" + "".join(f"a,{i}\n" for i in range(1, 101)))
+    code, body, _ = pipeline(
+        server,
+        "pl11",
+        {"op": "percentiles",
+         "params": {"column": "v", "probabilities": [0.5, 0.99]}},
+    )
+    assert code == 200
+    row = json.loads(body)[0]
+    assert row["p0_5"] == 50 and row["p0_99"] == 99
+    # grouped form keeps the group key and flattens per-prob columns
+    code, body, _ = pipeline(
+        server,
+        "pl11",
+        {"op": "percentiles",
+         "params": {"column": "v", "probabilities": [0.5], "group_by": ["g"]}},
+    )
+    assert json.loads(body) == [{"g": "a", "p0_5": 50}]
+    # bad probability / non-numeric column -> 400
+    code, _, _ = pipeline(
+        server, "pl11",
+        {"op": "percentiles", "params": {"column": "v", "probabilities": [1.5]}},
+    )
+    assert code == 400
+    code, _, _ = pipeline(
+        server, "pl11",
+        {"op": "percentiles", "params": {"column": "g"}},
+    )
+    assert code == 400
