@@ -78,6 +78,9 @@ HEADLINE = [
     "q95_prefix_jaccard_join",
     "q96_knn_label_consistency",
     "q97_token_pmi",
+    "q98_cohort_retention",
+    "q99_neardup_clusters",
+    "q100_top_revenue_orders",
 ]
 
 
