@@ -111,15 +111,20 @@ def grouped_percentile_stats(
 
     See the module docstring for the distributed-rank plan; the group
     column must be low-cardinality (offsets are O(partitions x
-    groups) driver-side scalars).
+    groups) driver-side scalars). Rows with a null value OR a null
+    group are excluded (see the inline note).
     """
     if not 0.0 < pct <= 1.0:
         raise ValueError(f"pct must be in (0, 1], got {pct}")
+    # Null groups are EXCLUDED (documented): the broadcast offset map
+    # is keyed on the group's string form, and a null key has no
+    # stable identity there — silently mis-bucketing it would be worse.
+    # Callers wanting nulls ranked should coalesce to a sentinel first.
     base = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("v"),
         F.col(id_col).alias("i"),
-    ).filter(F.col("v").isNotNull())
+    ).filter(F.col("v").isNotNull() & F.col(group_col).isNotNull())
     if num_partitions is None:
         ranged = base.repartitionByRange("g", "v", "i")
     else:
