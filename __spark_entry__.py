@@ -1664,6 +1664,35 @@ def q100_top_revenue_orders(spark, sf_dir):
     )
 
 
+def q101_snapshot_diff(spark, sf_dir):
+    """Snapshot-drift audit (operators/diff.py:snapshot_diff_summary):
+    yesterday's orders vs a deterministically mutated today — rows
+    with key % 11 == 0 deleted, key % 13 == 0 re-keyed as additions,
+    key % 7 == 0 re-prioritized — classified added/removed/changed/
+    unchanged plus per-column change counts. ONE full-outer join on
+    the key (the only shuffle; null-safe comparisons in the
+    projection) + a 1-row aggregation. The oracle rebuilds the same
+    mutation and the same census in SQL."""
+    from qcache_spark.operators.diff import snapshot_diff_summary
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"
+    )
+    key = F.col("o_orderkey")
+    mutated = orders.filter(key % 11 != 0).withColumn(
+        "o_orderpriority",
+        F.when(key % 7 == 0, F.lit("0-DIFF")).otherwise(F.col("o_orderpriority")),
+    )
+    additions = orders.filter(key % 13 == 0).select(
+        (key + 90_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+    )
+    today = mutated.unionByName(additions)
+    return snapshot_diff_summary(orders, today, ["o_orderkey"])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 6) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
@@ -1690,6 +1719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_cohort_retention": q98_cohort_retention,
     "q99_neardup_clusters": q99_neardup_clusters,
     "q100_top_revenue_orders": q100_top_revenue_orders,
+    "q101_snapshot_diff": q101_snapshot_diff,
     "q86_table_profile": q86_table_profile,
     "q80_embedding_quantize": q80_embedding_quantize,
     "q81_weighted_sample": q81_weighted_sample,
@@ -2803,6 +2833,70 @@ ORACLES: dict[str, str] = {
         GROUP BY l_orderkey, CAST(o_orderdate AS VARCHAR), o_orderpriority
         ORDER BY revenue_c DESC, l_orderkey
         LIMIT 10
+    """,
+    # q101: same mutation, same null-safe census (IS DISTINCT FROM)
+    "q101_snapshot_diff": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey
+            FROM orders
+        ), today AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN '0-DIFF'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   o_custkey
+            FROM base WHERE o_orderkey % 11 <> 0
+            UNION ALL
+            SELECT o_orderkey + 90000000, o_orderstatus, o_orderpriority,
+                   o_custkey
+            FROM base WHERE o_orderkey % 13 = 0
+        ), j AS (
+            SELECT b.o_orderkey AS lk, t.o_orderkey AS rk,
+                   b.o_orderstatus IS DISTINCT FROM t.o_orderstatus AS c_st,
+                   b.o_orderpriority IS DISTINCT FROM t.o_orderpriority AS c_pr,
+                   b.o_custkey IS DISTINCT FROM t.o_custkey AS c_ck,
+                   CASE
+                     WHEN b.o_orderkey IS NULL THEN 'added'
+                     WHEN t.o_orderkey IS NULL THEN 'removed'
+                     WHEN (b.o_orderstatus IS DISTINCT FROM t.o_orderstatus)
+                       OR (b.o_orderpriority IS DISTINCT FROM t.o_orderpriority)
+                       OR (b.o_custkey IS DISTINCT FROM t.o_custkey)
+                       THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS status
+            FROM base b FULL OUTER JOIN today t
+              ON b.o_orderkey = t.o_orderkey
+        ), flat AS (
+            SELECT status,
+                   lk IS NOT NULL AND rk IS NOT NULL AS in_both,
+                   c_st, c_pr, c_ck
+            FROM j
+        )
+        SELECT metric, CAST(n_rows AS BIGINT) AS n_rows FROM (
+            SELECT 'added' AS metric,
+                   SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_rows,
+                   1 AS ord FROM flat
+            UNION ALL
+            SELECT 'removed',
+                   SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END), 2
+            FROM flat
+            UNION ALL
+            SELECT 'changed',
+                   SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END), 3
+            FROM flat
+            UNION ALL
+            SELECT 'unchanged',
+                   SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END), 4
+            FROM flat
+            UNION ALL
+            SELECT 'col:o_orderstatus',
+                   SUM(CASE WHEN in_both AND c_st THEN 1 ELSE 0 END), 5 FROM flat
+            UNION ALL
+            SELECT 'col:o_orderpriority',
+                   SUM(CASE WHEN in_both AND c_pr THEN 1 ELSE 0 END), 6 FROM flat
+            UNION ALL
+            SELECT 'col:o_custkey',
+                   SUM(CASE WHEN in_both AND c_ck THEN 1 ELSE 0 END), 7 FROM flat
+        )
     """,
     # q86: one SELECT per profiled column; COUNT(DISTINCT) excludes
     # nulls in both engines, min/max rendered as strings (timestamp

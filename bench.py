@@ -81,6 +81,7 @@ HEADLINE = [
     "q98_cohort_retention",
     "q99_neardup_clusters",
     "q100_top_revenue_orders",
+    "q101_snapshot_diff",
 ]
 
 

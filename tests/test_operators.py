@@ -1826,3 +1826,38 @@ def test_token_pmi_finds_collocation(spark):
     # ("new","york") occurs in every doc exactly once within the window
     pair = {(r["a"], r["b"]): r["n_ab"] for r in out}
     assert pair.get(("new", "york")) == 10
+
+
+def test_snapshot_diff_row_semantics(spark):
+    from qcache_spark.operators.diff import snapshot_diff, snapshot_diff_summary
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        ["k", "s", "v"],
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10),      # unchanged
+         (2, "b", 20),      # null -> value IS a change (null-safe)
+         (3, None, 30),     # value -> null IS a change
+         (5, "e", 50)],     # added; key 4 removed
+        ["k", "s", "v"],
+    )
+    rows = {r["k"]: r for r in snapshot_diff(left, right, ["k"]).collect()}
+    assert rows[1]["status"] == "unchanged"
+    assert rows[2]["status"] == "changed" and rows[2]["chg_v"] and not rows[2]["chg_s"]
+    assert rows[3]["status"] == "changed" and rows[3]["chg_s"] and not rows[3]["chg_v"]
+    assert rows[4]["status"] == "removed" and rows[4]["chg_s"] is None
+    assert rows[5]["status"] == "added"
+    summary = {
+        r["metric"]: r["n_rows"]
+        for r in snapshot_diff_summary(left, right, ["k"]).collect()
+    }
+    assert summary == {
+        "added": 1, "removed": 1, "changed": 2, "unchanged": 1,
+        "col:s": 1, "col:v": 1,
+    }
+    # key validation
+    with pytest.raises(ValueError):
+        snapshot_diff(left, right, [])
+    with pytest.raises(ValueError):
+        snapshot_diff(left, right, ["nope"])
