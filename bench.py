@@ -258,6 +258,7 @@ def main() -> None:
         "q90_pagerank",        # iterative ranking — same risk class as CC
         "q91_triangle_count",  # wedge join — the classic superlinear risk
         "q95_prefix_jaccard_join",  # candidate-pair blowup risk class
+        "q99_neardup_clusters",  # join-heavy + iterative composition
     ]
     sweep_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if (

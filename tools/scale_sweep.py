@@ -38,6 +38,7 @@ HEAVY = [
     "q90_pagerank",
     "q91_triangle_count",       # wedge join — classic superlinear risk
     "q95_prefix_jaccard_join",  # candidate-pair blowup risk class
+    "q99_neardup_clusters",     # join-heavy + iterative composition
 ]
 
 
