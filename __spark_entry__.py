@@ -1697,14 +1697,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 6) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-6 ordering:
-    #   1-10  q91-q100: newest (second half of round 6), never gated.
-    #   11-21 q80-q90: new this round, never externally gated.
-    #   22-47 q22-q47: green in r01/r02 but rotated out since round 3
+    #   1-11  q91-q101: newest (second half of round 6), never gated.
+    #   12-22 q80-q90: new this round, never externally gated.
+    #   23-47 q22-q46: green in r01/r02 but rotated out since round 3
     #         -- the longest-ungated entries come back for a fresh
     #         external signal (VERDICT r5 item 7).
     #   48-50 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating.
-    # q48-q50 and the SQL-oracled round-5 entries (q69, q71, q73-q78)
+    # q47-q50 and the SQL-oracled round-5 entries (q69, q71, q73-q78)
     # sit just below the cap — all driver-green before, they add the
     # least new signal. Everything below slot 50 (q51-q65, q68,
     # q1-q21 -- all multi-round green) remains value-checked every
@@ -1756,10 +1756,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_contains": q44_contains,
     "q45_median_agg": q45_median_agg,
     "q46_stateful_stream": q46_stateful_stream,
-    "q47_union": q47_union,
     "q67_training_pipeline": q67_training_pipeline,
     "q57_asof_join": q57_asof_join,
     "q66_shared_spans": q66_shared_spans,
+    "q47_union": q47_union,
     "q48_intersect": q48_intersect,
     "q49_except": q49_except,
     "q50_argmin_argmax": q50_argmin_argmax,
