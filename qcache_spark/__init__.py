@@ -16,10 +16,12 @@ from .errors import (
     MalformedQueryException,
     UnknownDatasetException,
 )
+from .opcache import release as release_operator_caches
 from .plans import QueryResult, compile_query, compile_update
 from .session import get_spark, load_table, load_tables
 
 __all__ = [
+    "release_operator_caches",
     "MalformedQueryException",
     "UnknownDatasetException",
     "DatasetTooLargeException",

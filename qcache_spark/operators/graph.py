@@ -25,9 +25,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-# last persisted oriented edge set per SparkSession (the
-# curriculum_buckets eviction pattern — see triangle_participation)
-_TRI_CACHE: dict = {}
+from qcache_spark import opcache
+
+# the RETURNED plan reads the persisted oriented edge set, so eviction
+# defers to the next registration — managed by the central cross-family
+# registry (qcache_spark.opcache) since r7
+_TRI_FAMILY = "graph.triangles"
 
 
 def triangle_participation(
@@ -107,11 +110,7 @@ def triangle_participation(
     # pagerank's edge checkpoint; eviction defers to the next call so
     # the RETURNED lazy plan can still read the cache.
     oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
-    session_id = id(edges.sparkSession)
-    prev = _TRI_CACHE.pop(session_id, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    _TRI_CACHE[session_id] = oriented
+    opcache.register(edges.sparkSession, _TRI_FAMILY, oriented)
     # A triangle {a,b,c} with orientation a->b, a->c, b->c appears
     # EXACTLY once: as a common out-neighbor c of the edge (a,b) —
     # the edge between its two lowest-ordered nodes (c has no

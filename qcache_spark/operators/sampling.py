@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from qcache_spark import opcache
+
 # 60 bits: fits a signed 64-bit long, and 15 hex chars of md5 parse
 # identically in Spark (conv) and DuckDB ('0x...'::BIGINT).
 HASH_BITS = 60
@@ -231,10 +233,10 @@ def negative_pairs(
     return cand.join(ids, "negative_id").select("anchor_id", "j", "negative_id")
 
 
-# last persisted range-partitioned input per SparkSession (by id):
-# curriculum_buckets' returned plan reads its cache, so eviction is
-# deferred to the NEXT call instead of leaking one copy per call
-_CURRICULUM_CACHE: dict = {}
+# curriculum_buckets' returned plan reads its persisted input, so
+# eviction is deferred to the NEXT registration — managed by the
+# central cross-family registry (qcache_spark.opcache) since r7
+_CURRICULUM_FAMILY = "sampling.curriculum"
 
 
 def curriculum_buckets(
@@ -294,11 +296,7 @@ def curriculum_buckets(
     # the PREVIOUS call's cache — a long-lived session holds at most
     # one table copy per session instead of one per invocation.
     ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    session_id = id(df.sparkSession)
-    prev = _CURRICULUM_CACHE.pop(session_id, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    _CURRICULUM_CACHE[session_id] = ranged
+    opcache.register(df.sparkSession, _CURRICULUM_FAMILY, ranged)
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -306,8 +304,7 @@ def curriculum_buckets(
     n = sum(c for _, c in counts)
     if n == 0:
         # nothing downstream will ever read the cache — drop it now
-        _CURRICULUM_CACHE.pop(session_id, None)
-        ranged.unpersist(blocking=False)
+        opcache.release(df.sparkSession, _CURRICULUM_FAMILY)
         return df.withColumn(bucket_col, F.lit(None).cast("int"))
     offsets, acc = {}, 0
     for pid, c in counts:

@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from qcache_spark import opcache
+
 
 def ohlc(
     df: DataFrame,
@@ -83,11 +85,10 @@ def ohlc(
     )
 
 
-# last persisted range-partitioned input per SparkSession (the
-# curriculum_buckets eviction pattern: the RETURNED plan reads this
-# cache, so eviction defers to the next call instead of leaking one
-# pinned copy per invocation — bench reruns would otherwise pile up)
-_PCTL_CACHE: dict = {}
+# the RETURNED plan reads the persisted range-partitioned input, so
+# eviction defers to the next registration — managed by the central
+# cross-family registry (qcache_spark.opcache) since r7
+_PCTL_FAMILY = "timeseries.percentile"
 
 
 def grouped_percentile_stats(
@@ -132,18 +133,13 @@ def grouped_percentile_stats(
     ranged = ranged.withColumn("__pid", F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    session_id = id(df.sparkSession)
-    prev = _PCTL_CACHE.pop(session_id, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    _PCTL_CACHE[session_id] = ranged
+    opcache.register(df.sparkSession, _PCTL_FAMILY, ranged)
 
     counts = (
         ranged.groupBy("__pid", "g").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )  # O(partitions x groups) rows — the only driver-side data
     if not counts:
-        _PCTL_CACHE.pop(session_id, None)
-        ranged.unpersist(blocking=False)
+        opcache.release(df.sparkSession, _PCTL_FAMILY)
         return base.select(
             F.col("g").alias(group_col),
             F.lit(0).cast("long").alias("n"),

@@ -22,6 +22,11 @@
                                       Catalyst formatted plan for a
                                       query dict (extension; compile
                                       only, nothing executes)
+    GET    /qcache/operator-caches    registered operator-lifetime
+                                      cache families + materialized
+                                      bytes (extension; opcache.py)
+    DELETE /qcache/operator-caches    release them all (workload
+                                      boundary; correctness-safe)
 
 Headers: `X-QCache-types` (type hints), `X-QCache-stand-in-columns`,
 `X-QCache-unsliced-length` (pre-slice count, README.rst:398-405).
@@ -265,6 +270,8 @@ class QCacheHandler(BaseHTTPRequestHandler):
                 return ("statistics", None, query)
             if rest == ["sql"]:
                 return ("sql", None, query)
+            if rest == ["operator-caches"]:
+                return ("opcaches", None, query)
             if len(rest) == 2 and rest[0] == "dataset":
                 return ("dataset", urllib.parse.unquote(rest[1]), query)
             if len(rest) == 3 and rest[0] == "dataset" and rest[2] == "q":
@@ -307,6 +314,20 @@ class QCacheHandler(BaseHTTPRequestHandler):
                 snap["dataset_count"] = len(self.catalog)
                 snap["cache_size"] = self.catalog.size
                 self._send(200, json.dumps(snap).encode())
+            elif route == "opcaches":
+                # operator-lifetime persisted-frame registry
+                # (qcache_spark/opcache.py): what's pinned right now
+                from qcache_spark import opcache
+
+                self._send(
+                    200,
+                    json.dumps(
+                        {
+                            "families": opcache.families(self.spark),
+                            "cached_bytes": opcache.cached_bytes(self.spark),
+                        }
+                    ).encode(),
+                )
             elif route == "dataset":
                 if "q" not in query:
                     self._error(400, "Missing query parameter q")
@@ -346,7 +367,14 @@ class QCacheHandler(BaseHTTPRequestHandler):
 
     def _do_delete(self):
         route, key, _ = self._route()
-        if route == "dataset":
+        if route == "opcaches":
+            # workload boundary: release every operator-lifetime cache
+            # (correctness-safe — downstream plans recompute)
+            from qcache_spark import opcache
+
+            n = opcache.release(self.spark)
+            self._send(200, json.dumps({"released": n}).encode())
+        elif route == "dataset":
             self.catalog.delete(key)
             self._send(200)
         else:

@@ -1,0 +1,128 @@
+"""Central operator-cache registry (qcache_spark/opcache.py).
+
+The r6 scale sweep measured the failure this registry exists to stop:
+three heavy operators (q95 + q91 + q99) run back-to-back in ONE JVM at
+sf10 accumulated one pinned persisted frame per operator family until
+the third OOMed (SCALING.md §12). These tests pin the governance
+contract: same-family registration evicts the predecessor, the byte
+budget evicts LRU *other* families, release() empties everything, and
+unpersist-after-eviction never breaks a still-lazy downstream plan
+(Spark recomputes — eviction is a perf decision, never a correctness
+one).
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from qcache_spark import opcache
+
+
+def _persisted(df) -> bool:
+    return df.storageLevel != StorageLevel.NONE
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry(spark):
+    opcache.release(spark)
+    yield
+    opcache.release(spark)
+
+
+def _frame(spark, n=1000, tag=0):
+    return (
+        spark.range(n)
+        .withColumn("tag", F.lit(tag))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def test_same_family_registration_evicts_predecessor(spark):
+    a = _frame(spark, tag=1)
+    a.count()  # materialize
+    opcache.register(spark, "fam", a)
+    assert opcache.families(spark) == ["fam"]
+    b = _frame(spark, tag=2)
+    opcache.register(spark, "fam", b)
+    assert opcache.families(spark) == ["fam"]
+    assert not _persisted(a)  # predecessor unpersisted
+    assert _persisted(b)
+
+
+def test_release_all_and_single_family(spark):
+    a, b = _frame(spark, tag=1), _frame(spark, tag=2)
+    opcache.register(spark, "one", a, budget=0)
+    opcache.register(spark, "two", b, budget=0)
+    assert opcache.release(spark, "one") == 1
+    assert opcache.families(spark) == ["two"]
+    assert not _persisted(a)
+    assert opcache.release(spark) == 1
+    assert opcache.families(spark) == []
+    assert not _persisted(b)
+
+
+def test_byte_budget_evicts_lru_other_families(spark):
+    # materialize a real footprint for family A, then register B with
+    # a 1-byte budget: A must be evicted (LRU), B kept — the exact
+    # q95-then-q91 accumulation scenario from SCALING.md §12
+    a = _frame(spark, n=50_000, tag=1)
+    a.count()
+    opcache.register(spark, "heavy_a", a, budget=0)
+    assert opcache.cached_bytes(spark) > 0
+    b = _frame(spark, tag=2)
+    opcache.register(spark, "heavy_b", b, budget=1)
+    assert opcache.families(spark) == ["heavy_b"]
+    assert not _persisted(a)
+
+
+def test_zero_budget_disables_eviction(spark):
+    a = _frame(spark, n=50_000, tag=1)
+    a.count()
+    opcache.register(spark, "one", a, budget=0)
+    b = _frame(spark, tag=2)
+    opcache.register(spark, "two", b, budget=0)
+    assert opcache.families(spark) == ["one", "two"]
+    assert _persisted(a) and _persisted(b)
+
+
+def test_eviction_is_correctness_safe(spark):
+    # a downstream plan built over a registered frame still computes
+    # the right answer after the frame is budget-evicted (recompute)
+    a = _frame(spark, n=100, tag=7)
+    a.count()
+    opcache.register(spark, "fam_a", a, budget=0)
+    downstream = a.agg(F.sum("id").alias("s"))
+    opcache.register(spark, "fam_b", _frame(spark, tag=8), budget=1)
+    assert not _persisted(a)
+    assert downstream.collect()[0]["s"] == 100 * 99 // 2
+
+
+def test_heavy_operator_families_share_one_registry(spark, sf_dir):
+    """The three r6 OOM participants registered through one registry:
+    running triangles then percentiles then curriculum leaves at most
+    the budgeted set pinned, and release() drops them all."""
+    from qcache_spark.operators.graph import triangle_participation
+    from qcache_spark.operators.sampling import curriculum_buckets
+    from qcache_spark.operators.timeseries import grouped_percentile_stats
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    edges = events.select(
+        (F.col("user_id") % 50).alias("src"), (F.col("user_id") % 97).alias("dst")
+    )
+    triangle_participation(edges).count()
+    grouped_percentile_stats(events, "event_type", "value", "event_id").count()
+    curriculum_buckets(docs, "n_chars", 4, id_col="doc_id").count()
+    fams = opcache.families(spark)
+    assert set(fams) <= {
+        "graph.triangles",
+        "timeseries.percentile",
+        "sampling.curriculum",
+    }
+    assert len(fams) >= 1
+    released = opcache.release(spark)
+    assert released == len(fams)
+    assert opcache.families(spark) == []
+    assert opcache.cached_bytes(spark) == 0

@@ -855,3 +855,29 @@ def test_pipeline_percentiles(server):
         {"op": "percentiles", "params": {"column": "g"}},
     )
     assert code == 400
+
+
+def test_operator_caches_endpoint(server, spark):
+    """GET /qcache/operator-caches lists registered operator-lifetime
+    cache families; DELETE releases them (the opcache.py workload-
+    boundary API exposed without Python)."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from qcache_spark import opcache
+
+    frame = spark.range(100).withColumn("x", F.lit(1)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frame.count()
+    opcache.register(spark, "http.test", frame, budget=0)
+    code, body, _ = call(server, "GET", "/qcache/operator-caches")
+    assert code == 200
+    snap = json.loads(body)
+    assert "http.test" in snap["families"]
+    assert snap["cached_bytes"] > 0
+    code, body, _ = call(server, "DELETE", "/qcache/operator-caches")
+    assert code == 200
+    assert json.loads(body)["released"] >= 1
+    code, body, _ = call(server, "GET", "/qcache/operator-caches")
+    assert json.loads(body)["families"] == []
