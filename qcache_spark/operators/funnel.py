@@ -8,15 +8,15 @@ completion time is the MIN qualifying timestamp). This is the product
 shape answers pipeline-stage attrition ("ingested -> deduped ->
 accepted") over run-event logs.
 
-Spark-first design: per step, one groupBy(user).min(ts) and one
-equi-join back to the event scan — every shuffle in the chain is keyed
-on user_id, so AQE plans them into the same exchange layout and a
-bucketed/pre-partitioned events table makes the whole funnel
-exchange-free after the first hop. No window over a global ordering,
-no per-user event-list collection (the naive collect_list approach
-materializes a user's whole history per row — unbounded state for hot
-users; the min-join formulation carries exactly one timestamp per user
-per step).
+Spark-first design: ONE scan of the events table, ONE hash exchange
+on the user, and k chained whole-partition window aggregates (each
+step's completion time conditions on the previous step's window
+column) — no joins, no window over a global ordering, no per-user
+event-list collection (the naive collect_list approach materializes a
+user's whole history per row — unbounded state for hot users; the
+chained-min formulation carries one timestamp accumulator per user
+per step). A bucketed/pre-partitioned events table makes the funnel
+exchange-free entirely.
 
 Reference: no funnel surface exists in /root/reference (qcache is a
 single-table filter/agg server); this is north-star pipeline surface.
@@ -45,33 +45,57 @@ def user_funnel(
         raise ValueError("steps must be non-empty")
     if len(set(steps)) != len(steps):
         raise ValueError(f"steps must be distinct, got {steps!r}")
-    per_step = []
-    prev = None
+    # SINGLE-SCAN formulation (r7; VERDICT r6 "What's wrong" #3): the
+    # original per-step min-join chain consumed each step's frame
+    # twice (its own count + the next step's join), so step 1's
+    # subtree re-evaluated O(k) times for a k-step funnel. Instead,
+    # chain per-user WHOLE-PARTITION window aggregates:
+    #
+    #   t_1 = min(ts where type = s_1)            over (partition by u)
+    #   t_i = min(ts where type = s_i AND ts > t_{i-1})   (same window)
+    #
+    # Each t_i references the previous window column, so Catalyst
+    # plans k Window operators over ONE hash exchange on the user —
+    # no re-shuffle, no joins, and per-task window state is a single
+    # min accumulator per step (NOT the per-user history the naive
+    # collect_list funnel materializes; hot users cost nothing extra).
+    # Null sequencing is exactly the join semantics: a user missing
+    # step i has t_i null, `ts > null` is null, so every later step
+    # stays null. The per-user fold and the final count reuse the
+    # window's partitioning (no extra exchange before the single-row
+    # global agg). One events scan total, k small plan nodes.
+    w = Window.partitionBy("u")
+    stepped = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("typ"),
+    )
+    prev_t = None
     for i, step in enumerate(steps):
-        evs = events.filter(F.col(type_col) == step).select(
-            F.col(user_col).alias("u"), F.col(ts_col).alias("ts")
+        qualifies = F.col("typ") == step
+        if prev_t is not None:
+            qualifies = qualifies & (F.col("ts") > F.col(prev_t))
+        stepped = stepped.withColumn(
+            f"t{i + 1}", F.min(F.when(qualifies, F.col("ts"))).over(w)
         )
-        if prev is None:
-            cur = evs.groupBy("u").agg(F.min("ts").alias("t"))
-        else:
-            cur = (
-                evs.join(prev.select("u", F.col("t").alias("t_prev")), "u")
-                .filter(F.col("ts") > F.col("t_prev"))
-                .groupBy("u")
-                .agg(F.min("ts").alias("t"))
-            )
-        per_step.append(
-            cur.agg(
+        prev_t = f"t{i + 1}"
+    per_user = stepped.groupBy("u").agg(
+        *[F.min(f"t{i + 1}").alias(f"t{i + 1}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"t{i + 1}").alias(f"n{i + 1}") for i in range(len(steps))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(i + 1).alias("step_index"),
                 F.lit(step).alias("step"),
-                F.count(F.lit(1)).alias("n_users"),
+                F.col(f"n{i + 1}").alias("n_users"),
             )
-        )
-        prev = cur
-    out = per_step[0]
-    for frame in per_step[1:]:
-        out = out.unionByName(frame)
-    return out
+            for i, step in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def event_transitions(

@@ -238,6 +238,11 @@ def negative_pairs(
 # central cross-family registry (qcache_spark.opcache) since r7
 _CURRICULUM_FAMILY = "sampling.curriculum"
 
+# above this many per-partition offset entries, broadcast-join the
+# offsets instead of shipping a literal create_map (plan-size guard —
+# see operators/timeseries.py:LITERAL_MAP_MAX)
+LITERAL_MAP_MAX = 1024
+
 
 def curriculum_buckets(
     df: DataFrame,
@@ -311,10 +316,23 @@ def curriculum_buckets(
         offsets[pid] = acc
         acc += c
     q, rem = divmod(n, n_buckets)
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("__pid"),
-    )
+    if len(offsets) <= LITERAL_MAP_MAX:
+        based = ranged
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("__pid"),
+        )
+    else:
+        # 10^4+ partitions at 100 TB: a literal map that size is a
+        # multi-megabyte plan the driver must analyze — broadcast-join
+        # the offsets instead (same exactness, O(1) plan size)
+        odf = df.sparkSession.createDataFrame(
+            list(offsets.items()), "__opid int, __off long"
+        )
+        based = ranged.join(
+            F.broadcast(odf), F.col("__pid") == F.col("__opid")
+        ).drop("__opid")
+        off = F.col("__off")
     local = F.row_number().over(
         Window.partitionBy("__pid").orderBy(score, ident)
     )
@@ -329,7 +347,7 @@ def curriculum_buckets(
         .otherwise(F.lit(rem) + idiv(rank - 1 - head, F.greatest(F.lit(q), F.lit(1))))
         + 1
     ).cast("int")
-    return ranged.withColumn(bucket_col, bucket).drop("__pid")
+    return based.withColumn(bucket_col, bucket).drop("__pid", "__off")
 
 
 def curriculum_buckets_approx(

@@ -261,6 +261,15 @@ def knn_label_agreement(
     device), so each map task emits at most k rows per probe and the
     exchange carries O(|probes| * k), never the corpus.
 
+    Contract: `probes` must be a subset of `df` by id — labels are
+    taken from the CORPUS frame only (`probes`' own label column, if
+    any, is ignored), and a probe id absent from `df` is dropped from
+    the output by the label inner-join. This is deliberate: the audit
+    asks "does the corpus agree with itself around this point", so a
+    probe outside the corpus has no self-label to agree with. Filter
+    `df` to build probes (as q96 does) rather than passing an
+    external frame.
+
     Returns (vec_id, label, n_agree, top1_id, top1_dot) per probe.
     """
     if k < 1:

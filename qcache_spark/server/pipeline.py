@@ -231,6 +231,15 @@ def _op_histogram(df: DataFrame, params: dict) -> DataFrame:
     lo, hi = params.get("min"), params.get("max")
     if lo is None or hi is None:
         row = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+        # empty / all-null / all-NaN column: min and max come back
+        # null — a well-formed request over degenerate data, so an
+        # empty histogram, not a 500 (float(None) raised; ADVICE r6)
+        if (lo is None and row["lo"] is None) or (hi is None and row["hi"] is None):
+            return vals.limit(0).select(
+                F.col("v").alias("bin_start"),
+                F.col("v").alias("bin_end"),
+                F.lit(0).cast("long").alias("n_rows"),
+            )
         lo = float(row["lo"]) if lo is None else float(lo)
         hi = float(row["hi"]) if hi is None else float(hi)
     lo, hi = float(lo), float(hi)

@@ -116,9 +116,30 @@ def from_csv(
     # pandas upcasts int columns with nulls to float; Spark keeps
     # nullable long — preserve pandas-visible behavior by letting the
     # inferred dtype stand (SURVEY.md §7 "hard parts").
-    df = spark.createDataFrame(pdf)
+    df = _create_df(spark, pdf)
     df = apply_stand_in_columns(df, stand_in_columns)
     return df, enum_columns
+
+
+def _create_df(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    """createDataFrame that also accepts a ZERO-ROW pandas frame (a
+    header-only CSV / empty JSON list — the reference's pandas engine
+    stores these happily; Spark raises CANNOT_INFER_EMPTY_SCHEMA).
+    Schema comes from the pandas dtypes; all-NaN object columns (what
+    read_csv infers when there is nothing to see) become string."""
+    if len(pdf) > 0:
+        return spark.createDataFrame(pdf)
+    from pyspark.pandas.typedef import as_spark_type
+    from pyspark.sql import types as T
+
+    fields = []
+    for col in pdf.columns:
+        try:
+            spark_type = as_spark_type(pdf[col].dtype)
+        except TypeError:
+            spark_type = T.StringType()
+        fields.append(T.StructField(str(col), spark_type, True))
+    return spark.createDataFrame([], T.StructType(fields))
 
 
 def from_json_records(
@@ -140,7 +161,7 @@ def from_json_records(
             pdf[col] = pdf[col].astype(str)
         elif type_name == "float":
             pdf[col] = pdf[col].astype(float)
-    df = spark.createDataFrame(pdf)
+    df = _create_df(spark, pdf)
     df = apply_stand_in_columns(df, stand_in_columns)
     return df, enum_columns
 

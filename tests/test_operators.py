@@ -1511,6 +1511,21 @@ def test_user_funnel_strict_ordering(spark):
         funnel.user_funnel(ev, ["view", "view"])
 
 
+def test_user_funnel_single_scan_plan(spark, sf_dir):
+    """The r7 chained-window formulation reads events ONCE: the plan
+    has no joins (the old per-step min-join chain re-evaluated step
+    1's subtree O(k) times) and exactly one parquet scan of events."""
+    from qcache_spark.operators import funnel
+    from qcache_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = funnel.user_funnel(
+        ev, ["view", "click", "purchase"]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Relation") == 1  # one events scan feeds all steps
+
+
 def test_ngram_novelty_attribution(spark):
     from qcache_spark.operators import text as text_ops
 
@@ -1766,6 +1781,58 @@ def test_grouped_percentile_no_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window " in line:
             assert "__pid" in line, line
+
+
+def test_broadcast_offsets_path_matches_literal(spark, sf_dir, docs, monkeypatch):
+    """Above LITERAL_MAP_MAX offset entries the NTILE/percentile
+    devices ship offsets as a broadcast DataFrame instead of a literal
+    create_map (plan-size guard for 10^4+-partition clusters). Forcing
+    the broadcast path must change NOTHING in the results, and the
+    plan must carry no giant literal map."""
+    from qcache_spark.operators import sampling, timeseries
+
+    docs32 = docs.repartition(8)
+    lit = {
+        r["doc_id"]: r["bucket"]
+        for r in sampling.curriculum_buckets(docs32, "n_chars", 4).collect()
+    }
+    monkeypatch.setattr(sampling, "LITERAL_MAP_MAX", 0)
+    bc_df = sampling.curriculum_buckets(docs32, "n_chars", 4)
+    assert "map_from_arrays" not in bc_df._jdf.queryExecution().optimizedPlan().toString()
+    bc = {r["doc_id"]: r["bucket"] for r in bc_df.collect()}
+    assert bc == lit
+
+    events = load_table(spark, sf_dir, "events")
+    lit_p = {
+        r["event_type"]: (r["n"], r["k"], r["p_value"], r["n_tail"], r["win_sum_e4"])
+        for r in timeseries.grouped_percentile_stats(events, pct=0.9).collect()
+    }
+    monkeypatch.setattr(timeseries, "LITERAL_MAP_MAX", 0)
+    bc_p = {
+        r["event_type"]: (r["n"], r["k"], r["p_value"], r["n_tail"], r["win_sum_e4"])
+        for r in timeseries.grouped_percentile_stats(events, pct=0.9).collect()
+    }
+    assert bc_p == lit_p
+
+
+def test_grouped_percentile_non_string_group_types(spark):
+    """ADVICE r6: Python str(True)='True' vs Spark cast 'true' made
+    boolean/decimal/timestamp groups silently vanish from the output.
+    The canonical key is now Spark's own rendering — every group must
+    come back, on both the literal and broadcast offset paths."""
+    from qcache_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, float(i)) for i in range(40)],
+        "event_id long, flag boolean, value double",
+    )
+    out = timeseries.grouped_percentile_stats(
+        df, group_col="flag", value_col="value", id_col="event_id", pct=0.5
+    ).collect()
+    groups = {r["flag"] for r in out}
+    assert groups == {True, False}
+    for r in out:
+        assert r["n"] == 20 and r["k"] == 10
 
 
 def test_prefix_jaccard_matches_bruteforce(spark):

@@ -776,6 +776,21 @@ def test_pipeline_histogram(server):
     )
     assert code == 200
     assert json.loads(body) == [{"bin_start": 7.0, "bin_end": 7.0, "n_rows": 3}]
+    # all-null numeric column: empty histogram, not a 500 (ADVICE r6 —
+    # float(None) on the min/max agg)
+    store(server, "pl9n", "k,v\na,\nb,\n", headers={"X-QCache-types": "v=float"})
+    code, body, _ = pipeline(
+        server, "pl9n", {"op": "histogram", "params": {"column": "v"}}
+    )
+    assert code == 200
+    assert json.loads(body) == []
+    # one explicit bound + all-null data: still empty, still 200
+    code, body, _ = pipeline(
+        server, "pl9n",
+        {"op": "histogram", "params": {"column": "v", "min": 0}},
+    )
+    assert code == 200
+    assert json.loads(body) == []
     # non-numeric column / bad bins -> 400
     store(server, "pl9s", "s\nx\ny\n")
     code, _, _ = pipeline(
@@ -881,3 +896,20 @@ def test_operator_caches_endpoint(server, spark):
     assert json.loads(body)["released"] >= 1
     code, body, _ = call(server, "GET", "/qcache/operator-caches")
     assert json.loads(body)["families"] == []
+
+
+def test_store_empty_dataset(server):
+    """Header-only CSV and [] JSON store as zero-row datasets and
+    query back as [] — the reference's pandas engine accepts these;
+    Spark's CANNOT_INFER_EMPTY_SCHEMA must not surface as a 500."""
+    code, _, _ = store(server, "empty1", "a,b\n")
+    assert code == 201
+    code, body, _ = query(server, "empty1", {})
+    assert code == 200 and json.loads(body) == []
+    code, _, _ = store(
+        server, "empty2", "[]", ctype="application/json"
+    )
+    assert code == 201
+    code, body, _ = query(server, "empty2", {"where": ["==", "x", 1]})
+    # unknown column on a zero-column dataset is still a 400, not a 500
+    assert code == 400
