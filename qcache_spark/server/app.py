@@ -527,7 +527,18 @@ class QCacheHandler(BaseHTTPRequestHandler):
 
         stand_ins = parse_stand_in_header(self.headers.get("X-QCache-stand-in-columns"))
         df = apply_stand_in_columns(item.df, stand_ins)
-        result = run_pipeline_op(df, spec)
+
+        def resolve(other_key: str):
+            # second dataset for two-dataset ops (snapshot_diff's
+            # params.right); raises UnknownDatasetException -> 404
+            return self.catalog.get(other_key).df
+
+        try:
+            result = run_pipeline_op(df, spec, resolve=resolve)
+        except UnknownDatasetException as e:
+            self.stats.inc("miss_count")
+            self._error(404, str(e))
+            return
         rows = result.collect()
         if accept == CONTENT_TYPE_CSV:
             body = rows_to_csv(rows, result.columns).encode("utf-8")

@@ -34,6 +34,21 @@ expose and cheap to serve):
     percentiles      Greenwald-Khanna approx quantiles of a numeric
                      column, optionally grouped → one flat row per
                      group with a p<prob> column per probability
+    ohlc             OHLC bars per (group, epoch-second bucket) →
+                     {bucket_start_s, n, open, high, low, close,
+                      sum_value_e4}; first 1000 buckets in key order
+    percentile_stats exact per-group percentile + winsorized tail
+                     stats (the distributed-rank device) → one row
+                     per group
+    transitions      first-order Markov transition counts over
+                     per-user event sequences → top 1000 pairs by
+                     count {from_type, to_type, n_transitions,
+                      n_users}
+    snapshot_diff    two-dataset diff summary: the stored dataset is
+                     the LEFT (older) snapshot, params.right names
+                     the newer one → (metric, n_rows) rows for
+                     added/removed/changed/unchanged plus a
+                     col:<name> row per compared column
 
 Discipline matches the query endpoint: any malformed body — bad JSON,
 unknown op, unknown/missing/mistyped params, unknown columns — raises
@@ -346,6 +361,128 @@ def _op_funnel(df: DataFrame, params: dict) -> DataFrame:
     return user_funnel(df, steps, user_col=user, type_col=typ, ts_col=ts)
 
 
+def _check_numeric(df: DataFrame, col: str, op: str) -> None:
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        _fail(f"{op} column {col!r} must be numeric")
+
+
+def _op_ohlc(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(
+        params,
+        {"ts_column", "value_column", "id_column", "group_by",
+         "bucket_seconds"},
+        "ohlc",
+    )
+    ts = _check_column(df, params.get("ts_column", "ts"), "ts_column")
+    val = _check_column(df, params.get("value_column", "value"), "value_column")
+    _check_numeric(df, val, "ohlc")
+    ident = _check_column(df, params.get("id_column", "event_id"), "id_column")
+    group = params.get("group_by")
+    if group is not None:
+        group = _check_column(df, group, "group_by")
+    secs = params.get("bucket_seconds", 3600)
+    if not isinstance(secs, int) or isinstance(secs, bool) or not (
+        1 <= secs <= 86400 * 366
+    ):
+        _fail("bucket_seconds must be an integer in [1, 31622400]")
+    from ..operators.timeseries import ohlc
+
+    out = ohlc(df, ts_col=ts, value_col=val, id_col=ident,
+               group_col=group, bucket_seconds=secs)
+    order = ([F.col(group)] if group else []) + [F.col("bucket_start_s")]
+    return out.orderBy(*order).limit(_MAX_GROUPS)
+
+
+def _op_percentile_stats(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(
+        params, {"group_column", "value_column", "id_column", "pct"},
+        "percentile_stats",
+    )
+    group = _check_column(
+        df, params.get("group_column", "event_type"), "group_column"
+    )
+    val = _check_column(df, params.get("value_column", "value"), "value_column")
+    _check_numeric(df, val, "percentile_stats")
+    ident = _check_column(df, params.get("id_column", "event_id"), "id_column")
+    pct = params.get("pct", 0.99)
+    if (
+        not isinstance(pct, (int, float))
+        or isinstance(pct, bool)
+        or not (0.0 < float(pct) <= 1.0)
+    ):
+        _fail("pct must be a number in (0, 1]")
+    from ..operators.timeseries import grouped_percentile_stats
+
+    out = grouped_percentile_stats(
+        df, group_col=group, value_col=val, id_col=ident, pct=float(pct)
+    )
+    return out.orderBy(F.col(group)).limit(_MAX_GROUPS)
+
+
+def _op_transitions(df: DataFrame, params: dict) -> DataFrame:
+    _reject_unknown(
+        params, {"user_column", "type_column", "ts_column", "id_column"},
+        "transitions",
+    )
+    user = _check_column(df, params.get("user_column", "user_id"), "user_column")
+    typ = _check_column(df, params.get("type_column", "event_type"), "type_column")
+    ts = _check_column(df, params.get("ts_column", "ts"), "ts_column")
+    ident = _check_column(df, params.get("id_column", "event_id"), "id_column")
+    from ..operators.funnel import event_transitions
+
+    out = event_transitions(df, user_col=user, type_col=typ, ts_col=ts,
+                            id_col=ident)
+    return out.orderBy(
+        F.col("n_transitions").desc(), "from_type", "to_type"
+    ).limit(_MAX_GROUPS)
+
+
+def _op_snapshot_diff(df: DataFrame, params: dict,
+                      resolve=None) -> DataFrame:
+    """Two-dataset op (the endpoint's first): `df` is the LEFT (older)
+    snapshot, params['right'] names the stored dataset that is the
+    newer one. Result is the aggregate summary (metric, n_rows) —
+    4 status rows + one col:<name> row per compared column — never
+    the row-level diff (the endpoint serves summaries)."""
+    _reject_unknown(params, {"right", "keys", "compare_columns"},
+                    "snapshot_diff")
+    right_key = params.get("right")
+    if not isinstance(right_key, str) or not right_key:
+        _fail("snapshot_diff requires 'right': the other dataset's key")
+    if resolve is None:
+        _fail("snapshot_diff is only available over the HTTP endpoint")
+    right = resolve(right_key)  # UnknownDatasetException -> 404 upstream
+    keys = params.get("keys")
+    if (
+        not isinstance(keys, list)
+        or not keys
+        or not all(isinstance(k, str) for k in keys)
+    ):
+        _fail("snapshot_diff requires 'keys': a non-empty list of columns")
+    for k in keys:
+        if k not in df.columns:
+            _fail(f"Unknown key column in left snapshot: {k!r}")
+        if k not in right.columns:
+            _fail(f"Unknown key column in right snapshot: {k!r}")
+    compare = params.get("compare_columns")
+    if compare is not None:
+        _check_columns(df, compare, "compare_columns")
+        missing = [c for c in compare if c not in right.columns]
+        if missing:
+            _fail(f"Unknown column(s) in right snapshot: {missing}")
+        if set(compare) & set(keys):
+            _fail("compare_columns must not overlap keys")
+    from ..operators.diff import snapshot_diff_summary
+
+    return snapshot_diff_summary(df, right, keys, compare)
+
+
 _OPS = {
     "dedup_count": _op_dedup_count,
     "cardinality": _op_cardinality,
@@ -355,13 +492,23 @@ _OPS = {
     "histogram": _op_histogram,
     "funnel": _op_funnel,
     "percentiles": _op_percentiles,
+    "ohlc": _op_ohlc,
+    "percentile_stats": _op_percentile_stats,
+    "transitions": _op_transitions,
+    "snapshot_diff": _op_snapshot_diff,
 }
 
+# ops that read a second stored dataset named in params (need the
+# catalog resolver threaded through)
+_TWO_DATASET_OPS = {"snapshot_diff"}
 
-def run_pipeline_op(df: DataFrame, spec) -> DataFrame:
+
+def run_pipeline_op(df: DataFrame, spec, resolve=None) -> DataFrame:
     """Validate a pipeline request body and return the (lazy) result
     DataFrame. Raises MalformedQueryException on ANY invalid input —
-    the HTTP layer's 400 contract."""
+    the HTTP layer's 400 contract. `resolve` maps a dataset key to its
+    DataFrame for two-dataset ops (HTTP passes the catalog; the
+    Python API may pass any mapping function)."""
     if not isinstance(spec, dict):
         _fail("Pipeline body must be a JSON object")
     unknown = set(spec) - {"op", "params"}
@@ -375,4 +522,6 @@ def run_pipeline_op(df: DataFrame, spec) -> DataFrame:
     params = spec.get("params", {})
     if not isinstance(params, dict):
         _fail("params must be a JSON object")
+    if op in _TWO_DATASET_OPS:
+        return _OPS[op](df, dict(params), resolve=resolve)
     return _OPS[op](df, dict(params))

@@ -913,3 +913,138 @@ def test_store_empty_dataset(server):
     code, body, _ = query(server, "empty2", {"where": ["==", "x", 1]})
     # unknown column on a zero-column dataset is still a 400, not a 500
     assert code == 400
+
+
+EVENTS_CSV = (
+    "event_id,user_id,event_type,ts,value\n"
+    "1,1,view,2024-01-01 10:00:00,1.0\n"
+    "2,1,click,2024-01-01 10:30:00,2.5\n"
+    "3,1,purchase,2024-01-01 11:10:00,9.0\n"
+    "4,2,view,2024-01-01 10:05:00,1.5\n"
+    "5,2,click,2024-01-01 11:20:00,0.5\n"
+    "6,3,view,2024-01-01 12:00:00,3.0\n"
+)
+
+
+def test_pipeline_ohlc(server):
+    store(server, "plohlc", EVENTS_CSV)
+    code, body, _ = pipeline(
+        server, "plohlc",
+        {"op": "ohlc", "params": {"group_by": "event_type",
+                                  "bucket_seconds": 3600}},
+    )
+    assert code == 200
+    rows = json.loads(body)
+    view_10 = [r for r in rows if r["event_type"] == "view"
+               and r["bucket_start_s"] == 1704103200][0]
+    assert view_10["n"] == 2
+    assert view_10["open"] == 1.0 and view_10["close"] == 1.5
+    assert view_10["high"] == 1.5 and view_10["low"] == 1.0
+    assert view_10["sum_value_e4"] == 25000
+    # ungrouped form aggregates across types
+    code, body, _ = pipeline(
+        server, "plohlc",
+        {"op": "ohlc", "params": {"group_by": None, "bucket_seconds": 86400}},
+    )
+    rows = json.loads(body)
+    assert len(rows) == 1 and rows[0]["n"] == 6
+    # bad bucket / unknown column -> 400
+    code, _, _ = pipeline(
+        server, "plohlc", {"op": "ohlc", "params": {"bucket_seconds": 0}}
+    )
+    assert code == 400
+    code, _, _ = pipeline(
+        server, "plohlc", {"op": "ohlc", "params": {"value_column": "nope"}}
+    )
+    assert code == 400
+    # non-numeric value column -> 400
+    code, _, _ = pipeline(
+        server, "plohlc", {"op": "ohlc", "params": {"value_column": "event_type"}}
+    )
+    assert code == 400
+
+
+def test_pipeline_percentile_stats(server):
+    store(server, "plpct", EVENTS_CSV)
+    code, body, _ = pipeline(
+        server, "plpct",
+        {"op": "percentile_stats", "params": {"pct": 0.5}},
+    )
+    assert code == 200
+    rows = {r["event_type"]: r for r in json.loads(body)}
+    # view values: 1.0, 1.5, 3.0 -> k=2, p50 = 1.5
+    assert rows["view"]["n"] == 3 and rows["view"]["k"] == 2
+    assert rows["view"]["p_value"] == 1.5 and rows["view"]["n_tail"] == 1
+    code, _, _ = pipeline(
+        server, "plpct", {"op": "percentile_stats", "params": {"pct": 1.5}}
+    )
+    assert code == 400
+    code, _, _ = pipeline(
+        server, "plpct",
+        {"op": "percentile_stats", "params": {"value_column": "event_type"}},
+    )
+    assert code == 400
+
+
+def test_pipeline_transitions(server):
+    store(server, "pltr", EVENTS_CSV)
+    code, body, _ = pipeline(server, "pltr", {"op": "transitions"})
+    assert code == 200
+    rows = {(r["from_type"], r["to_type"]): r for r in json.loads(body)}
+    # u1: view->click->purchase; u2: view->click; u3: no transition
+    assert rows[("view", "click")]["n_transitions"] == 2
+    assert rows[("view", "click")]["n_users"] == 2
+    assert rows[("click", "purchase")]["n_transitions"] == 1
+    assert ("purchase", "view") not in rows
+    code, _, _ = pipeline(
+        server, "pltr", {"op": "transitions", "params": {"user_column": "nope"}}
+    )
+    assert code == 400
+
+
+def test_pipeline_snapshot_diff(server):
+    store(server, "snap_old", "id,price,qty\n1,10,5\n2,20,3\n3,30,1\n")
+    store(server, "snap_new", "id,price,qty\n2,20,4\n3,30,1\n4,40,2\n")
+    code, body, _ = pipeline(
+        server, "snap_old",
+        {"op": "snapshot_diff", "params": {"right": "snap_new", "keys": ["id"]}},
+    )
+    assert code == 200
+    m = {r["metric"]: r["n_rows"] for r in json.loads(body)}
+    assert m["added"] == 1      # id 4
+    assert m["removed"] == 1    # id 1
+    assert m["changed"] == 1    # id 2 (qty 3 -> 4)
+    assert m["unchanged"] == 1  # id 3
+    assert m["col:qty"] == 1 and m["col:price"] == 0
+    # compare_columns restricts the census
+    code, body, _ = pipeline(
+        server, "snap_old",
+        {"op": "snapshot_diff",
+         "params": {"right": "snap_new", "keys": ["id"],
+                    "compare_columns": ["price"]}},
+    )
+    m = {r["metric"]: r["n_rows"] for r in json.loads(body)}
+    assert m["changed"] == 0 and m["unchanged"] == 2 and "col:qty" not in m
+    # unknown right dataset -> 404; bad keys -> 400
+    code, _, _ = pipeline(
+        server, "snap_old",
+        {"op": "snapshot_diff", "params": {"right": "nope", "keys": ["id"]}},
+    )
+    assert code == 404
+    code, _, _ = pipeline(
+        server, "snap_old",
+        {"op": "snapshot_diff", "params": {"right": "snap_new", "keys": []}},
+    )
+    assert code == 400
+    code, _, _ = pipeline(
+        server, "snap_old",
+        {"op": "snapshot_diff",
+         "params": {"right": "snap_new", "keys": ["id"],
+                    "compare_columns": ["id"]}},
+    )
+    assert code == 400
+    code, _, _ = pipeline(
+        server, "snap_old",
+        {"op": "snapshot_diff", "params": {"keys": ["id"]}},
+    )
+    assert code == 400
