@@ -1490,6 +1490,62 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     return "".join(parts)
 
 
+def _pagerank_dangling_oracle_sql(iters: int = 3) -> str:
+    """Unrolled weighted + dangling-redistribution PageRank: same
+    chained-CTE device as _pagerank_oracle_sql, plus per-round scalar
+    subqueries for the dangling mass D = SUM(rank) over out-degree-0
+    nodes and its floor share D // n — the exact integers the engine
+    computes driver-side."""
+    share = (
+        "(SELECT COALESCE(SUM(rank), 0) FROM r{prev} "
+        "WHERE id NOT IN (SELECT id FROM deg)) "
+        "// (SELECT COUNT(*) FROM nodes)"
+    )
+    parts = [
+        """
+        WITH e AS (
+            SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
+                   CAST(o_orderkey * 2 + 1 AS BIGINT) AS dst,
+                   CAST(o_orderkey % 3 + 1 AS BIGINT) AS w
+            FROM orders
+        ), nodes AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION SELECT dst FROM e
+            )
+        ), deg AS (
+            SELECT src AS id, SUM(w) AS deg FROM e GROUP BY 1
+        ), r0 AS (
+            SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+            SELECT n.id,
+                   CAST(150000 + (85 * (COALESCE(c.s, 0) +
+                        {share.format(prev=i - 1)})) // 100
+                        AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, SUM((r.rank * e.w) // d.deg) AS s
+                FROM e
+                JOIN r{i - 1} r ON e.src = r.id
+                JOIN deg d ON r.id = d.id
+                GROUP BY 1
+            ) c ON n.id = c.id
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CAST((id - 1) // 2 AS BIGINT) AS o_key, rank
+        FROM r{iters}
+        WHERE id % 2 = 1
+        ORDER BY rank DESC, o_key
+        LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
 def q91_triangle_count(spark, sf_dir):
     """Top-20 triangle-participation nodes of the part co-purchase
     graph (operators/graph.py:triangle_participation): parts are
@@ -1693,22 +1749,56 @@ def q101_snapshot_diff(spark, sf_dir):
     return snapshot_diff_summary(orders, today, ["o_orderkey"])
 
 
+def q102_pagerank_dangling(spark, sf_dir):
+    """Weighted PageRank WITH dangling-mass redistribution
+    (operators/graph.py:pagerank, both r7 opt-ins): the customer ->
+    order purchase graph is maximally dangling — every order node is
+    a sink — so without redistribution all sink mass leaks each round.
+    Edge weight = o_orderkey % 3 + 1 (deterministic integers). The
+    exact-integer round (floor divisions, literal per-round dangling
+    share D div n) unrolls verbatim in the DuckDB oracle — same longs
+    or nothing. Top 20 order nodes, tiebreak on decoded key."""
+    from qcache_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (F.col("o_custkey") * 2).cast("long")
+    ordn = (F.col("o_orderkey") * 2 + 1).cast("long")
+    w = (F.col("o_orderkey") % 3 + 1).cast("long")
+    edges = orders.select(cust.alias("src"), ordn.alias("dst"), w.alias("w"))
+    ranks = pagerank(
+        edges, iters=3, weight_col="w", redistribute_dangling=True
+    )
+    return (
+        ranks.filter(F.col("id") % 2 == 1)
+        .select(F.expr("(id - 1) div 2").alias("o_key"), "rank")
+        .orderBy(F.col("rank").desc(), "o_key")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- Gate-slot rotation (round 6) -------------------------------
+    # --- Gate-slot rotation (round 7) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
-    # order keys (see README "Correctness gating").  Round-6 ordering:
-    #   1-11  q91-q101: newest (second half of round 6), never gated.
-    #   12-22 q80-q90: new this round, never externally gated.
-    #   23-47 q22-q46: green in r01/r02 but rotated out since round 3
-    #         -- the longest-ungated entries come back for a fresh
-    #         external signal (VERDICT r5 item 7).
+    # order keys (see README "Correctness gating").  Round-7 ordering:
+    #   1     q102: new this round (weighted + dangling-redistribution
+    #         PageRank), never gated.
+    #   2-12  q91-q101: r6-gated once; pinned (heaviest plans, most
+    #         regression-prone after this round's PPJoin/funnel/offset
+    #         rewrites).
+    #   13-42 q47-q65 (minus flagship q57), q68-q79: the longest-
+    #         ungated block — q47-q65 last saw the driver in r02/r03,
+    #         the SQL-oracled round-5 entries only in r05 (VERDICT r6
+    #         item 5).
+    #   43-47 q1/q2/q5/q20/q21: oldest never-recently-gated core-
+    #         surface entries (pricing agg, comparisons, LIKE,
+    #         broadcast + multi-join).
     #   48-50 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating.
-    # q47-q50 and the SQL-oracled round-5 entries (q69, q71, q73-q78)
-    # sit just below the cap — all driver-green before, they add the
-    # least new signal. Everything below slot 50 (q51-q65, q68,
-    # q1-q21 -- all multi-round green) remains value-checked every
-    # run by the local DuckDB replica (tests/test_entry_oracle.py).
+    # Everything below slot 50 (q3-q4, q6-q19, q22-q46 — twice
+    # driver-green — and q80-q90, once green in r06) remains
+    # value-checked every run by the local DuckDB replica
+    # (tests/test_entry_oracle.py).
+    "q102_pagerank_dangling": q102_pagerank_dangling,
     "q91_triangle_count": q91_triangle_count,
     "q92_event_transitions": q92_event_transitions,
     "q93_time_bucket_ohlc": q93_time_bucket_ohlc,
@@ -1720,17 +1810,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_neardup_clusters": q99_neardup_clusters,
     "q100_top_revenue_orders": q100_top_revenue_orders,
     "q101_snapshot_diff": q101_snapshot_diff,
-    "q86_table_profile": q86_table_profile,
-    "q80_embedding_quantize": q80_embedding_quantize,
-    "q81_weighted_sample": q81_weighted_sample,
-    "q82_user_funnel": q82_user_funnel,
-    "q83_ngram_novelty": q83_ngram_novelty,
-    "q84_vocab_overlap": q84_vocab_overlap,
-    "q85_fk_orphan_audit": q85_fk_orphan_audit,
-    "q87_fuzzy_match": q87_fuzzy_match,
-    "q88_skewed_join": q88_skewed_join,
-    "q89_interval_join": q89_interval_join,
-    "q90_pagerank": q90_pagerank,
+    "q47_union": q47_union,
+    "q48_intersect": q48_intersect,
+    "q49_except": q49_except,
+    "q50_argmin_argmax": q50_argmin_argmax,
+    "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
+    "q52_repetition_stats": q52_repetition_stats,
+    "q53_pii_scrub": q53_pii_scrub,
+    "q54_hash_split": q54_hash_split,
+    "q55_canonical_selection": q55_canonical_selection,
+    "q56_bm25_top_terms": q56_bm25_top_terms,
+    "q58_stream_dedup": q58_stream_dedup,
+    "q59_unigram_surprise": q59_unigram_surprise,
+    "q60_decontamination": q60_decontamination,
+    "q61_asof_tolerance": q61_asof_tolerance,
+    "q62_chunk_documents": q62_chunk_documents,
+    "q63_top_terms_by_lang": q63_top_terms_by_lang,
+    "q64_stratified_sample": q64_stratified_sample,
+    "q65_stream_enrich": q65_stream_enrich,
+    "q68_sequence_packing": q68_sequence_packing,
+    "q69_rollup_qgrammar": q69_rollup_qgrammar,
+    "q70_ivf_pruned_search": q70_ivf_pruned_search,
+    "q71_dedup_clusters": q71_dedup_clusters,
+    "q72_cardinality_sketch": q72_cardinality_sketch,
+    "q73_asof_forward": q73_asof_forward,
+    "q74_event_gaps": q74_event_gaps,
+    "q75_negative_sampling": q75_negative_sampling,
+    "q76_curriculum_buckets": q76_curriculum_buckets,
+    "q77_group_centroids": q77_group_centroids,
+    "q78_chunk_dup_stats": q78_chunk_dup_stats,
+    "q79_contrastive_dataset": q79_contrastive_dataset,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_filter_comparisons": q2_filter_comparisons,
+    "q5_filter_like": q5_filter_like,
+    "q20_join_broadcast": q20_join_broadcast,
+    "q21_join_multi": q21_join_multi,
+    "q67_training_pipeline": q67_training_pipeline,
+    "q57_asof_join": q57_asof_join,
+    "q66_shared_spans": q66_shared_spans,
+    "q3_filter_disjunction_not": q3_filter_disjunction_not,
+    "q4_filter_in_list": q4_filter_in_list,
+    "q6_filter_ilike": q6_filter_ilike,
+    "q7_filter_bits": q7_filter_bits,
+    "q8_alias_arithmetic": q8_alias_arithmetic,
+    "q9_alias_math_fn": q9_alias_math_fn,
+    "q10_agg_global": q10_agg_global,
+    "q11_count_star": q11_count_star,
+    "q12_distinct": q12_distinct,
+    "q13_topk_offset": q13_topk_offset,
+    "q14_groupby_nunique": q14_groupby_nunique,
+    "q15_from_subquery": q15_from_subquery,
+    "q16_in_subquery": q16_in_subquery,
+    "q17_not_in_subquery": q17_not_in_subquery,
+    "q18_update_statement": q18_update_statement,
+    "q19_isnull": q19_isnull,
     "q22_window_rank": q22_window_rank,
     "q23_window_running_sum": q23_window_running_sum,
     "q24_rollup": q24_rollup,
@@ -1756,60 +1889,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_contains": q44_contains,
     "q45_median_agg": q45_median_agg,
     "q46_stateful_stream": q46_stateful_stream,
-    "q67_training_pipeline": q67_training_pipeline,
-    "q57_asof_join": q57_asof_join,
-    "q66_shared_spans": q66_shared_spans,
-    "q47_union": q47_union,
-    "q48_intersect": q48_intersect,
-    "q49_except": q49_except,
-    "q50_argmin_argmax": q50_argmin_argmax,
-    "q69_rollup_qgrammar": q69_rollup_qgrammar,
-    "q71_dedup_clusters": q71_dedup_clusters,
-    "q73_asof_forward": q73_asof_forward,
-    "q74_event_gaps": q74_event_gaps,
-    "q75_negative_sampling": q75_negative_sampling,
-    "q76_curriculum_buckets": q76_curriculum_buckets,
-    "q77_group_centroids": q77_group_centroids,
-    "q78_chunk_dup_stats": q78_chunk_dup_stats,
-    "q79_contrastive_dataset": q79_contrastive_dataset,
-    "q70_ivf_pruned_search": q70_ivf_pruned_search,
-    "q72_cardinality_sketch": q72_cardinality_sketch,
-    "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
-    "q52_repetition_stats": q52_repetition_stats,
-    "q53_pii_scrub": q53_pii_scrub,
-    "q54_hash_split": q54_hash_split,
-    "q55_canonical_selection": q55_canonical_selection,
-    "q56_bm25_top_terms": q56_bm25_top_terms,
-    "q58_stream_dedup": q58_stream_dedup,
-    "q59_unigram_surprise": q59_unigram_surprise,
-    "q60_decontamination": q60_decontamination,
-    "q61_asof_tolerance": q61_asof_tolerance,
-    "q62_chunk_documents": q62_chunk_documents,
-    "q63_top_terms_by_lang": q63_top_terms_by_lang,
-    "q64_stratified_sample": q64_stratified_sample,
-    "q65_stream_enrich": q65_stream_enrich,
-    "q68_sequence_packing": q68_sequence_packing,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q2_filter_comparisons": q2_filter_comparisons,
-    "q3_filter_disjunction_not": q3_filter_disjunction_not,
-    "q4_filter_in_list": q4_filter_in_list,
-    "q5_filter_like": q5_filter_like,
-    "q6_filter_ilike": q6_filter_ilike,
-    "q7_filter_bits": q7_filter_bits,
-    "q8_alias_arithmetic": q8_alias_arithmetic,
-    "q9_alias_math_fn": q9_alias_math_fn,
-    "q10_agg_global": q10_agg_global,
-    "q11_count_star": q11_count_star,
-    "q12_distinct": q12_distinct,
-    "q13_topk_offset": q13_topk_offset,
-    "q14_groupby_nunique": q14_groupby_nunique,
-    "q15_from_subquery": q15_from_subquery,
-    "q16_in_subquery": q16_in_subquery,
-    "q17_not_in_subquery": q17_not_in_subquery,
-    "q18_update_statement": q18_update_statement,
-    "q19_isnull": q19_isnull,
-    "q20_join_broadcast": q20_join_broadcast,
-    "q21_join_multi": q21_join_multi,
+    "q80_embedding_quantize": q80_embedding_quantize,
+    "q81_weighted_sample": q81_weighted_sample,
+    "q82_user_funnel": q82_user_funnel,
+    "q83_ngram_novelty": q83_ngram_novelty,
+    "q84_vocab_overlap": q84_vocab_overlap,
+    "q85_fk_orphan_audit": q85_fk_orphan_audit,
+    "q86_table_profile": q86_table_profile,
+    "q87_fuzzy_match": q87_fuzzy_match,
+    "q88_skewed_join": q88_skewed_join,
+    "q89_interval_join": q89_interval_join,
+    "q90_pagerank": q90_pagerank,
 }
 
 
@@ -2922,6 +3012,7 @@ ORACLES: dict[str, str] = {
     """,
     # q90: the same integer PageRank unrolled as chained CTEs
     "q90_pagerank": _pagerank_oracle_sql(3),
+    "q102_pagerank_dangling": _pagerank_dangling_oracle_sql(3),
     # q89: the interval-join batch path in plain SQL — same key
     # equality + closed time range; gap in whole seconds.
     "q89_interval_join": """

@@ -83,6 +83,7 @@ HEADLINE = [
     "q99_neardup_clusters",
     "q100_top_revenue_orders",
     "q101_snapshot_diff",
+    "q102_pagerank_dangling",
 ]
 
 
@@ -313,6 +314,23 @@ def main() -> None:
             # reruns and the published loader state would differ from the
             # clean path)
             em.load_table = prev_loader
+
+    # Fresh-JVM multi-decade sweep (VERDICT r6 item 7): if
+    # tools/scale_sweep.py has been run this round (one subprocess +
+    # SparkSession per (query, scale-point) — the protocol that
+    # survives the cross-query cache-accumulation OOM the r6 probe
+    # hit), embed its 4-point results so BENCH_r{N} carries the
+    # reproducible third-decade evidence.
+    fresh_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scaledata",
+        "sweep_fresh.json",
+    )
+    if os.path.isfile(fresh_path):
+        try:
+            with open(fresh_path) as f:
+                extras["scale_sweep_fresh_jvm"] = json.load(f)
+        except Exception as e:
+            extras["scale_sweep_fresh_jvm_error"] = str(e)[:200]
 
     print(
         json.dumps(

@@ -139,6 +139,8 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 1_000_000,
     checkpoint_dir: str | None = None,
+    weight_col: str | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Iterative PageRank over a directed edge list.
 
@@ -151,8 +153,25 @@ def pagerank(
     Per round: one shuffle keyed on ``src`` (ranks ⋈ edges — degree
     rides along, joined once before the loop) and one keyed on ``dst``
     (the contribution sum). Nodes without in-edges keep ``base``.
-    Dangling nodes (no out-edges) contribute nothing — the simplified
-    PageRank variant; their rank is still computed.
+
+    ``weight_col`` (opt-in): integer edge weights; a round becomes
+    ``contrib(u->v) = (r(u) * w(u,v)) div W(u)`` with ``W(u)`` the
+    node's total out-weight. Weights must be positive integers (the
+    exact-long arithmetic is the portability contract); caller is
+    responsible for ``max_rank * max_w < 2^63`` (rank is bounded by
+    total mass ``n * scale``, so e.g. n=10^9, scale=10^6, w<=10^3
+    fits).
+
+    ``redistribute_dangling`` (opt-in): real link graphs have sinks —
+    pages with no out-links — whose mass otherwise leaks out of the
+    system each round. With this flag, every round adds the dangling
+    share ``D div n`` (D = total rank held by out-degree-0 nodes,
+    n = node count, floor division — exact-integer, replicated
+    verbatim by the SQL oracle) to every node's contribution sum
+    before damping. D is one O(1) scalar aggregate per round over the
+    already-checkpointed state — no extra shuffle of the edge set.
+    Off by default: the simplified variant stays bit-compatible with
+    rounds 1-6 (q90).
 
     Returns (id, rank) for every node, rank in integer micro-units.
     """
@@ -160,6 +179,16 @@ def pagerank(
         raise ValueError("iters must be >= 1")
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    if weight_col is not None:
+        from pyspark.sql import types as T
+
+        wt = edges.schema[weight_col].dataType
+        if not isinstance(
+            wt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"weight_col {weight_col!r} must be an integral type, got {wt}"
+            )
 
     if checkpoint_dir is not None:
         # fresh per-run subdirectory; see operators/_checkpoint.py for
@@ -184,17 +213,19 @@ def pagerank(
     # blocks are then balanced on src for the per-round join (measured
     # with the unpersist below: rounds drop ~3.5x at sf1 vs an
     # unpartitioned cut inheriting the source's union layout)
-    e = _cut(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-    )
+    ecols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight_col is not None:
+        ecols.append(F.col(weight_col).cast("long").alias("w"))
+    e = _cut(edges.select(*ecols).repartition("src"))
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # unweighted: deg = out-edge count; weighted: deg = total out-weight
+    wexpr = F.lit(1).cast("long") if weight_col is None else F.col("w")
     deg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
+        F.sum(wexpr).alias("deg")
     )
     # Out-degree is static: carry it INSIDE the rank state instead of
     # joining a separate deg table every round — one fewer wide join
@@ -205,14 +236,36 @@ def pagerank(
     base = ((100 - damping_pct) * scale) // 100
 
     ranks = state0.withColumn("rank", F.lit(scale).cast("long"))
+    n_nodes = None
+    if redistribute_dangling:
+        # node count is loop-invariant; ONE O(1) driver scalar
+        n_nodes = state0.count()
+    contrib_expr = (
+        F.expr("rank div deg")
+        if weight_col is None
+        else F.expr("(rank * w) div deg")
+    )
     prev_ck: DataFrame | None = None
     for _ in range(iters):
+        share = 0
+        if redistribute_dangling:
+            # total rank held by out-degree-0 nodes this round — an
+            # O(1) scalar agg over the eagerly-checkpointed state (no
+            # recompute storm); its per-node floor share enters the
+            # update as a literal, so the SQL oracle can replicate the
+            # exact integer round.
+            dang = (
+                ranks.filter(F.col("deg").isNull())
+                .agg(F.sum("rank").alias("d"))
+                .collect()[0]["d"]
+            )
+            share = (dang or 0) // n_nodes
         # floor division on non-negative longs: SQL `div` == floor
         contribs = (
             e.join(ranks, e["src"] == ranks["id"])
             .select(
                 F.col("dst").alias("id"),
-                F.expr("rank div deg").alias("c"),
+                contrib_expr.alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
@@ -222,7 +275,9 @@ def pagerank(
             "deg",
             (
                 F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                + F.expr(
+                    f"({damping_pct} * (coalesce(s, 0L) + {share}L)) div 100"
+                )
             ).cast("long").alias("rank"),
         )
         # same device as dedup_clusters: each round references the

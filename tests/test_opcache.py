@@ -125,4 +125,5 @@ def test_heavy_operator_families_share_one_registry(spark, sf_dir):
     released = opcache.release(spark)
     assert released == len(fams)
     assert opcache.families(spark) == []
-    assert opcache.cached_bytes(spark) == 0
+    # NOTE: cached_bytes is app-wide and other test modules may hold
+    # their own (non-registry) persisted frames, so no ==0 assert here

@@ -1621,6 +1621,49 @@ def test_pagerank_sink_keeps_base_only(spark):
     assert ranks[2] > ranks[1]
 
 
+def test_pagerank_dangling_redistribution(spark):
+    from qcache_spark.operators.graph import pagerank
+
+    # 1 -> 2: node 2 is a sink. Simplified variant loses its mass;
+    # with redistribution every node receives D div n each round.
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    plain = {r["id"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    redis = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iters=1, redistribute_dangling=True).collect()
+    }
+    # round 1: D = 1_000_000 (node 2's start mass), n = 2, share 500k
+    # r(1) = 150000 + 85*500000//100 ; r(2) adds node 1's full contrib
+    assert plain == {1: 150_000, 2: 1_000_000}
+    assert redis[1] == 150_000 + (85 * 500_000) // 100
+    assert redis[2] == 150_000 + (85 * (1_000_000 + 500_000)) // 100
+    # mass conservation (modulo per-node floor loss < n): total stays
+    # within n of the full 2 * scale
+    assert abs(sum(redis.values()) - 2_000_000) <= 2 * 100
+
+
+def test_pagerank_edge_weights(spark):
+    from qcache_spark.operators.graph import pagerank
+
+    # 0 -> 1 (w=3), 0 -> 2 (w=1): node 1 gets 3/4 of node 0's contrib
+    edges = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        ["src", "dst", "w"],
+    )
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iters=1, weight_col="w").collect()
+    }
+    # round 1 from uniform 1e6: contrib(0->1) = (1e6 * 3) div 4,
+    # contrib(0->2) = (1e6 * 1) div 4
+    assert ranks[1] == 150_000 + (85 * 750_000) // 100
+    assert ranks[2] == 150_000 + (85 * 250_000) // 100
+    # non-integral weight column rejected
+    bad = spark.createDataFrame([(0, 1, 0.5)], ["src", "dst", "w"])
+    with pytest.raises(ValueError):
+        pagerank(bad, weight_col="w")
+
+
 def test_pagerank_reliable_checkpoint_and_validation(spark, tmp_path):
     import os
 

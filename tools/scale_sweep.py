@@ -1,26 +1,40 @@
-"""Multi-decade scale sweep: the HEAVY query set at sf0.01 and sf0.1
-(/root/testdata) plus sf1 (synthesized by tools/make_scale.py), per-
-decade exponents between adjacent points. Evidence for SCALING.md §11
-— at sf0.01→0.1 fixed scheduling overhead dominates and exponents
+"""Multi-decade scale sweep: heavy queries at sf0.01 and sf0.1
+(/root/testdata) plus sf1/sf10 (synthesized by tools/make_scale.py),
+per-decade exponents between adjacent points. Evidence for SCALING.md
+§11 — at sf0.01→0.1 fixed scheduling overhead dominates and exponents
 under-read; the 0.1→1 decade is the first one where data cost is
-visible. Prints one JSON line.
+visible.
 
-Usage: python tools/scale_sweep.py [runs=3]
+Two modes:
+
+* **fresh-JVM (default)** — each (query, scale-point) runs in its OWN
+  subprocess/SparkSession. This is the r7 first-class protocol
+  (VERDICT r6 item 7): the r6 probe found that running three heavy
+  queries back-to-back in one JVM at sf10 OOMed the third via
+  accumulated persisted caches, so the by-hand workaround (fresh JVM
+  per measurement) is now the recorded, reproducible default. Results
+  (min of N runs, default 2) are written to
+  ``.scaledata/sweep_fresh.json`` where bench.py picks them up into
+  BENCH extras.
+* **--shared-jvm** — the original single-session mode over the wider
+  HEAVY list; faster for iterating, but measures cache-accumulation
+  interference along with the queries.
+
+Usage:
+    python tools/scale_sweep.py [runs=2]            # fresh-JVM, 4 queries
+    python tools/scale_sweep.py --shared-jvm [runs=3]
 """
 from __future__ import annotations
 
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-import __spark_entry__ as em
-from bench import CachedDirLoader, HEAVY_SWEEP_TABLES
-from qcache_spark.session import get_spark
 
 POINTS = [
     (0.01, "/root/testdata/sf0.01"),
@@ -40,48 +54,24 @@ HEAVY = [
     "q95_prefix_jaccard_join",  # candidate-pair blowup risk class
     "q99_neardup_clusters",     # join-heavy + iterative composition
 ]
+# the fresh-JVM protocol's query set (VERDICT r6 item 7)
+FRESH = [
+    "q90_pagerank",
+    "q91_triangle_count",
+    "q95_prefix_jaccard_join",
+    "q99_neardup_clusters",
+]
+FRESH_OUT = os.path.join(REPO, ".scaledata", "sweep_fresh.json")
 
 
-def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    spark = get_spark(app_name="scale-sweep")
-    queries = em.queries()
-    results: dict[str, dict[float, float]] = {q: {} for q in HEAVY}
-    prev_loader = em.load_table
-    try:
-        for sf, d in POINTS:
-            if not os.path.isdir(d):
-                continue
-            loader = CachedDirLoader(spark, d)
-            loader.warm(HEAVY_SWEEP_TABLES)
-            em.load_table = (
-                lambda s, dd, n, _l=loader, _d=d: _l(s, dd, n)
-                if dd == _d
-                else prev_loader(s, dd, n)
-            )
-            for q in HEAVY:
-                fn = queries[q]
-                fn(spark, d).toPandas()  # warmup / plan compile
-                t = min(
-                    _timed(fn, spark, d) for _ in range(runs)
-                )
-                results[q][sf] = round(t, 4)
-            em.load_table = prev_loader
-            for df in loader.cache.values():
-                df.unpersist(blocking=False)
-    finally:
-        em.load_table = prev_loader
-    out = {}
-    for q, pts in results.items():
-        sfs = sorted(pts)
-        exps = {}
-        for a, b in zip(sfs, sfs[1:]):
-            dec = math.log10(b / a)
-            exps[f"{a:g}->{b:g}"] = round(
-                math.log10(pts[b] / pts[a]) / dec, 3
-            )
-        out[q] = {"t_sec": {f"{s:g}": pts[s] for s in sfs}, "exponent": exps}
-    print(json.dumps({"sweep": out, "runs": runs}))
+def _exponents(pts: dict[float, float]) -> dict[str, float]:
+    sfs = sorted(pts)
+    return {
+        f"{a:g}->{b:g}": round(
+            math.log10(pts[b] / pts[a]) / math.log10(b / a), 3
+        )
+        for a, b in zip(sfs, sfs[1:])
+    }
 
 
 def _timed(fn, spark, d) -> float:
@@ -90,5 +80,121 @@ def _timed(fn, spark, d) -> float:
     return time.perf_counter() - t0
 
 
+def _run_query(spark, queries, loader, d: str, q: str, runs: int) -> float:
+    import __spark_entry__ as em
+
+    prev_loader = em.load_table
+    em.load_table = (
+        lambda s, dd, n, _l=loader, _d=d: _l(s, dd, n)
+        if dd == _d
+        else prev_loader(s, dd, n)
+    )
+    try:
+        fn = queries[q]
+        fn(spark, d).toPandas()  # warmup / plan compile
+        return min(_timed(fn, spark, d) for _ in range(runs))
+    finally:
+        em.load_table = prev_loader
+
+
+def worker(q: str, d: str, runs: int) -> None:
+    """One (query, point) measurement in THIS process's own
+    SparkSession — invoked as a subprocess by the fresh-JVM driver.
+    Prints exactly one JSON line on stdout."""
+    import __spark_entry__ as em
+    from bench import CachedDirLoader, HEAVY_SWEEP_TABLES
+    from qcache_spark.session import get_spark
+
+    spark = get_spark(app_name=f"sweep-{q}")
+    loader = CachedDirLoader(spark, d)
+    loader.warm(HEAVY_SWEEP_TABLES)
+    t = _run_query(spark, em.queries(), loader, d, q, runs)
+    print(json.dumps({"query": q, "dir": d, "t_sec": round(t, 4)}))
+
+
+def main_fresh(runs: int) -> None:
+    results: dict[str, dict[float, float]] = {q: {} for q in FRESH}
+    for q in FRESH:
+        for sf, d in POINTS:
+            if not os.path.isdir(d):
+                continue
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", q, d, str(runs)],
+                capture_output=True,
+                text=True,
+                timeout=7200,
+                cwd=REPO,
+            )
+            line = next(
+                (l for l in reversed(proc.stdout.splitlines())
+                 if l.startswith("{")),
+                None,
+            )
+            if proc.returncode != 0 or line is None:
+                print(
+                    f"[sweep] {q} @ {d}: worker failed rc={proc.returncode}\n"
+                    + proc.stderr[-2000:],
+                    file=sys.stderr,
+                )
+                continue
+            results[q][sf] = json.loads(line)["t_sec"]
+            print(f"[sweep] {q} sf{sf:g}: {results[q][sf]} s", file=sys.stderr)
+    out = {
+        "protocol": "fresh-jvm-per-query-point",
+        "runs": runs,
+        "sweep": {
+            q: {
+                "t_sec": {f"{s:g}": pts[s] for s in sorted(pts)},
+                "exponent": _exponents(pts),
+            }
+            for q, pts in results.items()
+            if pts
+        },
+    }
+    os.makedirs(os.path.dirname(FRESH_OUT), exist_ok=True)
+    with open(FRESH_OUT, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
+def main_shared(runs: int) -> None:
+    import __spark_entry__ as em
+    from bench import CachedDirLoader, HEAVY_SWEEP_TABLES
+    from qcache_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-sweep")
+    queries = em.queries()
+    results: dict[str, dict[float, float]] = {q: {} for q in HEAVY}
+    for sf, d in POINTS:
+        if not os.path.isdir(d):
+            continue
+        loader = CachedDirLoader(spark, d)
+        loader.warm(HEAVY_SWEEP_TABLES)
+        for q in HEAVY:
+            results[q][sf] = round(
+                _run_query(spark, queries, loader, d, q, runs), 4
+            )
+            # workload boundary — drop operator-lifetime caches so the
+            # next query measures itself, not its predecessor's pins
+            from qcache_spark import opcache
+
+            opcache.release(spark)
+        for df in loader.cache.values():
+            df.unpersist(blocking=False)
+    out = {
+        q: {"t_sec": {f"{s:g}": pts[s] for s in sorted(pts)},
+            "exponent": _exponents(pts)}
+        for q, pts in results.items()
+    }
+    print(json.dumps({"sweep": out, "runs": runs}))
+
+
 if __name__ == "__main__":
-    main()
+    args = sys.argv[1:]
+    if args[:1] == ["--worker"]:
+        worker(args[1], args[2], int(args[3]))
+    elif args[:1] == ["--shared-jvm"]:
+        main_shared(int(args[1]) if len(args) > 1 else 3)
+    else:
+        main_fresh(int(args[0]) if args else 2)
