@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from qcache_spark import opcache
+
 MERSENNE_PRIME_ISH = 4294967311  # smallest prime > 2^32
 MAX_HASH = 0xFFFFFFFF
 
@@ -371,6 +373,9 @@ def minhash_lsh_pairs(
         # pair set is small by construction (post-cap, post-distinct).
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # registry-managed deferred eviction (the returned plan reads the
+    # cache): pre-r7 this frame leaked one copy per invocation
+    opcache.register(df.sparkSession, "dedup.minhash_pairs", pairs)
 
     # Verify only touches candidate-pair members: the semi-join on the
     # id column pushes below the shingle projection, so shingle sets

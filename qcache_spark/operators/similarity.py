@@ -466,6 +466,11 @@ def embedding_dup_pairs(
         # referenced 3x below; materialize to avoid subplan re-execution
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # registry-managed deferred eviction (the returned plan reads the
+    # cache): pre-r7 this frame leaked one copy per invocation
+    from qcache_spark import opcache
+
+    opcache.register(df.sparkSession, "similarity.embedding_pairs", pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .union(pairs.select(F.col("id_b").alias("_id")))

@@ -62,6 +62,11 @@ FRESH = [
     "q99_neardup_clusters",
 ]
 FRESH_OUT = os.path.join(REPO, ".scaledata", "sweep_fresh.json")
+# heap for each fresh worker JVM: sf10's cached tables + shuffle state
+# need far more than bench's 8g default (q90's localCheckpoint died
+# deserializing cached blocks at 8g; 79 s green at a bigger heap).
+# One worker runs at a time, so a large heap is safe on the 128 GiB box.
+SWEEP_DRIVER_MEMORY = os.environ.get("SWEEP_DRIVER_MEMORY", "48g")
 
 
 def _exponents(pts: dict[float, float]) -> dict[str, float]:
@@ -125,6 +130,8 @@ def main_fresh(runs: int) -> None:
                 text=True,
                 timeout=7200,
                 cwd=REPO,
+                env={**os.environ,
+                     "SPARK_DRIVER_MEMORY": SWEEP_DRIVER_MEMORY},
             )
             line = next(
                 (l for l in reversed(proc.stdout.splitlines())
