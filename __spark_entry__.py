@@ -1776,28 +1776,58 @@ def q102_pagerank_dangling(spark, sf_dir):
     )
 
 
+def q103_salted_aggregate(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation
+    (operators/skew.py:salted_aggregate): partials over (keys, salt),
+    recombined over keys — the map-side decomposition that bounds any
+    hot key's reducer at 1/salt_buckets of its rows. The oracle is the
+    PLAIN group-by, so green proves the rewrite semantics-free (the
+    q88 device, applied to the aggregation side). Sums ride in long
+    micro-units: a salted float sum would change association order and
+    hash-mismatch by design; long sums are order-independent."""
+    from qcache_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_e4", F.round(F.col("l_quantity") * 10000).cast("long")
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty_e4": ("sum", "qty_e4"),
+            "n_rows": ("count", "l_orderkey"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_buckets=16,
+    )
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 7) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-7 ordering:
-    #   1     q102: new this round (weighted + dangling-redistribution
-    #         PageRank), never gated.
-    #   2-12  q91-q101: r6-gated once; pinned (heaviest plans, most
+    #   1-2   q103 (salted aggregate vs plain group-by) and q102
+    #         (weighted + dangling-redistribution PageRank): new this
+    #         round, never gated.
+    #   3-13  q91-q101: r6-gated once; pinned (heaviest plans, most
     #         regression-prone after this round's PPJoin/funnel/offset
     #         rewrites).
-    #   13-42 q47-q65 (minus flagship q57), q68-q79: the longest-
+    #   14-43 q47-q65 (minus flagship q57), q68-q79: the longest-
     #         ungated block — q47-q65 last saw the driver in r02/r03,
     #         the SQL-oracled round-5 entries only in r05 (VERDICT r6
     #         item 5).
-    #   43-47 q1/q2/q5/q20/q21: oldest never-recently-gated core-
-    #         surface entries (pricing agg, comparisons, LIKE,
-    #         broadcast + multi-join).
+    #   44-47 q1/q5/q20/q21: oldest never-recently-gated core-
+    #         surface entries (pricing agg, LIKE, broadcast +
+    #         multi-join).
     #   48-50 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating.
-    # Everything below slot 50 (q3-q4, q6-q19, q22-q46 — twice
+    # Everything below slot 50 (q2-q4, q6-q19, q22-q46 — twice
     # driver-green — and q80-q90, once green in r06) remains
     # value-checked every run by the local DuckDB replica
     # (tests/test_entry_oracle.py).
+    "q103_salted_aggregate": q103_salted_aggregate,
     "q102_pagerank_dangling": q102_pagerank_dangling,
     "q91_triangle_count": q91_triangle_count,
     "q92_event_transitions": q92_event_transitions,
@@ -1841,13 +1871,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_chunk_dup_stats": q78_chunk_dup_stats,
     "q79_contrastive_dataset": q79_contrastive_dataset,
     "q1_pricing_summary": q1_pricing_summary,
-    "q2_filter_comparisons": q2_filter_comparisons,
     "q5_filter_like": q5_filter_like,
     "q20_join_broadcast": q20_join_broadcast,
     "q21_join_multi": q21_join_multi,
     "q67_training_pipeline": q67_training_pipeline,
     "q57_asof_join": q57_asof_join,
     "q66_shared_spans": q66_shared_spans,
+    "q2_filter_comparisons": q2_filter_comparisons,
     "q3_filter_disjunction_not": q3_filter_disjunction_not,
     "q4_filter_in_list": q4_filter_in_list,
     "q6_filter_ilike": q6_filter_ilike,
@@ -3013,6 +3043,19 @@ ORACLES: dict[str, str] = {
     # q90: the same integer PageRank unrolled as chained CTEs
     "q90_pagerank": _pagerank_oracle_sql(3),
     "q102_pagerank_dangling": _pagerank_dangling_oracle_sql(3),
+    # q103: the PLAIN group-by — equality proves the salted two-phase
+    # rewrite exact; long micro-unit sums are association-order-free
+    "q103_salted_aggregate": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+                    AS BIGINT) AS sum_qty_e4,
+               COUNT(l_orderkey) AS n_rows,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
     # q89: the interval-join batch path in plain SQL — same key
     # equality + closed time range; gap in whole seconds.
     "q89_interval_join": """

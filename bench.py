@@ -84,6 +84,7 @@ HEADLINE = [
     "q100_top_revenue_orders",
     "q101_snapshot_diff",
     "q102_pagerank_dangling",
+    "q103_salted_aggregate",
 ]
 
 
