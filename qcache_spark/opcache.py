@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import os
 import threading
+import weakref
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +63,11 @@ _LOCK = threading.RLock()
 # applicationId -> OrderedDict[family -> persisted DataFrame]
 # OrderedDict order = registration recency (oldest first -> evicted first)
 _REG: dict[str, "OrderedDict[str, DataFrame]"] = {}
+# applicationId -> weakref to its SparkSession: lets register() drop
+# registry entries for sessions that have been garbage-collected (their
+# frames died with the JVM-side session; the handles would otherwise
+# linger forever — the residual of ADVICE r6's id-reuse finding)
+_SESSIONS: dict[str, "weakref.ref[SparkSession]"] = {}
 
 
 def budget_bytes() -> int:
@@ -98,7 +104,17 @@ def register(
     materialized cache exceeds the budget. Returns ``df``."""
     limit = budget_bytes() if budget is None else budget
     with _LOCK:
-        fams = _REG.setdefault(_app_id(spark), OrderedDict())
+        app = _app_id(spark)
+        # reap entries whose session has been garbage-collected: their
+        # cached blocks died with the session, only the handles remain
+        for dead in [
+            a for a, ref in _SESSIONS.items()
+            if a != app and ref() is None
+        ]:
+            _SESSIONS.pop(dead, None)
+            _REG.pop(dead, None)
+        _SESSIONS[app] = weakref.ref(spark)
+        fams = _REG.setdefault(app, OrderedDict())
         prev = fams.pop(family, None)
         if prev is not None:
             try:
