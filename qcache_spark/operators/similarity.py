@@ -30,7 +30,6 @@ from typing import Iterable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 
 def dot_with_literal(vec_col: Column, query: Sequence[float]) -> Column:
@@ -464,13 +463,13 @@ def embedding_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
         # referenced 3x below; materialize to avoid subplan re-execution
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # registry-managed deferred eviction (the returned plan reads the
-    # cache): pre-r7 this frame leaked one copy per invocation
+    # cache); release-before-persist so a repeat invocation's
+    # plan-equal frame keeps its CacheManager entry (see opcache.cache)
     from qcache_spark import opcache
 
-    opcache.register(df.sparkSession, "similarity.embedding_pairs", pairs)
+    pairs = opcache.cache(df.sparkSession, "similarity.embedding_pairs", pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .union(pairs.select(F.col("id_b").alias("_id")))

@@ -44,7 +44,6 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from qcache_spark import opcache
 
@@ -136,10 +135,8 @@ def grouped_percentile_stats(
         ranged = base.repartitionByRange("g", "v", "i")
     else:
         ranged = base.repartitionByRange(num_partitions, "g", "v", "i")
-    ranged = ranged.withColumn("__pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    opcache.register(df.sparkSession, _PCTL_FAMILY, ranged)
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    ranged = opcache.cache(df.sparkSession, _PCTL_FAMILY, ranged)
 
     counts = (
         ranged.groupBy("__pid", "g")

@@ -98,6 +98,80 @@ def test_eviction_is_correctness_safe(spark):
     assert downstream.collect()[0]["s"] == 100 * 99 // 2
 
 
+def test_repeat_cache_of_equal_plan_stays_cached(spark):
+    """The r7 q31 regression: CacheManager keys entries by canonicalized
+    plan, so persisting a plan equal to the still-cached previous
+    invocation's is a no-op on ONE shared entry — and register()'s
+    persist-then-evict order then unpersisted it, leaving the NEW frame
+    uncached (its 3 downstream references re-ran the whole upstream).
+    cache() releases the family FIRST, so the second invocation's frame
+    must still be materialized after an action."""
+
+    def build():
+        # no .persist() here — cache() owns the persist ordering
+        return spark.range(5000).withColumn("h", F.xxhash64("id"))
+
+    a = opcache.cache(spark, "fam_eq", build())
+    a.count()
+    b = opcache.cache(spark, "fam_eq", build())  # plan-equal to a
+    b.count()
+    rid = opcache._cached_rdd_id(spark, b)
+    assert rid is not None, "second invocation's frame lost its cache entry"
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    by_id = {i.id(): i.memSize() + i.diskSize() for i in infos}
+    assert by_id.get(rid, 0) > 0, "cache entry exists but holds no blocks"
+
+
+def test_budget_charges_registry_owned_bytes_only(spark):
+    """VERDICT r7 item 3: a large NON-registry cache (bench's warmed
+    base tables) must not force cross-family evictions. Two small
+    families coexist under a budget their combined footprint fits,
+    even while an unrelated persisted frame exceeds it."""
+    base = spark.range(500_000).withColumn("pad", F.md5(F.col("id").cast("string")))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    base_bytes = opcache.cached_bytes(spark)
+    assert base_bytes > 1_000_000  # the non-registry cache is big
+    try:
+        budget = 1_000_000  # far below base_bytes, far above 2 tiny frames
+        a = _frame(spark, n=100, tag=1)
+        a.count()
+        opcache.register(spark, "small_a", a, budget=budget)
+        b = _frame(spark, n=100, tag=2)
+        opcache.register(spark, "small_b", b, budget=budget)
+        assert opcache.families(spark) == ["small_a", "small_b"]
+        assert _persisted(a) and _persisted(b)
+        assert opcache.registry_bytes(spark) < budget
+        assert _persisted(base)  # budget never touches non-registry frames
+    finally:
+        base.unpersist(blocking=True)
+
+
+def test_reap_unpersists_dead_session_frames(spark):
+    """ADVICE r7: reaping a GC'd session's registry entries must
+    best-effort unpersist them — with newSession() the SparkContext
+    outlives the Python wrapper, so the blocks are still alive and the
+    popped handles were the last way to release them."""
+    import weakref
+
+    class _Dead:
+        pass
+
+    victim = _frame(spark, n=200, tag=9)
+    victim.count()
+    assert _persisted(victim)
+    d = _Dead()
+    with opcache._LOCK:
+        opcache._SESSIONS["dead-app-id"] = weakref.ref(d)
+        opcache._REG["dead-app-id"] = __import__("collections").OrderedDict(
+            {"orphan": victim}
+        )
+    del d  # ref() -> None; next register() reaps
+    opcache.register(spark, "live_fam", _frame(spark, tag=10), budget=0)
+    assert "dead-app-id" not in opcache._REG
+    assert not _persisted(victim), "reap dropped the handle without unpersisting"
+
+
 def test_heavy_operator_families_share_one_registry(spark, sf_dir):
     """The three r6 OOM participants registered through one registry:
     running triangles then percentiles then curriculum leaves at most
