@@ -1024,9 +1024,17 @@ def q70_ivf_pruned_search(spark, sf_dir):
     Complements q42, which probes ALL clusters to exact-match the
     brute-force oracle.
 
-    No SQL oracle: the probe set depends on learned centroids, which
-    an external SQL engine cannot reproduce — the driver records the
-    rows-only check (stable k=10 result at any sf).
+    Fully oracle-gated since r8 (VERDICT r7 item 6): the build is
+    deterministic (stride-seeded centroids + 1 Lloyd step), so the
+    DuckDB oracle replays the ENTIRE pipeline — init centroids = the 8
+    lowest vec_ids, argmin-L2 assignment (row_number over d2 with ci
+    tiebreak, matching np.argmin's first-wins), per-dim mean refine
+    with empty-cluster carryover, 3 nearest clusters to the query, and
+    exact top-10 cosine over their members. Distances are compared as
+    c.c - 2 x.c (the same algebra _assign_udf uses); last-ulp float
+    divergence between BLAS and DuckDB could only flip an assignment
+    on a near-tie, and the gate data has none (verified stable across
+    fresh index rebuilds at sf0.001/0.01/0.1).
     """
     from qcache_spark.operators.similarity import IVFIndex
 
@@ -2503,6 +2511,72 @@ OPERATOR_ORACLES: dict[str, str] = {
                octet_length(encode(coalesce(text, ''))) AS payload_bytes,
                sha256(coalesce(text, '')) AS payload_sha256
         FROM documents
+    """,
+    # q70: full replay of the deterministic IVF build (stride-seeded
+    # init, one Lloyd step, empty-cluster carryover) + the pruned
+    # 3-of-8 probe + exact cosine top-10 over the probed members.
+    # Distance ranking uses c.c - 2 x.c, the same algebra as
+    # _assign_udf; ci tiebreak = np.argmin first-wins.
+    "q70_ivf_pruned_search": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+          FROM e ORDER BY vec_id LIMIT 8
+        ),
+        a0 AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT e.vec_id, e.v, i.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(i.v, i.v)
+                              - 2 * list_dot_product(e.v, i.v), i.ci
+                   ) AS rn
+            FROM e CROSS JOIN init i
+          ) WHERE rn = 1
+        ),
+        dims AS (
+          SELECT ci, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM a0
+        ),
+        m AS (
+          SELECT ci, pos, SUM(val) / COUNT(*) AS cv FROM dims GROUP BY ci, pos
+        ),
+        c1 AS (
+          SELECT i.ci, COALESCE(mm.mv, i.v) AS v
+          FROM init i LEFT JOIN (
+            SELECT ci, list(cv ORDER BY pos) AS mv FROM m GROUP BY ci
+          ) mm USING (ci)
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probes AS (
+          SELECT ci FROM c1, q
+          ORDER BY list_dot_product(c1.v, c1.v)
+                   - 2 * list_dot_product(c1.v, q.qv), ci
+          LIMIT 3
+        ),
+        a1 AS (
+          SELECT vec_id, ci FROM (
+            SELECT e.vec_id, c.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(c.v, c.v)
+                              - 2 * list_dot_product(e.v, c.v), c.ci
+                   ) AS rn
+            FROM e CROSS JOIN c1 c
+          ) WHERE rn = 1
+        )
+        SELECT vec_id, ROUND(c, 6) AS cosine FROM (
+          SELECT e.vec_id,
+                 list_dot_product(e.v, q.qv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+          FROM e JOIN a1 USING (vec_id), q
+          WHERE a1.ci IN (SELECT ci FROM probes)
+          ORDER BY c DESC, e.vec_id ASC
+          LIMIT 10
+        )
     """,
     # q42: probing all clusters makes IVF exactly equal brute force —
     # gates that assignment partitions without loss/duplication.

@@ -333,23 +333,38 @@ def main() -> None:
         except Exception as e:
             extras["scale_sweep_fresh_jvm_error"] = str(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "qcache_spark headline query suite (median per query, tables cached in memory)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "total_min": total_min,
-                "contention": contention,
-                "extras": extras,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cache_warm_sec": round(warm_sec, 3),
-                "cpus": CPUS,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "qcache_spark headline query suite (median per query, tables cached in memory)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_min": timings_min,
+            "total_min": total_min,
+            "contention": contention,
+            "extras": extras,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cache_warm_sec": round(warm_sec, 3),
+            "cpus": CPUS,
+        }
     )
+    # Durable copy FIRST (VERDICT r7 item 5: BENCH_r07's stdout tail
+    # was truncated before the per-query timings and the round's
+    # numbers were unrecoverable). The driver captures stdout; the
+    # file is the committed record. SPARK_GRAFT_BENCH_OUT overrides;
+    # empty string disables.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local.json"),
+    )
+    if out_path:
+        try:
+            with open(out_path, "w") as f:
+                f.write(payload + "\n")
+        except OSError as e:  # the durable copy must never fail the bench
+            print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    print(payload)
 
 
 if __name__ == "__main__":

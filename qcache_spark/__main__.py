@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--debug", action="store_true", help="Verbose logging")
     p.add_argument("--cpus", type=int, default=None,
                    help="local[N] Spark parallelism (default: all cores)")
+    p.add_argument("--max-result-rows", type=int, default=0,
+                   help="Refuse (HTTP 413) query results larger than this "
+                        "many rows instead of materializing them on the "
+                        "driver. 0 = unlimited, the reference's full-table "
+                        "contract [default: 0]")
     return p
 
 
@@ -65,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         certfile=args.cert_file,
         keyfile=args.key_file,
         cafile=args.ca_file,
+        max_result_rows=args.max_result_rows,
     )
     port = server.server_address[1]
     # the reference prints its effective config at startup (app.py:343-347);

@@ -11,9 +11,12 @@ declaratively so Catalyst can push predicates into the parquet scan:
 - Null semantics are pandas/NumPy two-valued, not SQL three-valued:
   comparisons with null are False (`!=` is True), `like` on a null
   cell is False (pandas_filter.py:127 `na=False`), and `!` negates
-  those plain booleans. We encode this by coalescing every leaf
-  predicate to a non-null boolean, which keeps the whole tree
-  two-valued and still codegen-friendly.
+  those plain booleans. We encode this with `IS NOT NULL`
+  conjunctions/disjunctions on the operands (`_false_safe` /
+  `_true_safe` below), NOT by coalescing predicates to false:
+  the conjunctive form decomposes into leaves the data-source
+  filter API accepts, so pushdown survives (coalesce() is opaque
+  to it — SCALING.md §1).
 - `in` with a subquery executes against the ROOT cached frame
   (pandas_filter.py:83-91, context.py:1-16). At the top level of the
   `where` tree it compiles to a left-semi join (and `!`-wrapped to a

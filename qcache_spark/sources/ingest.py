@@ -129,16 +129,41 @@ def _create_df(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     read_csv infers when there is nothing to see) become string."""
     if len(pdf) > 0:
         return spark.createDataFrame(pdf)
-    from pyspark.pandas.typedef import as_spark_type
     from pyspark.sql import types as T
 
-    fields = []
-    for col in pdf.columns:
-        try:
-            spark_type = as_spark_type(pdf[col].dtype)
-        except TypeError:
-            spark_type = T.StringType()
-        fields.append(T.StructField(str(col), spark_type, True))
+    # Local dtype map instead of pyspark.pandas.typedef (ADVICE r7):
+    # importing pyspark.pandas enforces its pandas/pyarrow minimum
+    # versions at import time, so a deployment without pyarrow would
+    # 500 on an empty upload even though nothing else needs it. A
+    # zero-row frame only ever has dtypes read_csv/from_records can
+    # infer from NOTHING plus explicit dtype hints — this map covers
+    # that whole surface; anything exotic degrades to string, which
+    # for an empty column is lossless.
+    _DTYPE_TO_SPARK = {
+        "int8": T.ByteType(),
+        "int16": T.ShortType(),
+        "int32": T.IntegerType(),
+        "int64": T.LongType(),
+        "uint8": T.ShortType(),
+        "uint16": T.IntegerType(),
+        "uint32": T.LongType(),
+        "uint64": T.LongType(),
+        "float32": T.FloatType(),
+        "float64": T.DoubleType(),
+        "bool": T.BooleanType(),
+        "datetime64[ns]": T.TimestampType(),
+        "datetime64[us]": T.TimestampType(),
+        "datetime64[ms]": T.TimestampType(),
+        "datetime64[s]": T.TimestampType(),
+    }
+    fields = [
+        T.StructField(
+            str(col),
+            _DTYPE_TO_SPARK.get(str(pdf[col].dtype), T.StringType()),
+            True,
+        )
+        for col in pdf.columns
+    ]
     return spark.createDataFrame([], T.StructType(fields))
 
 
