@@ -1812,42 +1812,122 @@ def q103_salted_aggregate(spark, sf_dir):
     return out.orderBy("l_returnflag", "l_linestatus")
 
 
+def q104_skewed_join_composite(spark, sf_dir):
+    """Composite-key skew-split join (operators/skew.py:skewed_join,
+    VERDICT r7 item 8): each event enriched with its (user_id,
+    event_type) history profile — hot value COMBINATIONS route through
+    a broadcast branch, the cold tail through the normal shuffle. The
+    oracle is the PLAIN 2-key SQL join (the q88/q103 device), so green
+    proves the OR-of-conjunction routing semantics-free, including
+    null-component rows. Aggregated per event_type; sums are exact
+    longs (counts of counts), order-independent by construction."""
+    from qcache_spark.operators.skew import skewed_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    profile = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_hist")
+    )
+    joined = skewed_join(
+        ev, profile, ["user_id", "event_type"], top_n=10, min_count=50
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_hist").alias("sum_hist"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- Gate-slot rotation (round 7) -------------------------------
+    # --- Gate-slot rotation (round 8) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
-    # order keys (see README "Correctness gating").  Round-7 ordering:
-    #   1-2   q103 (salted aggregate vs plain group-by) and q102
-    #         (weighted + dangling-redistribution PageRank): new this
-    #         round, never gated.
-    #   3-13  q91-q101: r6-gated once; pinned (heaviest plans, most
-    #         regression-prone after this round's PPJoin/funnel/offset
-    #         rewrites).
-    #   14-43 q47-q65 (minus flagship q57), q68-q79: the longest-
-    #         ungated block — q47-q65 last saw the driver in r02/r03,
-    #         the SQL-oracled round-5 entries only in r05 (VERDICT r6
-    #         item 5).
-    #   44-47 q1/q5/q20/q21: oldest never-recently-gated core-
-    #         surface entries (pricing agg, LIKE, broadcast +
-    #         multi-join).
+    # order keys (see README "Correctness gating").  Round-8 ordering:
+    #   1-2   q104 (composite-key skew join, new) and q70 (pruned IVF,
+    #         first round with a full hash oracle): never hash-gated.
+    #   3-7   q31/q34/q91/q94/q76: their operators' caching moved to
+    #         opcache.cache() this round (release-before-persist) —
+    #         code changed, so they re-enter the gate. q88 re-enters
+    #         inside the r6 block below (skewed_join body changed).
+    #   8-24  q2-q19 minus q5 (q5 was gated green in r7): the longest-
+    #         ungated block, last driver-gated in r05 (VERDICT r7
+    #         item 2).
+    #   25-35 q80-q90: last driver-gated in r06.
+    #   36-47 q22-q35 subset (12 of the r6-gated block; the remainder
+    #         q36-q46 rotates in next round).
     #   48-50 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating.
-    # Everything below slot 50 (q2-q4, q6-q19, q22-q46 — twice
-    # driver-green — and q80-q90, once green in r06) remains
+    # Everything below slot 50 (q1/q5/q20/q21, q36-q46, q47-q65,
+    # q68-q79, q92-q103 — all driver-green in r6/r7) remains
     # value-checked every run by the local DuckDB replica
     # (tests/test_entry_oracle.py).
-    "q103_salted_aggregate": q103_salted_aggregate,
-    "q102_pagerank_dangling": q102_pagerank_dangling,
+    "q104_skewed_join_composite": q104_skewed_join_composite,
+    "q70_ivf_pruned_search": q70_ivf_pruned_search,
+    "q31_minhash_lsh_pairs": q31_minhash_lsh_pairs,
+    "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
     "q91_triangle_count": q91_triangle_count,
-    "q92_event_transitions": q92_event_transitions,
-    "q93_time_bucket_ohlc": q93_time_bucket_ohlc,
     "q94_percentile_outliers": q94_percentile_outliers,
-    "q95_prefix_jaccard_join": q95_prefix_jaccard_join,
-    "q96_knn_label_consistency": q96_knn_label_consistency,
-    "q97_token_pmi": q97_token_pmi,
-    "q98_cohort_retention": q98_cohort_retention,
-    "q99_neardup_clusters": q99_neardup_clusters,
-    "q100_top_revenue_orders": q100_top_revenue_orders,
-    "q101_snapshot_diff": q101_snapshot_diff,
+    "q76_curriculum_buckets": q76_curriculum_buckets,
+    "q2_filter_comparisons": q2_filter_comparisons,
+    "q3_filter_disjunction_not": q3_filter_disjunction_not,
+    "q4_filter_in_list": q4_filter_in_list,
+    "q6_filter_ilike": q6_filter_ilike,
+    "q7_filter_bits": q7_filter_bits,
+    "q8_alias_arithmetic": q8_alias_arithmetic,
+    "q9_alias_math_fn": q9_alias_math_fn,
+    "q10_agg_global": q10_agg_global,
+    "q11_count_star": q11_count_star,
+    "q12_distinct": q12_distinct,
+    "q13_topk_offset": q13_topk_offset,
+    "q14_groupby_nunique": q14_groupby_nunique,
+    "q15_from_subquery": q15_from_subquery,
+    "q16_in_subquery": q16_in_subquery,
+    "q17_not_in_subquery": q17_not_in_subquery,
+    "q18_update_statement": q18_update_statement,
+    "q19_isnull": q19_isnull,
+    "q80_embedding_quantize": q80_embedding_quantize,
+    "q81_weighted_sample": q81_weighted_sample,
+    "q82_user_funnel": q82_user_funnel,
+    "q83_ngram_novelty": q83_ngram_novelty,
+    "q84_vocab_overlap": q84_vocab_overlap,
+    "q85_fk_orphan_audit": q85_fk_orphan_audit,
+    "q86_table_profile": q86_table_profile,
+    "q87_fuzzy_match": q87_fuzzy_match,
+    "q88_skewed_join": q88_skewed_join,
+    "q89_interval_join": q89_interval_join,
+    "q90_pagerank": q90_pagerank,
+    "q22_window_rank": q22_window_rank,
+    "q23_window_running_sum": q23_window_running_sum,
+    "q24_rollup": q24_rollup,
+    "q25_time_bucket": q25_time_bucket,
+    "q26_dedup_exact_text": q26_dedup_exact_text,
+    "q27_dedup_token_set": q27_dedup_token_set,
+    "q28_text_token_stats": q28_text_token_stats,
+    "q29_lang_id": q29_lang_id,
+    "q30_cosine_topk": q30_cosine_topk,
+    "q32_ngram_jaccard": q32_ngram_jaccard,
+    "q33_simhash": q33_simhash,
+    "q35_quality_score": q35_quality_score,
+    "q67_training_pipeline": q67_training_pipeline,
+    "q57_asof_join": q57_asof_join,
+    "q66_shared_spans": q66_shared_spans,
+    # ---- below the 50-slot gate cap --------------------------------
+    "q1_pricing_summary": q1_pricing_summary,
+    "q5_filter_like": q5_filter_like,
+    "q20_join_broadcast": q20_join_broadcast,
+    "q21_join_multi": q21_join_multi,
+    "q36_sessionize": q36_sessionize,
+    "q37_sliding_windows": q37_sliding_windows,
+    "q38_media_features": q38_media_features,
+    "q39_baseline_workload": q39_baseline_workload,
+    "q40_update_in_where": q40_update_in_where,
+    "q41_cube": q41_cube,
+    "q42_ivf_search": q42_ivf_search,
+    "q43_json_extract": q43_json_extract,
+    "q44_contains": q44_contains,
+    "q45_median_agg": q45_median_agg,
+    "q46_stateful_stream": q46_stateful_stream,
     "q47_union": q47_union,
     "q48_intersect": q48_intersect,
     "q49_except": q49_except,
@@ -1868,76 +1948,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_stream_enrich": q65_stream_enrich,
     "q68_sequence_packing": q68_sequence_packing,
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
-    "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q71_dedup_clusters": q71_dedup_clusters,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q73_asof_forward": q73_asof_forward,
     "q74_event_gaps": q74_event_gaps,
     "q75_negative_sampling": q75_negative_sampling,
-    "q76_curriculum_buckets": q76_curriculum_buckets,
     "q77_group_centroids": q77_group_centroids,
     "q78_chunk_dup_stats": q78_chunk_dup_stats,
     "q79_contrastive_dataset": q79_contrastive_dataset,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q5_filter_like": q5_filter_like,
-    "q20_join_broadcast": q20_join_broadcast,
-    "q21_join_multi": q21_join_multi,
-    "q67_training_pipeline": q67_training_pipeline,
-    "q57_asof_join": q57_asof_join,
-    "q66_shared_spans": q66_shared_spans,
-    "q2_filter_comparisons": q2_filter_comparisons,
-    "q3_filter_disjunction_not": q3_filter_disjunction_not,
-    "q4_filter_in_list": q4_filter_in_list,
-    "q6_filter_ilike": q6_filter_ilike,
-    "q7_filter_bits": q7_filter_bits,
-    "q8_alias_arithmetic": q8_alias_arithmetic,
-    "q9_alias_math_fn": q9_alias_math_fn,
-    "q10_agg_global": q10_agg_global,
-    "q11_count_star": q11_count_star,
-    "q12_distinct": q12_distinct,
-    "q13_topk_offset": q13_topk_offset,
-    "q14_groupby_nunique": q14_groupby_nunique,
-    "q15_from_subquery": q15_from_subquery,
-    "q16_in_subquery": q16_in_subquery,
-    "q17_not_in_subquery": q17_not_in_subquery,
-    "q18_update_statement": q18_update_statement,
-    "q19_isnull": q19_isnull,
-    "q22_window_rank": q22_window_rank,
-    "q23_window_running_sum": q23_window_running_sum,
-    "q24_rollup": q24_rollup,
-    "q25_time_bucket": q25_time_bucket,
-    "q26_dedup_exact_text": q26_dedup_exact_text,
-    "q27_dedup_token_set": q27_dedup_token_set,
-    "q28_text_token_stats": q28_text_token_stats,
-    "q29_lang_id": q29_lang_id,
-    "q30_cosine_topk": q30_cosine_topk,
-    "q31_minhash_lsh_pairs": q31_minhash_lsh_pairs,
-    "q32_ngram_jaccard": q32_ngram_jaccard,
-    "q33_simhash": q33_simhash,
-    "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
-    "q35_quality_score": q35_quality_score,
-    "q36_sessionize": q36_sessionize,
-    "q37_sliding_windows": q37_sliding_windows,
-    "q38_media_features": q38_media_features,
-    "q39_baseline_workload": q39_baseline_workload,
-    "q40_update_in_where": q40_update_in_where,
-    "q41_cube": q41_cube,
-    "q42_ivf_search": q42_ivf_search,
-    "q43_json_extract": q43_json_extract,
-    "q44_contains": q44_contains,
-    "q45_median_agg": q45_median_agg,
-    "q46_stateful_stream": q46_stateful_stream,
-    "q80_embedding_quantize": q80_embedding_quantize,
-    "q81_weighted_sample": q81_weighted_sample,
-    "q82_user_funnel": q82_user_funnel,
-    "q83_ngram_novelty": q83_ngram_novelty,
-    "q84_vocab_overlap": q84_vocab_overlap,
-    "q85_fk_orphan_audit": q85_fk_orphan_audit,
-    "q86_table_profile": q86_table_profile,
-    "q87_fuzzy_match": q87_fuzzy_match,
-    "q88_skewed_join": q88_skewed_join,
-    "q89_interval_join": q89_interval_join,
-    "q90_pagerank": q90_pagerank,
+    "q92_event_transitions": q92_event_transitions,
+    "q93_time_bucket_ohlc": q93_time_bucket_ohlc,
+    "q95_prefix_jaccard_join": q95_prefix_jaccard_join,
+    "q96_knn_label_consistency": q96_knn_label_consistency,
+    "q97_token_pmi": q97_token_pmi,
+    "q98_cohort_retention": q98_cohort_retention,
+    "q99_neardup_clusters": q99_neardup_clusters,
+    "q100_top_revenue_orders": q100_top_revenue_orders,
+    "q101_snapshot_diff": q101_snapshot_diff,
+    "q102_pagerank_dangling": q102_pagerank_dangling,
+    "q103_salted_aggregate": q103_salted_aggregate,
 }
 
 
@@ -3150,6 +3179,22 @@ ORACLES: dict[str, str] = {
     # q88: the skew-split is exact for inner joins, so the oracle is
     # the PLAIN join — the gate proves the plan surgery is semantics-
     # free. Long-sum dsum pattern for the double column.
+    # q104: plain 2-key SQL join — green proves the composite-key
+    # skew-split (OR-of-conjunction routing + broadcast hot branch)
+    # changes nothing semantically.
+    "q104_skewed_join_composite": """
+        WITH p AS (
+            SELECT user_id, event_type, COUNT(*) AS n_hist
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(p.n_hist) AS BIGINT) AS sum_hist
+        FROM events e
+        JOIN p ON p.user_id = e.user_id AND p.event_type = e.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
     "q88_skewed_join": """
         SELECT c.c_mktsegment,
                COUNT(*) AS n_events,

@@ -85,6 +85,7 @@ HEADLINE = [
     "q101_snapshot_diff",
     "q102_pagerank_dangling",
     "q103_salted_aggregate",
+    "q104_skewed_join_composite",
 ]
 
 

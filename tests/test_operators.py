@@ -1388,6 +1388,47 @@ def test_skewed_join_exact_vs_plain(spark):
         skewed_join(left, right, "k", how="full")
 
 
+def test_skewed_join_composite_key(spark):
+    """VERDICT r7 item 8: a 2-column key with ONE planted hot value
+    COMBINATION — ('US', 7) is hot while 'US' with other versions and
+    7 under other regions stay cold. Split must equal the plain join
+    for inner/left, keep null-component rows in left joins, and route
+    the hot branch through a broadcast."""
+    from qcache_spark.operators.skew import skewed_join
+
+    left = spark.createDataFrame(
+        [("US", 7, i) for i in range(600)]          # the hot combo
+        + [("US", i % 4, 1000 + i) for i in range(100)]
+        + [("EU", 7, 2000 + i) for i in range(100)]
+        + [(None, 7, 9001), ("US", None, 9002)],
+        ["region", "ver", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("US", 7, "hot"), ("US", 1, "a"), ("EU", 7, "b"), ("EU", 2, "c")],
+        ["region", "ver", "rv"],
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, ["region", "ver"], how).collect()),
+            key=repr,
+        )
+        for hot in ([("US", 7)], None):  # explicit + auto-detected
+            split = skewed_join(
+                left, right, ["region", "ver"], how=how,
+                hot_keys=hot, min_count=500,
+            )
+            got = sorted(map(tuple, split.collect()), key=repr)
+            assert got == plain, (how, hot)
+    plan = skewed_join(
+        left, right, ["region", "ver"], hot_keys=[("US", 7)]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError):
+        skewed_join(left, right, ["region", "ver"], hot_keys=[("US",)])
+    with pytest.raises(ValueError):
+        skewed_join(left, right, [], hot_keys=[("US", 7)])
+
+
 def test_dedup_clusters_cycle_and_clique(spark):
     # ring (cycle) and clique components: shapes with redundant edges
     # must converge to the same min-label star forest
