@@ -139,6 +139,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     weight_col: str | None = None,
     redistribute_dangling: bool = False,
+    tol: int | None = None,
 ) -> DataFrame:
     """Iterative PageRank over a directed edge list.
 
@@ -170,6 +171,18 @@ def pagerank(
     already-checkpointed state — no extra shuffle of the edge set.
     Off by default: the simplified variant stays bit-compatible with
     rounds 1-6 (q90).
+
+    ``tol`` (opt-in, VERDICT r7 item 9): stop EARLY once the largest
+    per-node rank change of a round is <= ``tol`` micro-units; ``iters``
+    becomes the round cap. Real link graphs converge at wildly
+    different rates — a fixed k either wastes rounds or stops short —
+    but the integer formulation makes "converged" a well-defined exact
+    predicate (max |Δrank| over nodes), checked as one O(1) scalar agg
+    joining the (already materialized) old and new state per round.
+    The default ``tol=None`` keeps the fixed-k path bit-compatible
+    with the unrolled-CTE oracles (q90/q102). The returned frame
+    carries ``pagerank_rounds`` (rounds actually executed), so callers
+    can observe convergence.
 
     Returns (id, rank) for every node, rank in integer micro-units.
     """
@@ -243,6 +256,9 @@ def pagerank(
         if weight_col is None
         else F.expr("(rank * w) div deg")
     )
+    if tol is not None and tol < 0:
+        raise ValueError(f"tol must be >= 0, got {tol}")
+    rounds_run = 0
     prev_ck: DataFrame | None = None
     for _ in range(iters):
         share = 0
@@ -282,6 +298,21 @@ def pagerank(
         # previous round's frame; without truncation the plan tree
         # grows geometrically and the driver chokes analyzing it
         new_ck = _cut(new_ranks)
+        rounds_run += 1
+        done = False
+        if tol is not None:
+            # exact convergence predicate on the integer state: both
+            # sides are materialized checkpoints, so this is one
+            # key-partitioned join + an O(1) scalar agg per round —
+            # cheap relative to the round's two edge-scale shuffles
+            max_delta = (
+                new_ck.join(
+                    ranks.select("id", F.col("rank").alias("_prev")), "id"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            done = max_delta is not None and max_delta <= tol
         # drop the round-before-last's stored blocks: only the current
         # round's state is ever referenced again, and letting old
         # checkpoints accumulate evicts useful blocks (measured as
@@ -290,4 +321,8 @@ def pagerank(
             prev_ck.unpersist(blocking=False)
         prev_ck = ranks if ranks is not state0 else None
         ranks = new_ck
-    return ranks.select("id", "rank")
+        if done:
+            break
+    out = ranks.select("id", "rank")
+    out.pagerank_rounds = rounds_run
+    return out

@@ -1651,6 +1651,45 @@ def test_pagerank_star_hub_dominates(spark):
     assert len({ranks[i] for i in range(1, 6)}) == 1
 
 
+def test_pagerank_convergence_termination(spark):
+    """VERDICT r7 item 9: tol stops the loop once max |Δrank| <= tol;
+    the converged ranks must EQUAL the fixed-k ranks at the round it
+    stopped (exact integer state, so equality is literal)."""
+    from qcache_spark.operators.graph import pagerank
+
+    # 1 -> 2 converges after round 2: node 1 holds base from round 1
+    # on, so round 3 reproduces round 2 exactly (delta 0)
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    converged = pagerank(edges, iters=10, tol=0)
+    rounds = converged.pagerank_rounds
+    assert rounds < 10  # actually stopped early
+    got = {r["id"]: r["rank"] for r in converged.collect()}
+    fixed = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iters=rounds).collect()
+    }
+    assert got == fixed
+    # a further fixed round changes nothing (it really was converged)
+    more = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iters=rounds + 1).collect()
+    }
+    assert got == more
+    # a loose tolerance on a slower graph stops earlier than tol=0
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (5, 1)],
+        ["src", "dst"],
+    )
+    fast = pagerank(ring, iters=30, tol=5_000)
+    slow = pagerank(ring, iters=30, tol=0)
+    assert fast.pagerank_rounds <= slow.pagerank_rounds
+    # default tol=None keeps the fixed-k contract (q90/q102 oracles)
+    plain = pagerank(ring, iters=3)
+    assert plain.pagerank_rounds == 3
+    with pytest.raises(ValueError):
+        pagerank(ring, iters=3, tol=-1)
+
+
 def test_pagerank_sink_keeps_base_only(spark):
     from qcache_spark.operators.graph import pagerank
 
