@@ -1840,28 +1840,112 @@ def q104_skewed_join_composite(spark, sf_dir):
     )
 
 
+def q105_minhash_probe(spark, sf_dir):
+    """Incremental near-dup probe (operators/dedup.py:
+    minhash_probe_pairs): a NEW batch (doc_id % 4 == 0) deduped
+    against the EXISTING corpus (the other 75%) without re-pairing the
+    corpus — the daily-ingestion pattern at 100 TB. Corpus postings
+    take ONE exchange (bucket-cap window + join share it); the batch
+    side is broadcast; verify recomputes shingles only for candidate
+    corpus members. Oracle: brute-force batch x corpus shingle
+    Jaccard >= 0.5 — valid for the same reason as q31's (LSH recall
+    1.0 at this threshold on this corpus, hash-Jaccard == string-
+    Jaccard absent 32-bit collisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return _dedup.minhash_probe_pairs(
+        corpus, batch, verify_threshold=0.5
+    ).select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q106_token_budget_mix(spark, sf_dir):
+    """Domain-mixture selection under per-language character budgets
+    (operators/sampling.py:token_budget_mix): deterministic md5-hash
+    order per lang, exact cumulative cutoff at the budget — the
+    "N tokens of code, M of web" data-mixing primitive. The oracle
+    replays the identical hash (the q54 md5 device) and the grouped
+    cumulative sum as a SQL window; exact because weights are integer
+    chars and the hash order is total (ties impossible: doc_id is in
+    the order key)."""
+    from qcache_spark.operators.sampling import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_mix(
+        docs,
+        "lang",
+        "n_chars",
+        _Q106_BUDGETS,
+        key_col="doc_id",
+        seed=0,
+        hash_fn="md5",
+    )
+    return out.select("doc_id", "lang", "n_chars", "cum_weight")
+
+
+# shared by the q106 entry and its generated oracle — one source of
+# truth for the budget boundaries
+_Q106_BUDGETS = {"en": 25_000, "de": 9_000, "es": 9_000, "fr": 9_000,
+                 "zh": 9_000}
+
+
+def _token_budget_mix_oracle_sql() -> str:
+    """DuckDB replica of q106: identical md5 60-bit hash (the q54
+    device), identical per-lang cumulative window, identical integer
+    budget cutoffs — generated from the SAME budgets dict as the
+    entry, so the boundaries cannot drift."""
+    case = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in _Q106_BUDGETS.items()
+    )
+    return f"""
+        WITH h AS (
+            SELECT doc_id, lang, n_chars,
+                   ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+            FROM documents
+            WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+              AND n_chars IS NOT NULL
+        ), c AS (
+            SELECT doc_id, lang, n_chars,
+                   SUM(n_chars) OVER (
+                       PARTITION BY lang ORDER BY hh, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM h
+        )
+        SELECT doc_id, lang, n_chars, CAST(cum AS BIGINT) AS cum_weight
+        FROM c
+        WHERE cum <= (CASE lang {case} END)
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 8) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-8 ordering:
-    #   1-2   q104 (composite-key skew join, new) and q70 (pruned IVF,
-    #         first round with a full hash oracle): never hash-gated.
-    #   3-7   q31/q34/q91/q94/q76: their operators' caching moved to
+    #   1-4   q105 (incremental MinHash probe, new), q106 (token-
+    #         budget domain mixture, new), q104 (composite-key skew
+    #         join, new), q70 (pruned IVF, first round with a full
+    #         hash oracle): never hash-gated.
+    #   5-9   q31/q34/q91/q94/q76: their operators' caching moved to
     #         opcache.cache() this round (release-before-persist) —
     #         code changed, so they re-enter the gate. q88 re-enters
     #         inside the r6 block below (skewed_join body changed).
-    #   8-24  q2-q19 minus q5 (q5 was gated green in r7): the longest-
+    #   10-26 q2-q19 minus q5 (q5 was gated green in r7): the longest-
     #         ungated block, last driver-gated in r05 (VERDICT r7
     #         item 2).
-    #   25-35 q80-q90: last driver-gated in r06.
-    #   36-47 q22-q35 subset (12 of the r6-gated block; the remainder
-    #         q36-q46 rotates in next round).
+    #   27-37 q80-q90: last driver-gated in r06.
+    #   38-47 q22-q32 subset (10 of the r6-gated block; q33/q35 and
+    #         the q36-q46 remainder rotate in next round).
     #   48-50 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating.
-    # Everything below slot 50 (q1/q5/q20/q21, q36-q46, q47-q65,
-    # q68-q79, q92-q103 — all driver-green in r6/r7) remains
+    # Everything below slot 50 (q1/q5/q20/q21, q33/q35, q36-q46,
+    # q47-q65, q68-q79, q92-q103 — all driver-green in r6/r7) remains
     # value-checked every run by the local DuckDB replica
     # (tests/test_entry_oracle.py).
+    "q105_minhash_probe": q105_minhash_probe,
+    "q106_token_budget_mix": q106_token_budget_mix,
     "q104_skewed_join_composite": q104_skewed_join_composite,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q31_minhash_lsh_pairs": q31_minhash_lsh_pairs,
@@ -1907,12 +1991,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_lang_id": q29_lang_id,
     "q30_cosine_topk": q30_cosine_topk,
     "q32_ngram_jaccard": q32_ngram_jaccard,
-    "q33_simhash": q33_simhash,
-    "q35_quality_score": q35_quality_score,
     "q67_training_pipeline": q67_training_pipeline,
     "q57_asof_join": q57_asof_join,
     "q66_shared_spans": q66_shared_spans,
     # ---- below the 50-slot gate cap --------------------------------
+    "q33_simhash": q33_simhash,
+    "q35_quality_score": q35_quality_score,
     "q1_pricing_summary": q1_pricing_summary,
     "q5_filter_like": q5_filter_like,
     "q20_join_broadcast": q20_join_broadcast,
@@ -2481,6 +2565,30 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM e, q
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
+    """,
+    # q105: brute-force batch x corpus shingle Jaccard — the probe
+    # analogue of q31's oracle (same recall-1.0 and hash-vs-string
+    # Jaccard arguments).
+    "q105_minhash_probe": """
+        WITH t AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                   END AS sh
+            FROM t
+        ), j AS (
+            SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                   len(list_intersect(b.sh, c.sh))::DOUBLE /
+                   len(list_distinct(list_concat(b.sh, c.sh))) AS jacc
+            FROM s b JOIN s c
+              ON b.doc_id % 4 = 0 AND c.doc_id % 4 != 0
+        )
+        SELECT batch_id, corpus_id, ROUND(jacc, 6) AS jaccard
+        FROM j WHERE jacc >= 0.5
     """,
     # q31: brute-force all-pairs string-shingle Jaccard. Valid as an
     # exact oracle because (a) the LSH band config (64 perms / 16
@@ -3748,6 +3856,7 @@ def oracle_sql() -> dict[str, str]:
     out["q34_embedding_dup_pairs"] = _embedding_dup_oracle_sql()
     out["q53_pii_scrub"] = _pii_oracle_sql()
     out["q54_hash_split"] = _hash_split_oracle_sql()
+    out["q106_token_budget_mix"] = _token_budget_mix_oracle_sql()
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()

@@ -86,6 +86,8 @@ HEADLINE = [
     "q102_pagerank_dangling",
     "q103_salted_aggregate",
     "q104_skewed_join_composite",
+    "q105_minhash_probe",
+    "q106_token_budget_mix",
 ]
 
 

@@ -326,22 +326,8 @@ def minhash_lsh_pairs(
     # tokens each (the string construction dominated the signature
     # stage). Jaccard over 32-bit shingle-hash sets equals string-set
     # Jaccard up to negligible collision probability (~1e-5/doc).
-    sh_hashes = F.array_distinct(shingle_hashes(F.col(text_col), shingle_size))
-    packed = let(
-        sh_hashes,
-        lambda s: F.struct(
-            s.alias("sh"),
-            _band_hashes(
-                _signature_from_bound_hashes(s, num_perm, seed),
-                bands,
-                r,
-            ).alias("bands"),
-        ),
-    )
-    base = df.select(F.col(id_col).alias("_id"), packed.alias("_p")).select(
-        "_id",
-        F.col("_p.sh").alias("_shingles"),
-        F.col("_p.bands").alias("_bands"),
+    base = _minhash_base(
+        df, id_col, text_col, num_perm, bands, r, shingle_size, seed
     )
 
     buckets = base.select(
@@ -400,6 +386,141 @@ def minhash_lsh_pairs(
             (
                 F.size(F.array_intersect("_sa", "_sb"))
                 / F.size(F.array_union("_sa", "_sb"))
+            ).alias("jaccard"),
+        )
+    )
+    if verify_threshold is not None:
+        verified = verified.filter(F.col("jaccard") >= verify_threshold)
+    return verified
+
+
+def _minhash_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    rows_per_band: int,
+    shingle_size: int,
+    seed: int,
+) -> DataFrame:
+    """(_id, _shingles, _bands) projection shared by the self-join and
+    probe variants: one let-bound struct computes the distinct
+    shingle-hash set once per row and derives both the verify set and
+    the LSH band hashes from the bound variable (see
+    minhash_lsh_pairs for the algebra and cost notes)."""
+    sh_hashes = F.array_distinct(shingle_hashes(F.col(text_col), shingle_size))
+    packed = let(
+        sh_hashes,
+        lambda s: F.struct(
+            s.alias("sh"),
+            _band_hashes(
+                _signature_from_bound_hashes(s, num_perm, seed),
+                bands,
+                rows_per_band,
+            ).alias("bands"),
+        ),
+    )
+    return df.select(F.col(id_col).alias("_id"), packed.alias("_p")).select(
+        "_id",
+        F.col("_p.sh").alias("_shingles"),
+        F.col("_p.bands").alias("_bands"),
+    )
+
+
+def minhash_probe_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 500,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Incremental near-dup probe: MinHash-LSH candidates between a
+    NEW batch and an EXISTING corpus, verified with exact Jaccard.
+
+    The 100 TB ingestion pattern minhash_lsh_pairs cannot serve:
+    corpora grow by daily batches, and re-running the all-corpus
+    self-join to admit one batch re-pairs petabytes that were already
+    deduplicated. This probe touches the corpus once per batch:
+
+    - corpus side: one exchange of its (band, bucket, id) postings —
+      16 rows of ~24 bytes per document — shared by the bucket-size
+      cap window and the join (the q31 shared-exchange device);
+    - batch side: its postings are BROADCAST (a batch is small by
+      definition; 10k docs × 16 bands ≈ 4 MB), so no corpus-side
+      re-shuffle per batch and no skew exposure on hot buckets;
+    - verify: exact shingle-set Jaccard computed only for candidate
+      members — the corpus shingle projection is semi-joined down to
+      candidate ids before the join, so full-text recompute touches
+      O(|candidates|) corpus docs, not the corpus.
+
+    Same LSH parameters/S-curve as minhash_lsh_pairs (num_perm=64,
+    bands=16 → midpoint ≈ 0.5). Returns (batch_id, corpus_id, jaccard),
+    one row per cross pair with jaccard >= verify_threshold.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    cbase = _minhash_base(
+        corpus, id_col, text_col, num_perm, bands, r, shingle_size, seed
+    )
+    bbase = _minhash_base(
+        batch, id_col, text_col, num_perm, bands, r, shingle_size, seed
+    )
+
+    cbuckets = cbase.select(
+        "_id", F.posexplode("_bands").alias("_band", "_bucket")
+    )
+    w_bucket = Window.partitionBy("_band", "_bucket")
+    capped = cbuckets.withColumn(
+        "_n", F.count(F.lit(1)).over(w_bucket)
+    ).filter(F.col("_n") <= max_bucket_size).drop("_n")
+
+    bbuckets = bbase.select(
+        F.col("_id").alias("batch_id"),
+        F.posexplode("_bands").alias("_band", "_bucket"),
+    )
+    pairs = (
+        capped.select("_band", "_bucket", F.col("_id").alias("corpus_id"))
+        .join(F.broadcast(bbuckets), ["_band", "_bucket"])
+        .filter(F.col("corpus_id") != F.col("batch_id"))
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    pairs = opcache.cache(
+        corpus.sparkSession, "dedup.minhash_probe_pairs", pairs
+    )
+
+    cand_ids = pairs.select(F.col("corpus_id").alias("_id")).distinct()
+    csets = cbase.select("_id", "_shingles").join(cand_ids, "_id", "left_semi")
+    verified = (
+        pairs.join(
+            F.broadcast(
+                bbase.select(
+                    F.col("_id").alias("batch_id"),
+                    F.col("_shingles").alias("_sb"),
+                )
+            ),
+            "batch_id",
+        )
+        .join(
+            csets.select(
+                F.col("_id").alias("corpus_id"),
+                F.col("_shingles").alias("_sc"),
+            ),
+            "corpus_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("_sb", "_sc"))
+                / F.size(F.array_union("_sb", "_sc"))
             ).alias("jaccard"),
         )
     )

@@ -348,6 +348,140 @@ def curriculum_buckets(
     return based.withColumn(bucket_col, bucket).drop("__pid", "__off")
 
 
+_TOKEN_MIX_FAMILY = "sampling.token_mix"
+
+
+def token_budget_mix(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    budgets: dict,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "md5",
+    num_partitions: int | None = None,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Domain-mixture selection under per-domain token budgets: for
+    each domain, keep documents in deterministic hash order until the
+    domain's cumulative token (weight) count reaches its budget.
+
+    THE data-mixing primitive for training corpora: "2B tokens of
+    code, 1B of web, 500M of books" is a budgets dict, and the
+    selection must be (a) exact — stop at the budget, not near it,
+    (b) reproducible — tomorrow's rerun picks the same documents, and
+    (c) stable under growth — the hash order is a pure function of
+    (seed, key), so adding documents never reorders existing ones:
+    every document hashing BEFORE the first new arrival keeps its
+    cumulative sum and stays selected; only the boundary region past
+    that point can shift (contrast per-partition RNG sampling, where
+    any growth reshuffles everything).
+
+    Distributed-exact plan (the curriculum_buckets device, applied to
+    a grouped cumulative sum): ``repartitionByRange(domain, hash,
+    key)`` puts each domain's hash order into contiguous partition
+    slices; per-(partition, domain) token sums go to the driver
+    (O(partitions × domains) scalars) and come back as cumulative
+    offsets; the in-partition running sum is a window partitioned BY
+    PARTITION ID — so no domain ever funnels through one reducer,
+    which a bare ``Window.partitionBy(domain).orderBy(hash)`` would do
+    to every corpus-sized domain (the single-reducer trap, VERDICT r5).
+
+    ``budgets`` maps the domain's STRING rendering (Spark's own cast,
+    the same canonicalization grouped_percentile_stats uses) to a
+    non-negative integer budget. Rows whose domain is not budgeted,
+    or whose domain/key/weight is null, are excluded (a mixture spec
+    IS the domain list; a null weight has no defined cost).
+
+    Returns the SELECTED rows: the input columns plus ``cum_col`` —
+    the domain's cumulative weight through this row (<= the domain's
+    budget), exposing how full each budget ran.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+    from pyspark.sql import Window
+
+    h = hash60(F.col(key_col), seed, hash_fn)
+    base = df.filter(
+        F.col(domain_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+    ).withColumn("__h", h)
+    if num_partitions is None:
+        ranged = base.repartitionByRange(domain_col, "__h", key_col)
+    else:
+        ranged = base.repartitionByRange(
+            num_partitions, domain_col, "__h", key_col
+        )
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    ranged = opcache.cache(df.sparkSession, _TOKEN_MIX_FAMILY, ranged)
+
+    gs = F.col(domain_col).cast("string")
+    counts = (
+        ranged.groupBy("__pid", gs.alias("__gs"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+        .collect()
+    )  # O(partitions x domains) — the only driver-side data
+    if not counts:
+        opcache.release(df.sparkSession, _TOKEN_MIX_FAMILY)
+        return ranged.withColumn(cum_col, F.lit(0).cast("long")).drop(
+            "__h", "__pid"
+        ).limit(0)
+    offsets: dict = {}
+    totals: dict = {}
+    for r in sorted(counts, key=lambda r: (r["__gs"], r["__pid"])):
+        offsets[(r["__pid"], r["__gs"])] = totals.get(r["__gs"], 0)
+        totals[r["__gs"]] = totals.get(r["__gs"], 0) + (r["__w"] or 0)
+
+    if len(offsets) <= LITERAL_MAP_MAX:
+        pid_g = F.concat_ws("\x1f", F.col("__pid"), gs)
+        off = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for (pid, g), o in offsets.items()
+                    for x in (f"{pid}\x1f{g}", str(o))
+                ]
+            ),
+            pid_g,
+        ).cast("long")
+        based = ranged.withColumn("__off", off)
+    else:
+        # 100 TB: offsets as a broadcast-joined frame, O(1) plan size
+        odf = df.sparkSession.createDataFrame(
+            [(pid, g, o) for (pid, g), o in offsets.items()],
+            "__opid int, __ogs string, __off long",
+        )
+        based = (
+            ranged.withColumn("__gs", gs)
+            .join(
+                F.broadcast(odf),
+                (F.col("__pid") == F.col("__opid"))
+                & (F.col("__gs") == F.col("__ogs")),
+            )
+            .drop("__opid", "__ogs", "__gs")
+        )
+    budget = F.element_at(
+        F.create_map(
+            *[F.lit(x) for g, b in budgets.items() for x in (str(g), str(b))]
+        ),
+        gs,
+    ).cast("long")
+    local = F.sum(F.col(weight_col).cast("long")).over(
+        Window.partitionBy("__pid", gs)
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col("__off") + local).cast("long")
+    return (
+        based.withColumn(cum_col, cum)
+        .filter(budget.isNotNull() & (F.col(cum_col) <= budget))
+        .drop("__h", "__pid", "__off")
+    )
+
+
 def curriculum_buckets_approx(
     df: DataFrame,
     score_col: str,

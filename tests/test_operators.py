@@ -132,6 +132,111 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert exact["jaccard"] == 1.0
 
 
+def test_minhash_probe_pairs_incremental(spark):
+    """The incremental ingestion probe: a NEW batch deduped against an
+    EXISTING corpus must find exactly the cross pairs the self-join
+    finds (restricted to batch x corpus), never corpus-internal or
+    batch-internal pairs."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("runs", "walks")
+    other = "completely different content about spark sql engines and distributed query processing systems"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, other)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(101, base), (102, "fresh unrelated text about cooking pasta at home with garlic and olive oil")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["batch_id"], r["corpus_id"]): r["jaccard"]
+        for r in dedup.minhash_probe_pairs(
+            corpus, batch, verify_threshold=0.4
+        ).collect()
+    }
+    assert (101, 1) in got and got[(101, 1)] == 1.0  # exact dup
+    assert (101, 2) in got  # near dup
+    assert all(b == 101 for b, _ in got)  # batch 102 matches nothing
+    assert all(c in (1, 2) for _, c in got)
+    # corpus-internal dup (3,4) must NOT appear: the probe never pairs
+    # corpus docs with each other (that's the self-join's job)
+    assert (3, 4) not in got and (4, 3) not in got
+    # parity with the self-join on the union, restricted to cross pairs
+    union = corpus.union(batch)
+    self_pairs = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in dedup.minhash_lsh_pairs(union, verify_threshold=0.4).collect()
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)
+    }
+    assert set(got) == self_pairs
+    with pytest.raises(ValueError):
+        dedup.minhash_probe_pairs(corpus, batch, num_perm=64, bands=7)
+
+
+def test_token_budget_mix_exact_boundary(spark):
+    """Per-domain selection stops exactly at the budget: the selected
+    set's weight fits, and the next candidate in hash order would
+    overflow. Deterministic under repartitioning."""
+    from qcache_spark.operators.sampling import hash60, token_budget_mix
+
+    rows = [(i, "web" if i % 2 else "code", 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "n_tok"])
+    budgets = {"web": 300, "code": 137}
+    out = token_budget_mix(
+        df, "domain", "n_tok", budgets, key_col="doc_id", num_partitions=8
+    ).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    # python replica of the hash order for the boundary check
+    hcol = hash60(F.col("doc_id"), 0, "md5")
+    order = {
+        d: [
+            r["doc_id"]
+            for r in df.filter(F.col("domain") == d)
+            .select("doc_id", hcol.alias("h"))
+            .orderBy("h", "doc_id")
+            .collect()
+        ]
+        for d in budgets
+    }
+    w = {r[0]: r[2] for r in rows}
+    for d, budget in budgets.items():
+        sel = {r["doc_id"] for r in by_dom.get(d, [])}
+        total = sum(w[i] for i in sel)
+        assert total <= budget
+        # selection must be the maximal hash-order prefix
+        cum, expect = 0, set()
+        for i in order[d]:
+            if cum + w[i] > budget:
+                break
+            cum += w[i]
+            expect.add(i)
+        assert sel == expect, d
+        assert total == cum
+        # cum_col through the last selected row equals the prefix sum
+        if by_dom.get(d):
+            assert max(r["cum_weight"] for r in by_dom[d]) == cum
+    # stable under a different physical layout
+    again = token_budget_mix(
+        df.repartition(3), "domain", "n_tok", budgets,
+        key_col="doc_id", num_partitions=2,
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    # unbudgeted domains and null keys are excluded
+    extra = spark.createDataFrame(
+        [(900, "books", 5), (None, "web", 5)], ["doc_id", "domain", "n_tok"]
+    )
+    out2 = token_budget_mix(
+        df.union(extra), "domain", "n_tok", budgets, key_col="doc_id"
+    ).collect()
+    assert all(r["domain"] in budgets for r in out2)
+    assert all(r["doc_id"] is not None for r in out2)
+    with pytest.raises(ValueError):
+        token_budget_mix(df, "domain", "n_tok", {})
+    with pytest.raises(ValueError):
+        token_budget_mix(df, "domain", "n_tok", {"web": -1})
+
+
 def test_minhash_sensitivity(docs):
     # sanity at testdata scale: runs, returns plausible jaccards
     pairs = dedup.minhash_lsh_pairs(

@@ -53,6 +53,8 @@ def main() -> None:
             "t_sec": round(t, 2),
             "families_after": opcache.families(spark),
             "cached_bytes_after": opcache.cached_bytes(spark),
+            # r8: the number the budget loop actually charges
+            "registry_bytes_after": opcache.registry_bytes(spark),
         })
         print(f"[probe] {q}: {t:.1f} s, {n} rows, "
               f"families={steps[-1]['families_after']}, "
