@@ -35,10 +35,20 @@ This module replaces all of those dicts with ONE registry:
   those RDD ids are charged (VERDICT r7: budgeting against the app-wide
   ``getRDDStorageInfo`` total meant a large non-registry cache — bench's
   warmed base tables — forced EVERY cross-family eviction, silently
-  degrading the registry to same-family-only). Unpersisting is always
-  *correctness-safe* in Spark — a plan whose cache block vanished
-  silently recomputes — so aggressive eviction can only cost time,
-  never results;
+  degrading the registry to same-family-only). Unpersisting is
+  *correctness-safe* for ordinary plans in Spark — a plan whose cache
+  block vanished silently recomputes — so aggressive eviction can only
+  cost time, never results. The one exception (ADVICE r8): plans whose
+  downstream arithmetic depends on ``spark_partition_id`` of THIS
+  materialization (the range-partitioned cumsum operators collect
+  per-(pid, group) offsets from the cached frame). Re-execution
+  re-samples the RangePartitioner (seeded by the new shuffle RDD id),
+  so rows can land on different partition ids than the collected
+  offsets assume — silently wrong sums, not just recompute cost. Those
+  families register with ``pinned=True``: exempt from cross-family
+  budget eviction (same-family replacement and explicit ``release()``
+  still apply — both happen only when the family's own operator has a
+  fresh materialization or the caller declared the plan dead);
 * ``cache(spark, family, df)`` — the recommended entry point: releases
   the family's previous frame BEFORE persisting the new one. Order
   matters: Spark's CacheManager keys cache entries by canonicalized
@@ -71,6 +81,7 @@ __all__ = [
     "register",
     "release",
     "families",
+    "pinned_families",
     "cached_bytes",
     "registry_bytes",
     "budget_bytes",
@@ -80,11 +91,32 @@ _LOCK = threading.RLock()
 # applicationId -> OrderedDict[family -> persisted DataFrame]
 # OrderedDict order = registration recency (oldest first -> evicted first)
 _REG: dict[str, "OrderedDict[str, DataFrame]"] = {}
+# applicationId -> families exempt from cross-family budget eviction
+# (spark_partition_id-dependent materializations; see module docstring)
+_PINNED: dict[str, set[str]] = {}
 # applicationId -> weakref to its SparkSession: lets register() drop
 # registry entries for sessions that have been garbage-collected (their
 # frames died with the JVM-side session; the handles would otherwise
 # linger forever — the residual of ADVICE r6's id-reuse finding)
 _SESSIONS: dict[str, "weakref.ref[SparkSession]"] = {}
+
+
+def _session_dead(ref: "weakref.ref[SparkSession]") -> bool:
+    """Liveness check for a registry entry's session. The weakref alone
+    is insufficient (ADVICE r8): registered DataFrames hold strong
+    references to their SparkSession, so ``ref()`` can never return
+    None while the app's frames are still registered. The reachable
+    signal is JVM-side: a STOPPED SparkContext means every cached block
+    of that app is gone and the handles are unusable — reap them. (For
+    a live context the handles stay until same-family replacement,
+    budget eviction, or release(), as before.)"""
+    s = ref()
+    if s is None:
+        return True
+    try:
+        return bool(s.sparkContext._jsc.sc().isStopped())
+    except Exception:
+        return True  # unreachable JVM == dead for our purposes
 
 
 def budget_bytes() -> int:
@@ -152,12 +184,22 @@ def register(
     family: str,
     df: DataFrame,
     budget: int | None = None,
+    pinned: bool = False,
 ) -> DataFrame:
     """Track ``df`` (already ``.persist()``-ed by the caller) as the
     live cache for ``family``. Evicts the family's previous frame, then
     enforces the cross-family byte budget by unpersisting the
     least-recently-registered *other* families while the REGISTRY's
     materialized footprint exceeds the budget. Returns ``df``.
+
+    ``pinned=True`` exempts the family from CROSS-family budget
+    eviction (ADVICE r8): frames whose downstream plan depends on the
+    ``spark_partition_id`` layout of this exact materialization must
+    not be recomputed under different partitioner sampling. Pinned
+    frames still count toward the budget footprint, are still replaced
+    by their own family's next registration, and are still released by
+    :func:`release` — the two paths that only fire when the operator
+    itself declares the materialization superseded or dead.
 
     Prefer :func:`cache` when the new frame's plan can equal the
     previous invocation's (repeat calls of the same operator): this
@@ -167,17 +209,18 @@ def register(
     limit = budget_bytes() if budget is None else budget
     with _LOCK:
         app = _app_id(spark)
-        # reap entries whose session has been garbage-collected.
-        # Best-effort unpersist (ADVICE r7): for sessions made via
-        # newSession() the SparkContext outlives the GC'd Python
-        # wrapper, so the blocks are still alive and pinned — the
-        # popped handles were the last way to release them. For truly
-        # dead contexts the unpersist raises and is swallowed.
+        # Reap entries for dead sessions. Liveness = the JVM context
+        # (ADVICE r8: the old `ref() is None` test was unreachable with
+        # real frames — registered DataFrames strongly reference their
+        # session, so the weakref outlives every registration; a
+        # stopped SparkContext is the observable death signal, and its
+        # blocks are already gone so dropping the handles suffices).
         for dead in [
             a for a, ref in _SESSIONS.items()
-            if a != app and ref() is None
+            if a != app and _session_dead(ref)
         ]:
             _SESSIONS.pop(dead, None)
+            _PINNED.pop(dead, None)
             stale = _REG.pop(dead, None)
             for frame in (stale or {}).values():
                 try:
@@ -186,7 +229,9 @@ def register(
                     pass
         _SESSIONS[app] = weakref.ref(spark)
         fams = _REG.setdefault(app, OrderedDict())
+        pins = _PINNED.setdefault(app, set())
         prev = fams.pop(family, None)
+        pins.discard(family)
         if prev is not None:
             try:
                 prev.unpersist(blocking=False)
@@ -198,15 +243,22 @@ def register(
         # budget exists to bound. blocking=True inside the loop so the
         # re-read footprint reflects the eviction. Only registry-owned
         # bytes are charged: a large non-registry cache (warmed base
-        # tables) must not force cross-family evictions.
+        # tables) must not force cross-family evictions. Pinned
+        # families are skipped, never evicted here.
         if limit > 0:
-            while fams and registry_bytes(spark) > limit:
-                _, oldest = fams.popitem(last=False)
+            while registry_bytes(spark) > limit:
+                evictable = [f for f in fams if f not in pins]
+                if not evictable:
+                    break
+                oldest_fam = evictable[0]  # OrderedDict: oldest first
+                oldest = fams.pop(oldest_fam)
                 try:
                     oldest.unpersist(blocking=True)
                 except Exception:
                     break
         fams[family] = df
+        if pinned:
+            pins.add(family)
     return df
 
 
@@ -216,6 +268,7 @@ def cache(
     df: DataFrame,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     budget: int | None = None,
+    pinned: bool = False,
 ) -> DataFrame:
     """Release ``family``'s previous frame, THEN persist ``df`` and
     register it. This is the safe order for repeat invocations of the
@@ -224,9 +277,14 @@ def cache(
     to the still-cached previous one, ``persist()`` is a no-op on the
     ONE shared entry — evicting ``prev`` afterwards (plain
     :func:`register`) uncaches the new frame too, and every downstream
-    reference re-executes the upstream pipeline."""
+    reference re-executes the upstream pipeline.
+
+    ``pinned``: see :func:`register` — required for materializations
+    whose downstream plan reads ``spark_partition_id``."""
     release(spark, family)
-    return register(spark, family, df.persist(storage_level), budget=budget)
+    return register(
+        spark, family, df.persist(storage_level), budget=budget, pinned=pinned
+    )
 
 
 def release(spark: SparkSession, family: str | None = None) -> int:
@@ -241,8 +299,11 @@ def release(spark: SparkSession, family: str | None = None) -> int:
         if not fams:
             return 0
         targets = [family] if family is not None else list(fams.keys())
+        pins = _PINNED.get(_app_id(spark))
         for fam in targets:
             frame = fams.pop(fam, None)
+            if pins is not None:
+                pins.discard(fam)
             if frame is None:
                 continue
             try:
@@ -252,6 +313,7 @@ def release(spark: SparkSession, family: str | None = None) -> int:
             released += 1
         if not fams:
             _REG.pop(_app_id(spark), None)
+            _PINNED.pop(_app_id(spark), None)
     return released
 
 
@@ -259,3 +321,10 @@ def families(spark: SparkSession) -> list[str]:
     """Currently registered families (oldest first)."""
     with _LOCK:
         return list(_REG.get(_app_id(spark), {}).keys())
+
+
+def pinned_families(spark: SparkSession) -> list[str]:
+    """Families currently exempt from cross-family budget eviction."""
+    with _LOCK:
+        pins = _PINNED.get(_app_id(spark), set())
+        return [f for f in _REG.get(_app_id(spark), {}) if f in pins]

@@ -140,6 +140,7 @@ def pagerank(
     weight_col: str | None = None,
     redistribute_dangling: bool = False,
     tol: int | None = None,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """Iterative PageRank over a directed edge list.
 
@@ -180,11 +181,16 @@ def pagerank(
     predicate (max |Δrank| over nodes), checked as one O(1) scalar agg
     joining the (already materialized) old and new state per round.
     The default ``tol=None`` keeps the fixed-k path bit-compatible
-    with the unrolled-CTE oracles (q90/q102). The returned frame
-    carries ``pagerank_rounds`` (rounds actually executed), so callers
-    can observe convergence.
+    with the unrolled-CTE oracles (q90/q102).
 
-    Returns (id, rank) for every node, rank in integer micro-units.
+    ``return_rounds`` (opt-in, ADVICE r8 — replaces the old
+    ``pagerank_rounds`` frame attribute, which any subsequent
+    ``.select``/``.filter`` silently dropped): when True the call
+    returns ``(df, rounds_executed)`` so convergence is observable
+    through the API, not a side channel.
+
+    Returns (id, rank) for every node, rank in integer micro-units —
+    or ``((id, rank) DataFrame, rounds)`` with ``return_rounds=True``.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -324,5 +330,6 @@ def pagerank(
         if done:
             break
     out = ranks.select("id", "rank")
-    out.pagerank_rounds = rounds_run
+    if return_rounds:
+        return out, rounds_run
     return out

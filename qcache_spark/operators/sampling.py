@@ -299,7 +299,13 @@ def curriculum_buckets(
     # it), so it cannot be unpersisted here; instead each call evicts
     # the PREVIOUS call's cache — a long-lived session holds at most
     # one table copy per session instead of one per invocation.
-    ranged = opcache.cache(df.sparkSession, _CURRICULUM_FAMILY, ranged)
+    # pinned: the returned plan's bucket arithmetic reads the collected
+    # per-__pid offsets of THIS materialization — budget eviction would
+    # let a recompute re-sample the RangePartitioner and land rows on
+    # different pids than the offsets assume (ADVICE r8)
+    ranged = opcache.cache(
+        df.sparkSession, _CURRICULUM_FAMILY, ranged, pinned=True
+    )
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -416,14 +422,34 @@ def token_budget_mix(
             num_partitions, domain_col, "__h", key_col
         )
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    ranged = opcache.cache(df.sparkSession, _TOKEN_MIX_FAMILY, ranged)
+    # pinned: downstream cumsum reads this materialization's __pid
+    # layout (same ADVICE r8 argument as curriculum_buckets above)
+    ranged = opcache.cache(
+        df.sparkSession, _TOKEN_MIX_FAMILY, ranged, pinned=True
+    )
 
     gs = F.col(domain_col).cast("string")
     counts = (
         ranged.groupBy("__pid", gs.alias("__gs"))
-        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+        # min rides along free in the same partial-agg job: a negative
+        # weight makes the cumulative sum non-monotone, so
+        # filter(cum <= budget) would select a NON-contiguous set and
+        # silently break the "maximal hash-order prefix" contract
+        # (ADVICE r8) — refuse instead.
+        .agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__w"),
+            F.min(F.col(weight_col).cast("long")).alias("__wmin"),
+        )
         .collect()
     )  # O(partitions x domains) — the only driver-side data
+    neg = min((r["__wmin"] for r in counts), default=0)
+    if neg is not None and neg < 0:
+        opcache.release(df.sparkSession, _TOKEN_MIX_FAMILY)
+        raise ValueError(
+            f"token_budget_mix: negative weight {neg} in {weight_col!r} — "
+            "cumulative budgets require non-negative weights (filter or "
+            "clamp upstream)"
+        )
     if not counts:
         opcache.release(df.sparkSession, _TOKEN_MIX_FAMILY)
         return ranged.withColumn(cum_col, F.lit(0).cast("long")).drop(

@@ -136,7 +136,10 @@ def grouped_percentile_stats(
     else:
         ranged = base.repartitionByRange(num_partitions, "g", "v", "i")
     ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    ranged = opcache.cache(df.sparkSession, _PCTL_FAMILY, ranged)
+    # pinned: the rank arithmetic reads this materialization's __pid
+    # layout via collected offsets — see opcache module docstring
+    # (ADVICE r8) for why budget eviction must not recompute it
+    ranged = opcache.cache(df.sparkSession, _PCTL_FAMILY, ranged, pinned=True)
 
     counts = (
         ranged.groupBy("__pid", "g")

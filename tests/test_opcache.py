@@ -172,6 +172,78 @@ def test_reap_unpersists_dead_session_frames(spark):
     assert not _persisted(victim), "reap dropped the handle without unpersisting"
 
 
+def test_pinned_family_survives_budget_eviction(spark):
+    """ADVICE r8: frames whose downstream plan reads spark_partition_id
+    of THIS materialization (token_budget_mix / curriculum_buckets /
+    grouped_percentile_stats offsets) must never be recomputed by
+    budget eviction — a re-executed repartitionByRange re-samples its
+    partitioner and rows can land on different pids than the collected
+    offsets assume. pinned=True exempts them; unpinned LRU families
+    still evict around them."""
+    pinned = _frame(spark, n=50_000, tag=1)
+    pinned.count()
+    opcache.register(spark, "pid_dep", pinned, budget=0, pinned=True)
+    plain = _frame(spark, n=50_000, tag=2)
+    plain.count()
+    opcache.register(spark, "plain_old", plain, budget=0)
+    # 1-byte budget: the unpinned family must go, the pinned must stay
+    opcache.register(spark, "newcomer", _frame(spark, tag=3), budget=1)
+    assert _persisted(pinned), "budget eviction recomputed a pinned frame"
+    assert not _persisted(plain)
+    assert "pid_dep" in opcache.families(spark)
+    assert opcache.pinned_families(spark) == ["pid_dep"]
+    # same-family replacement and release still apply to pinned frames
+    replacement = _frame(spark, tag=4)
+    opcache.register(spark, "pid_dep", replacement, budget=0)
+    assert not _persisted(pinned)
+    assert opcache.pinned_families(spark) == []  # re-register unpins
+    opcache.release(spark, "pid_dep")
+    assert not _persisted(replacement)
+
+
+def test_pid_dependent_operators_register_pinned(spark, sf_dir):
+    """The three spark_partition_id-dependent operator families carry
+    the pin (regression guard for ADVICE r8)."""
+    from qcache_spark.operators.sampling import token_budget_mix
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    token_budget_mix(docs, "lang", "n_chars", {"en": 1000}).count()
+    assert "sampling.token_mix" in opcache.pinned_families(spark)
+
+
+def test_session_dead_detects_stopped_context():
+    """ADVICE r8: liveness keys on the JVM context, not the Python
+    weakref (which registered frames keep alive forever)."""
+    import weakref
+
+    class _SC:
+        def __init__(self, stopped):
+            self._stopped = stopped
+
+        def isStopped(self):
+            return self._stopped
+
+    class _JSC:
+        def __init__(self, stopped):
+            self._sc = _SC(stopped)
+
+        def sc(self):
+            return self._sc
+
+    class _Ctx:
+        def __init__(self, stopped):
+            self._jsc = _JSC(stopped)
+
+    class _Sess:
+        def __init__(self, stopped):
+            self.sparkContext = _Ctx(stopped)
+
+    live, stopped = _Sess(False), _Sess(True)
+    assert opcache._session_dead(weakref.ref(live)) is False
+    assert opcache._session_dead(weakref.ref(stopped)) is True
+
+
 def test_heavy_operator_families_share_one_registry(spark, sf_dir):
     """The three r6 OOM participants registered through one registry:
     running triangles then percentiles then curriculum leaves at most

@@ -235,6 +235,14 @@ def test_token_budget_mix_exact_boundary(spark):
         token_budget_mix(df, "domain", "n_tok", {})
     with pytest.raises(ValueError):
         token_budget_mix(df, "domain", "n_tok", {"web": -1})
+    # negative WEIGHTS break cumsum monotonicity -> loud refusal
+    # (ADVICE r8: a silent non-contiguous selection would violate the
+    # maximal-prefix contract)
+    neg = spark.createDataFrame(
+        [(1, "web", 10), (2, "web", -3)], ["doc_id", "domain", "n_tok"]
+    )
+    with pytest.raises(ValueError, match="negative weight"):
+        token_budget_mix(neg, "domain", "n_tok", {"web": 100}).collect()
 
 
 def test_minhash_sensitivity(docs):
@@ -1765,8 +1773,7 @@ def test_pagerank_convergence_termination(spark):
     # 1 -> 2 converges after round 2: node 1 holds base from round 1
     # on, so round 3 reproduces round 2 exactly (delta 0)
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
-    converged = pagerank(edges, iters=10, tol=0)
-    rounds = converged.pagerank_rounds
+    converged, rounds = pagerank(edges, iters=10, tol=0, return_rounds=True)
     assert rounds < 10  # actually stopped early
     got = {r["id"]: r["rank"] for r in converged.collect()}
     fixed = {
@@ -1785,12 +1792,14 @@ def test_pagerank_convergence_termination(spark):
         [(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (5, 1)],
         ["src", "dst"],
     )
-    fast = pagerank(ring, iters=30, tol=5_000)
-    slow = pagerank(ring, iters=30, tol=0)
-    assert fast.pagerank_rounds <= slow.pagerank_rounds
+    _, fast_rounds = pagerank(ring, iters=30, tol=5_000, return_rounds=True)
+    _, slow_rounds = pagerank(ring, iters=30, tol=0, return_rounds=True)
+    assert fast_rounds <= slow_rounds
     # default tol=None keeps the fixed-k contract (q90/q102 oracles)
-    plain = pagerank(ring, iters=3)
-    assert plain.pagerank_rounds == 3
+    _, plain_rounds = pagerank(ring, iters=3, return_rounds=True)
+    assert plain_rounds == 3
+    # default return_rounds=False returns the bare frame (back-compat)
+    assert hasattr(pagerank(ring, iters=1), "collect")
     with pytest.raises(ValueError):
         pagerank(ring, iters=3, tol=-1)
 
