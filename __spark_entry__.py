@@ -1861,6 +1861,49 @@ def q105_minhash_probe(spark, sf_dir):
     )
 
 
+def q107_minhash_index_probe(spark, sf_dir):
+    """Persisted, appendable MinHash-LSH index (operators/dedup.py:
+    MinHashIndex — VERDICT r8 missing #1): the q105 probe re-derived
+    and re-shuffled corpus postings from raw text on every batch
+    admission (~38 TB at 100 TB of text); this entry exercises the
+    full index lifecycle instead — BUILD postings+sets parquet from
+    half the corpus, WRITE, LOAD (format-version-checked), APPEND the
+    other half as new files (O(batch) I/O), then PROBE the batch off
+    the loaded index: stored postings narrowed to touched buckets by a
+    broadcast semi-join (no corpus shuffle), verify from stored
+    shingle sets (no corpus text recompute). Same split and the same
+    brute-force batch x corpus oracle as q105 — the result must be
+    bit-identical to the from-text probe."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.dedup import (
+        MINHASH_FORMAT_VERSION,
+        MinHashIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    # build on %4 in {1,2}, append %4 == 3 — the gate covers append too
+    built = docs.filter((F.col("doc_id") % 4 == 1) | (F.col("doc_id") % 4 == 2))
+    appended = docs.filter(F.col("doc_id") % 4 == 3)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_minhash_{sf_tag}_v{MINHASH_FORMAT_VERSION}",
+    )
+    # rebuild fresh each run: append is not idempotent (by design — it
+    # admits a batch), so a stable path must start from a clean build
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    MinHashIndex(built).write(spark, path)
+    index = MinHashIndex.load(spark, path)
+    index.append(appended)
+    return index.probe(batch, verify_threshold=0.5).select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q106_token_budget_mix(spark, sf_dir):
     """Domain-mixture selection under per-language character budgets
     (operators/sampling.py:token_budget_mix): deterministic md5-hash
@@ -1944,6 +1987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q47-q65, q68-q79, q92-q103 — all driver-green in r6/r7) remains
     # value-checked every run by the local DuckDB replica
     # (tests/test_entry_oracle.py).
+    "q107_minhash_index_probe": q107_minhash_index_probe,
     "q105_minhash_probe": q105_minhash_probe,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q104_skewed_join_composite": q104_skewed_join_composite,
@@ -2565,6 +2609,31 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM e, q
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
+    """,
+    # q107: identical oracle to q105 — the INDEXED probe (build +
+    # write + load + append + probe off parquet postings/sets) must
+    # return exactly what the from-text probe returns, which the
+    # brute-force batch x corpus Jaccard pins externally.
+    "q107_minhash_index_probe": """
+        WITH t AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                   END AS sh
+            FROM t
+        ), j AS (
+            SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                   len(list_intersect(b.sh, c.sh))::DOUBLE /
+                   len(list_distinct(list_concat(b.sh, c.sh))) AS jacc
+            FROM s b JOIN s c
+              ON b.doc_id % 4 = 0 AND c.doc_id % 4 != 0
+        )
+        SELECT batch_id, corpus_id, ROUND(jacc, 6) AS jaccard
+        FROM j WHERE jacc >= 0.5
     """,
     # q105: brute-force batch x corpus shingle Jaccard — the probe
     # analogue of q31's oracle (same recall-1.0 and hash-vs-string

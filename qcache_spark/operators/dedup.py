@@ -529,6 +529,266 @@ def minhash_probe_pairs(
     return verified
 
 
+# Bumped whenever the on-disk postings/sets layout or the MinHash
+# signature algebra changes incompatibly; persisted in the _meta
+# sidecar and checked by load() (the IVFIndex discipline,
+# similarity.py:100).
+MINHASH_FORMAT_VERSION = 1
+
+
+class MinHashIndexMismatch(ValueError):
+    """A persisted MinHash index does not match the expected format
+    version or build parameters; callers should rebuild."""
+
+
+class MinHashIndex:
+    """Persisted, appendable MinHash-LSH index (VERDICT r8 missing #1).
+
+    ``minhash_probe_pairs`` answers a batch-vs-corpus probe but
+    re-derives and re-shuffles the CORPUS postings from raw text on
+    every call — at 100 TB of text that is ~38 TB of recomputation per
+    daily batch admission. This index materializes the corpus side
+    ONCE:
+
+    - ``postings/`` — one parquet row per (band, bucket, id): the LSH
+      band hashes, 16 rows of ~24 bytes per document, partitioned by
+      band (16 static partitions — append lands new files inside
+      existing partitions, no directory churn);
+    - ``sets/`` — one row per (id, shingles): the 32-bit shingle-hash
+      sets the exact-Jaccard verify step needs, so verification never
+      goes back to corpus text either;
+    - ``<path>_meta`` — a single-row JSON sidecar carrying the format
+      version and every signature-affecting parameter. ``load()``
+      refuses a stale or differently-parameterized artifact
+      (:class:`MinHashIndexMismatch`) instead of silently probing
+      against incompatible hashes.
+
+    Daily-ingestion loop: ``probe(batch)`` finds the batch's near-dups
+    against everything admitted so far, then ``append(batch)`` admits
+    the (deduplicated) batch — both O(batch), never O(corpus):
+
+    - probe scans stored postings once with NO corpus shuffle: the
+      batch's (band, bucket) keys are broadcast, a semi-join keeps
+      only TOUCHED buckets (complete buckets — the semi-join keys on
+      the full bucket identity — so the ``max_bucket_size`` cap sees
+      true bucket sizes), and only those O(|batch| x bucket-size) rows
+      enter the cap window's exchange;
+    - verify reads stored ``sets`` for candidate corpus ids
+      (broadcast-joined) and recomputes shingles only for the BATCH
+      side, whose text is in hand;
+    - append writes the batch's postings and sets as new files in
+      place — no read-modify-write of existing data. Callers own id
+      uniqueness (append does not dedup against stored ids; probe
+      drops self-pairs by id equality).
+
+    Parity: ``load(path).probe(batch)`` returns exactly
+    ``minhash_probe_pairs(corpus, batch)`` for the corpus the index
+    holds (pytest-pinned, including after append), and the driver gate
+    (q107) checks probe-off-loaded-index against the same brute-force
+    DuckDB oracle as q105.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_size: int = 3,
+        seed: int = 42,
+    ):
+        if num_perm % bands != 0:
+            raise ValueError("num_perm must be divisible by bands")
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.bands = num_perm, bands
+        self.shingle_size, self.seed = shingle_size, seed
+        self.path: str | None = None
+        self._spark = df.sparkSession
+        base = self._base(df)
+        self.postings = base.select(
+            "_id", F.posexplode("_bands").alias("_band", "_bucket")
+        )
+        self.sets = base.select("_id", "_shingles")
+
+    def _params(self) -> dict:
+        return {
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "num_perm": self.num_perm,
+            "bands": self.bands,
+            "shingle_size": self.shingle_size,
+            "seed": self.seed,
+        }
+
+    def _base(self, df: DataFrame) -> DataFrame:
+        return _minhash_base(
+            df,
+            self.id_col,
+            self.text_col,
+            self.num_perm,
+            self.bands,
+            self.num_perm // self.bands,
+            self.shingle_size,
+            self.seed,
+        )
+
+    def write(self, spark, path: str) -> None:
+        """Persist postings + sets + meta sidecar. ``overwrite`` keeps
+        rewrites idempotent (same discipline as IVFIndex.write)."""
+        import json as _json
+
+        self.postings.write.mode("overwrite").partitionBy("_band").parquet(
+            path + "/postings"
+        )
+        self.sets.write.mode("overwrite").parquet(path + "/sets")
+        meta = {"format_version": MINHASH_FORMAT_VERSION, **self._params()}
+        spark.createDataFrame(
+            [(_json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+        self.path = path
+        self._reload(spark)
+
+    @classmethod
+    def load(cls, spark, path: str, expect: dict | None = None) -> "MinHashIndex":
+        """Load a persisted index, refusing stale artifacts: raises
+        :class:`MinHashIndexMismatch` when the sidecar's format_version
+        differs from the running code's (including pre-versioning
+        artifacts with no tag), or when any key in ``expect`` disagrees
+        with the persisted build parameters."""
+        import json as _json
+
+        meta = _json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
+        found = meta.get("format_version")
+        if found != MINHASH_FORMAT_VERSION:
+            raise MinHashIndexMismatch(
+                f"MinHash index at {path!r} has format_version={found!r}, "
+                f"code expects {MINHASH_FORMAT_VERSION}; rebuild the index"
+            )
+        for key, want in (expect or {}).items():
+            if meta.get(key) != want:
+                raise MinHashIndexMismatch(
+                    f"MinHash index at {path!r} was built with "
+                    f"{key}={meta.get(key)!r}, caller expects {want!r}; "
+                    "rebuild the index"
+                )
+        index = cls.__new__(cls)
+        index.id_col = meta["id_col"]
+        index.text_col = meta["text_col"]
+        index.num_perm = meta["num_perm"]
+        index.bands = meta["bands"]
+        index.shingle_size = meta["shingle_size"]
+        index.seed = meta["seed"]
+        index.path = path
+        index._spark = spark
+        index._reload(spark)
+        return index
+
+    def _reload(self, spark) -> None:
+        """(Re)open the on-disk tables — fresh reads after write/append
+        so the file listing reflects files added since the previous
+        DataFrame was planned."""
+        self.postings = spark.read.parquet(self.path + "/postings").select(
+            "_id", "_band", "_bucket"
+        )
+        self.sets = spark.read.parquet(self.path + "/sets")
+
+    def append(self, batch: DataFrame) -> None:
+        """Admit a batch: derive its postings + sets with the index's
+        own parameters and append them as NEW FILES (no rewrite of
+        existing data — O(batch) I/O). The caller owns id uniqueness:
+        appending an id twice duplicates its postings, exactly as
+        storing a document twice would."""
+        if self.path is None:
+            raise ValueError(
+                "append requires a persisted index — call write() first "
+                "(in-memory indexes would silently diverge from disk)"
+            )
+        base = self._base(batch)
+        base.select(
+            "_id", F.posexplode("_bands").alias("_band", "_bucket")
+        ).write.mode("append").partitionBy("_band").parquet(
+            self.path + "/postings"
+        )
+        base.select("_id", "_shingles").write.mode("append").parquet(
+            self.path + "/sets"
+        )
+        self._reload(self._spark)
+
+    def probe(
+        self,
+        batch: DataFrame,
+        max_bucket_size: int = 500,
+        verify_threshold: float | None = 0.5,
+    ) -> DataFrame:
+        """Near-dup pairs between ``batch`` and the indexed corpus:
+        (batch_id, corpus_id, jaccard). Semantics identical to
+        ``minhash_probe_pairs(corpus, batch)``; cost O(batch):
+        the only corpus-side work is one postings scan narrowed to
+        touched buckets and a sets read narrowed to candidates."""
+        bbase = self._base(batch)
+        bbuckets = bbase.select(
+            F.col("_id").alias("batch_id"),
+            F.posexplode("_bands").alias("_band", "_bucket"),
+        )
+        # Touched buckets only: the batch's distinct (band, bucket)
+        # keys are broadcast; the semi-join keeps COMPLETE buckets, so
+        # the cap window below still sees true bucket sizes, but its
+        # exchange carries O(|batch| x bucket-size) rows, not the
+        # corpus postings (the whole point of persisting them).
+        bkeys = bbuckets.select("_band", "_bucket").distinct()
+        touched = self.postings.join(
+            F.broadcast(bkeys), ["_band", "_bucket"], "left_semi"
+        )
+        w_bucket = Window.partitionBy("_band", "_bucket")
+        capped = touched.withColumn(
+            "_n", F.count(F.lit(1)).over(w_bucket)
+        ).filter(F.col("_n") <= max_bucket_size).drop("_n")
+
+        pairs = (
+            capped.select("_band", "_bucket", F.col("_id").alias("corpus_id"))
+            .join(F.broadcast(bbuckets), ["_band", "_bucket"])
+            .filter(F.col("corpus_id") != F.col("batch_id"))
+            .select("batch_id", "corpus_id")
+            .distinct()
+        )
+        pairs = opcache.cache(
+            self._spark, "dedup.minhash_index_probe", pairs
+        )
+
+        cand_ids = pairs.select(F.col("corpus_id").alias("_id")).distinct()
+        csets = self.sets.join(cand_ids, "_id", "left_semi")
+        verified = (
+            pairs.join(
+                F.broadcast(
+                    bbase.select(
+                        F.col("_id").alias("batch_id"),
+                        F.col("_shingles").alias("_sb"),
+                    )
+                ),
+                "batch_id",
+            )
+            .join(
+                csets.select(
+                    F.col("_id").alias("corpus_id"),
+                    F.col("_shingles").alias("_sc"),
+                ),
+                "corpus_id",
+            )
+            .select(
+                "batch_id",
+                "corpus_id",
+                (
+                    F.size(F.array_intersect("_sb", "_sc"))
+                    / F.size(F.array_union("_sb", "_sc"))
+                ).alias("jaccard"),
+            )
+        )
+        if verify_threshold is not None:
+            verified = verified.filter(F.col("jaccard") >= verify_threshold)
+        return verified
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,
