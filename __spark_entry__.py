@@ -1072,21 +1072,34 @@ def q71_dedup_clusters(spark, sf_dir):
 
 
 def q72_cardinality_sketch(spark, sf_dir):
-    """HLL cardinality sketches next to exact counts, per source
+    """HLL cardinality sketch vs exact count, per source
     (operators/sketch.py): the 100 TB pattern is the ESTIMATE — a
-    fixed-size sketch per shuffle row instead of the raw key domain —
-    and the exact column here makes the error observable.
+    fixed-size sketch per shuffle row instead of the raw key domain.
 
-    No SQL oracle: HLL++ estimates are engine-specific (rows-only
-    driver check); the error bound and sketch mergeability are
-    pytest-gated (tests/test_operators.py sketch section)."""
+    Envelope-gated since r9 (VERDICT r8 item 4; rows-only before):
+    HLL++ estimates are engine-specific, so the gated columns are the
+    EXACT count (replicable by any engine) and ``est_ok`` — whether
+    the estimate landed within the documented 3-sigma envelope
+    (|est - exact| <= max(3, 3 x rsd x exact), rsd = 0.02, the same
+    bound tests/test_operators.py::test_cardinality_estimate_within_rsd
+    pins). The oracle computes the exact side and asserts TRUE, so a
+    drifted estimator now hash-FAILS the gate instead of passing a
+    row count."""
     from qcache_spark.operators import sketch
 
     docs = load_table(spark, sf_dir, "documents")
     est = sketch.cardinality_by(docs, ["source"], "doc_id", rsd=0.02)
     exact = sketch.cardinality_by(docs, ["source"], "doc_id", exact=True)
-    return est.withColumnRenamed("n_distinct", "n_distinct_est").join(
+    joined = est.withColumnRenamed("n_distinct", "n_distinct_est").join(
         exact.withColumnRenamed("n_distinct", "n_distinct_exact"), "source"
+    )
+    bound = F.greatest(F.lit(3.0), 0.06 * F.col("n_distinct_exact"))
+    return joined.select(
+        "source",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_distinct_exact")) <= bound
+        ).alias("est_ok"),
     )
 
 
@@ -2366,6 +2379,18 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM gaps GROUP BY user_id
     """,
     # q73: mirror of q57 — nearest FOLLOWING row, ties -> lowest key.
+    # q72: the envelope gate (VERDICT r8 item 4). The oracle computes
+    # the exact per-source distinct count and asserts est_ok = TRUE:
+    # the Spark side hash-matches only if its HLL++ estimate sits
+    # within the documented 3-sigma envelope for EVERY group — a
+    # drifted estimator fails the hash, not just a pytest.
+    "q72_cardinality_sketch": """
+        SELECT source,
+               COUNT(DISTINCT doc_id) AS n_distinct_exact,
+               TRUE AS est_ok
+        FROM documents
+        GROUP BY source
+    """,
     "q73_asof_forward": """
         SELECT event_id, user_id, asof_orderkey, asof_totalprice FROM (
             SELECT e.event_id, e.user_id,
