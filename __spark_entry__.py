@@ -1947,6 +1947,76 @@ _Q106_BUDGETS = {"en": 25_000, "de": 9_000, "es": 9_000, "fr": 9_000,
                  "zh": 9_000}
 
 
+def q108_token_mix_upsampled(spark, sf_dir):
+    """Mixture UPSAMPLING (operators/sampling.py:token_budget_mix
+    epochs — VERDICT r8 item 6): low-resource domains whose budget
+    exceeds their corpus repeat deterministic hash-order passes
+    (with-replacement) until the budget fills, stopping exactly
+    mid-pass; each row carries its 1-based pass in `epoch`. At the
+    sf0.01 gate, 'de' (19.5k chars total) runs ~2.6 passes against a
+    50k budget while 'en' stays a single under-budget prefix — both
+    planned as unioned prefix branches over ONE cached range shuffle
+    (only epochs that can contribute are planned). The oracle replays
+    the identical integer arithmetic: per-lang totals + the same md5
+    hash-order cumsum, cross-joined with pass numbers."""
+    from qcache_spark.operators.sampling import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_mix(
+        docs,
+        "lang",
+        "n_chars",
+        _Q108_BUDGETS,
+        key_col="doc_id",
+        seed=0,
+        hash_fn="md5",
+        epochs=_Q108_EPOCHS,
+    )
+    return out.select("doc_id", "lang", "n_chars", "cum_weight", "epoch")
+
+
+_Q108_BUDGETS = {"de": 50_000, "zh": 25_000, "en": 30_000}
+_Q108_EPOCHS = 3
+
+
+def _token_mix_upsampled_oracle_sql() -> str:
+    """DuckDB replica of q108: same md5 60-bit hash and per-lang
+    cumsum as q106's oracle, plus per-lang totals and an explicit
+    cross join over pass numbers — overall cumulative =
+    (epoch-1) x total + within-pass cumulative, same integer cutoff.
+    Generated from the SAME budgets/epochs constants as the entry."""
+    case = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in _Q108_BUDGETS.items()
+    )
+    return f"""
+        WITH h AS (
+            SELECT doc_id, lang, n_chars,
+                   ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+            FROM documents
+            WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+              AND n_chars IS NOT NULL
+        ), c AS (
+            SELECT doc_id, lang, n_chars,
+                   SUM(n_chars) OVER (
+                       PARTITION BY lang ORDER BY hh, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum,
+                   SUM(n_chars) OVER (PARTITION BY lang) AS total
+            FROM h
+        ), e AS (
+            SELECT c.*, ep.epoch
+            FROM c CROSS JOIN (
+                SELECT unnest(range(1, {_Q108_EPOCHS + 1})) AS epoch
+            ) ep
+        )
+        SELECT doc_id, lang, n_chars,
+               CAST((epoch - 1) * total + cum AS BIGINT) AS cum_weight,
+               CAST(epoch AS INT) AS epoch
+        FROM e
+        WHERE (epoch - 1) * total + cum <= (CASE lang {case} END)
+    """
+
+
 def _token_budget_mix_oracle_sql() -> str:
     """DuckDB replica of q106: identical md5 60-bit hash (the q54
     device), identical per-lang cumulative window, identical integer
@@ -2001,6 +2071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # value-checked every run by the local DuckDB replica
     # (tests/test_entry_oracle.py).
     "q107_minhash_index_probe": q107_minhash_index_probe,
+    "q108_token_mix_upsampled": q108_token_mix_upsampled,
     "q105_minhash_probe": q105_minhash_probe,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q104_skewed_join_composite": q104_skewed_join_composite,
@@ -3951,6 +4022,7 @@ def oracle_sql() -> dict[str, str]:
     out["q53_pii_scrub"] = _pii_oracle_sql()
     out["q54_hash_split"] = _hash_split_oracle_sql()
     out["q106_token_budget_mix"] = _token_budget_mix_oracle_sql()
+    out["q108_token_mix_upsampled"] = _token_mix_upsampled_oracle_sql()
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()

@@ -331,6 +331,50 @@ def test_token_budget_mix_exact_boundary(spark):
         token_budget_mix(neg, "domain", "n_tok", {"web": 100}).collect()
 
 
+def test_token_budget_mix_upsampling_epochs(spark):
+    """VERDICT r8 item 6: a budget 2.5x the domain's corpus repeats
+    the domain's hash-order pass (with-replacement), stopping exactly
+    at the budget mid-pass; fully-resourced domains stay a single
+    epoch-1 prefix."""
+    from collections import Counter
+
+    from qcache_spark.operators.sampling import hash60, token_budget_mix
+
+    # small: 10 docs x 10 tok = 100 total, budget 250 -> 2.5 passes;
+    # big: 100 docs x 10 tok = 1000 total, budget 300 -> plain prefix
+    rows = [(i, "small" if i < 10 else "big", 10) for i in range(110)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "n_tok"])
+    budgets = {"small": 250, "big": 300}
+    out = token_budget_mix(df, "domain", "n_tok", budgets, epochs=4).collect()
+    small = [r for r in out if r["domain"] == "small"]
+    assert len(small) == 25  # 10 + 10 + 5
+    assert sum(r["n_tok"] for r in small) == 250  # exact fill
+    c = Counter(r["epoch"] for r in small)
+    assert c == {1: 10, 2: 10, 3: 5}
+    assert max(r["cum_weight"] for r in small) == 250
+    # the partial pass selects the FIRST docs in hash order
+    hcol = hash60(F.col("doc_id"), 0, "md5")
+    order = [
+        r["doc_id"]
+        for r in df.filter(F.col("domain") == "small")
+        .select("doc_id", hcol.alias("h"))
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    assert sorted(r["doc_id"] for r in small if r["epoch"] == 3) == sorted(
+        order[:5]
+    )
+    big = [r for r in out if r["domain"] == "big"]
+    assert all(r["epoch"] == 1 for r in big)
+    assert sum(r["n_tok"] for r in big) == 300
+    # default epochs=1 under-fills the small domain (pre-r9 contract)
+    one = token_budget_mix(df, "domain", "n_tok", budgets).collect()
+    assert all(r["epoch"] == 1 for r in one)
+    assert sum(r["n_tok"] for r in one if r["domain"] == "small") == 100
+    with pytest.raises(ValueError):
+        token_budget_mix(df, "domain", "n_tok", budgets, epochs=0)
+
+
 def test_minhash_sensitivity(docs):
     # sanity at testdata scale: runs, returns plausible jaccards
     pairs = dedup.minhash_lsh_pairs(
