@@ -2047,88 +2047,41 @@ def _token_budget_mix_oracle_sql() -> str:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- Gate-slot rotation (round 8) -------------------------------
+    # --- Gate-slot rotation (round 9) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
-    # order keys (see README "Correctness gating").  Round-8 ordering:
-    #   1-4   q105 (incremental MinHash probe, new), q106 (token-
-    #         budget domain mixture, new), q104 (composite-key skew
-    #         join, new), q70 (pruned IVF, first round with a full
-    #         hash oracle): never hash-gated.
-    #   5-9   q31/q34/q91/q94/q76: their operators' caching moved to
-    #         opcache.cache() this round (release-before-persist) —
-    #         code changed, so they re-enter the gate. q88 re-enters
-    #         inside the r6 block below (skewed_join body changed).
-    #   10-26 q2-q19 minus q5 (q5 was gated green in r7): the longest-
-    #         ungated block, last driver-gated in r05 (VERDICT r7
-    #         item 2).
-    #   27-37 q80-q90: last driver-gated in r06.
-    #   38-47 q22-q32 subset (10 of the r6-gated block; q33/q35 and
-    #         the q36-q46 remainder rotate in next round).
-    #   48-50 q67/q57/q66: flagship heavy pipelines kept under
-    #         continuous external gating.
-    # Everything below slot 50 (q1/q5/q20/q21, q33/q35, q36-q46,
-    # q47-q65, q68-q79, q92-q103 — all driver-green in r6/r7) remains
-    # value-checked every run by the local DuckDB replica
-    # (tests/test_entry_oracle.py).
+    # order keys (see README "Correctness gating").  Round-9 ordering:
+    #   1-3   q107 (persisted MinHash index, new), q108 (mixture
+    #         upsampling epochs, new), q72 (first round with an
+    #         envelope oracle — previously the lone rows-only entry):
+    #         never hash-gated before.
+    #   4-10  code-changed this round, so they re-enter the gate:
+    #         q106/q76/q94 (opcache pinning + the epochs refactor
+    #         touched their shared cumsum plumbing), q105 (dedup
+    #         module changed), q90/q102 (pagerank signature change),
+    #         q31 (opcache register/budget-loop change).
+    #   11-23 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #         last driver-gated in r6.
+    #   24-26 q67/q57/q66: flagship heavy pipelines kept under
+    #         continuous external gating (standing pins).
+    #   27-44 q47-q56, q58-q65: last driver-gated r6/r7 — now the
+    #         longest-ungated block.
+    #   45-50 q68/q69/q71/q73/q74/q75: ditto.
+    # Everything below slot 50 (q1/q5/q20/q21, q2-q19, q22-q32/q34,
+    # q70/q104 (r8-gated), q77-q89 (r7/r8-gated), q91-q103 remainder)
+    # stays value-checked every run by the local DuckDB replica
+    # (tests/test_entry_oracle.py auto-parametrizes all entries).
     "q107_minhash_index_probe": q107_minhash_index_probe,
     "q108_token_mix_upsampled": q108_token_mix_upsampled,
-    "q105_minhash_probe": q105_minhash_probe,
+    "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
-    "q104_skewed_join_composite": q104_skewed_join_composite,
-    "q70_ivf_pruned_search": q70_ivf_pruned_search,
-    "q31_minhash_lsh_pairs": q31_minhash_lsh_pairs,
-    "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
-    "q91_triangle_count": q91_triangle_count,
-    "q94_percentile_outliers": q94_percentile_outliers,
     "q76_curriculum_buckets": q76_curriculum_buckets,
-    "q2_filter_comparisons": q2_filter_comparisons,
-    "q3_filter_disjunction_not": q3_filter_disjunction_not,
-    "q4_filter_in_list": q4_filter_in_list,
-    "q6_filter_ilike": q6_filter_ilike,
-    "q7_filter_bits": q7_filter_bits,
-    "q8_alias_arithmetic": q8_alias_arithmetic,
-    "q9_alias_math_fn": q9_alias_math_fn,
-    "q10_agg_global": q10_agg_global,
-    "q11_count_star": q11_count_star,
-    "q12_distinct": q12_distinct,
-    "q13_topk_offset": q13_topk_offset,
-    "q14_groupby_nunique": q14_groupby_nunique,
-    "q15_from_subquery": q15_from_subquery,
-    "q16_in_subquery": q16_in_subquery,
-    "q17_not_in_subquery": q17_not_in_subquery,
-    "q18_update_statement": q18_update_statement,
-    "q19_isnull": q19_isnull,
-    "q80_embedding_quantize": q80_embedding_quantize,
-    "q81_weighted_sample": q81_weighted_sample,
-    "q82_user_funnel": q82_user_funnel,
-    "q83_ngram_novelty": q83_ngram_novelty,
-    "q84_vocab_overlap": q84_vocab_overlap,
-    "q85_fk_orphan_audit": q85_fk_orphan_audit,
-    "q86_table_profile": q86_table_profile,
-    "q87_fuzzy_match": q87_fuzzy_match,
-    "q88_skewed_join": q88_skewed_join,
-    "q89_interval_join": q89_interval_join,
+    "q94_percentile_outliers": q94_percentile_outliers,
+    "q105_minhash_probe": q105_minhash_probe,
     "q90_pagerank": q90_pagerank,
-    "q22_window_rank": q22_window_rank,
-    "q23_window_running_sum": q23_window_running_sum,
-    "q24_rollup": q24_rollup,
-    "q25_time_bucket": q25_time_bucket,
-    "q26_dedup_exact_text": q26_dedup_exact_text,
-    "q27_dedup_token_set": q27_dedup_token_set,
-    "q28_text_token_stats": q28_text_token_stats,
-    "q29_lang_id": q29_lang_id,
-    "q30_cosine_topk": q30_cosine_topk,
-    "q32_ngram_jaccard": q32_ngram_jaccard,
-    "q67_training_pipeline": q67_training_pipeline,
-    "q57_asof_join": q57_asof_join,
-    "q66_shared_spans": q66_shared_spans,
-    # ---- below the 50-slot gate cap --------------------------------
+    "q102_pagerank_dangling": q102_pagerank_dangling,
+    "q31_minhash_lsh_pairs": q31_minhash_lsh_pairs,
     "q33_simhash": q33_simhash,
     "q35_quality_score": q35_quality_score,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q5_filter_like": q5_filter_like,
-    "q20_join_broadcast": q20_join_broadcast,
-    "q21_join_multi": q21_join_multi,
     "q36_sessionize": q36_sessionize,
     "q37_sliding_windows": q37_sliding_windows,
     "q38_media_features": q38_media_features,
@@ -2140,6 +2093,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_contains": q44_contains,
     "q45_median_agg": q45_median_agg,
     "q46_stateful_stream": q46_stateful_stream,
+    "q67_training_pipeline": q67_training_pipeline,
+    "q57_asof_join": q57_asof_join,
+    "q66_shared_spans": q66_shared_spans,
     "q47_union": q47_union,
     "q48_intersect": q48_intersect,
     "q49_except": q49_except,
@@ -2161,13 +2117,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_sequence_packing": q68_sequence_packing,
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
     "q71_dedup_clusters": q71_dedup_clusters,
-    "q72_cardinality_sketch": q72_cardinality_sketch,
     "q73_asof_forward": q73_asof_forward,
     "q74_event_gaps": q74_event_gaps,
     "q75_negative_sampling": q75_negative_sampling,
+    # ---- below the 50-slot gate cap --------------------------------
+    "q104_skewed_join_composite": q104_skewed_join_composite,
+    "q70_ivf_pruned_search": q70_ivf_pruned_search,
+    "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
+    "q91_triangle_count": q91_triangle_count,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_filter_comparisons": q2_filter_comparisons,
+    "q3_filter_disjunction_not": q3_filter_disjunction_not,
+    "q4_filter_in_list": q4_filter_in_list,
+    "q5_filter_like": q5_filter_like,
+    "q6_filter_ilike": q6_filter_ilike,
+    "q7_filter_bits": q7_filter_bits,
+    "q8_alias_arithmetic": q8_alias_arithmetic,
+    "q9_alias_math_fn": q9_alias_math_fn,
+    "q10_agg_global": q10_agg_global,
+    "q11_count_star": q11_count_star,
+    "q12_distinct": q12_distinct,
+    "q13_topk_offset": q13_topk_offset,
+    "q14_groupby_nunique": q14_groupby_nunique,
+    "q15_from_subquery": q15_from_subquery,
+    "q16_in_subquery": q16_in_subquery,
+    "q17_not_in_subquery": q17_not_in_subquery,
+    "q18_update_statement": q18_update_statement,
+    "q19_isnull": q19_isnull,
+    "q20_join_broadcast": q20_join_broadcast,
+    "q21_join_multi": q21_join_multi,
+    "q22_window_rank": q22_window_rank,
+    "q23_window_running_sum": q23_window_running_sum,
+    "q24_rollup": q24_rollup,
+    "q25_time_bucket": q25_time_bucket,
+    "q26_dedup_exact_text": q26_dedup_exact_text,
+    "q27_dedup_token_set": q27_dedup_token_set,
+    "q28_text_token_stats": q28_text_token_stats,
+    "q29_lang_id": q29_lang_id,
+    "q30_cosine_topk": q30_cosine_topk,
+    "q32_ngram_jaccard": q32_ngram_jaccard,
     "q77_group_centroids": q77_group_centroids,
     "q78_chunk_dup_stats": q78_chunk_dup_stats,
     "q79_contrastive_dataset": q79_contrastive_dataset,
+    "q80_embedding_quantize": q80_embedding_quantize,
+    "q81_weighted_sample": q81_weighted_sample,
+    "q82_user_funnel": q82_user_funnel,
+    "q83_ngram_novelty": q83_ngram_novelty,
+    "q84_vocab_overlap": q84_vocab_overlap,
+    "q85_fk_orphan_audit": q85_fk_orphan_audit,
+    "q86_table_profile": q86_table_profile,
+    "q87_fuzzy_match": q87_fuzzy_match,
+    "q88_skewed_join": q88_skewed_join,
+    "q89_interval_join": q89_interval_join,
     "q92_event_transitions": q92_event_transitions,
     "q93_time_bucket_ohlc": q93_time_bucket_ohlc,
     "q95_prefix_jaccard_join": q95_prefix_jaccard_join,
@@ -2177,7 +2178,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_neardup_clusters": q99_neardup_clusters,
     "q100_top_revenue_orders": q100_top_revenue_orders,
     "q101_snapshot_diff": q101_snapshot_diff,
-    "q102_pagerank_dangling": q102_pagerank_dangling,
     "q103_salted_aggregate": q103_salted_aggregate,
 }
 

@@ -88,6 +88,8 @@ HEADLINE = [
     "q104_skewed_join_composite",
     "q105_minhash_probe",
     "q106_token_budget_mix",
+    "q107_minhash_index_probe",
+    "q108_token_mix_upsampled",
 ]
 
 
