@@ -1947,6 +1947,66 @@ _Q106_BUDGETS = {"en": 25_000, "de": 9_000, "es": 9_000, "fr": 9_000,
                  "zh": 9_000}
 
 
+def q109_quantile_sketch_audit(spark, sf_dir):
+    """GK quantile sketch under a rank-space envelope gate
+    (operators/sketch.py:quantile_rank_audit — the approx-quantiles
+    analogue of q72's HLL envelope): per source, percentile_approx
+    p50/p95 estimates at accuracy=1000 must be values whose duplicate
+    rank interval intersects the guaranteed window
+    (p ± 1/accuracy) x n. Gated columns are the exact side only — n
+    and the ok booleans — which the oracle replicates as COUNT + TRUE,
+    so an out-of-bound sketch hash-fails. Cost shape at 100 TB: the
+    one-pass GK sketch + a broadcast join of O(groups) estimates and
+    one partial-agg count pass; no sort, no exact-rank machinery."""
+    from qcache_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.quantile_rank_audit(
+        docs, ["source"], "n_chars", [0.5, 0.95], accuracy=1000
+    )
+
+
+def q110_ivf_append_search(spark, sf_dir):
+    """IVF index APPEND (operators/similarity.py:IVFIndex.append —
+    the embeddings analogue of q107's MinHash admission loop): build
+    the index on even vec_ids, write, load (version-checked), append
+    the odd half — assigned to the EXISTING centroids, appended as new
+    files inside the cluster_id partitions, O(batch) — then run the
+    pruned 3-of-8 probe over the grown index. The oracle replays the
+    q70 deterministic pipeline with the BUILD restricted to even ids
+    (stride-seeded init + one Lloyd step) and the ASSIGNMENT over all
+    ids, exactly what build+append produces."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.similarity import (
+        IVF_FORMAT_VERSION,
+        IVFIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    built = emb.filter(F.col("vec_id") % 2 == 0)
+    appended = emb.filter(F.col("vec_id") % 2 == 1)
+    params = {"n_centroids": 8, "iters": 1}
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_ivfapp_{sf_tag}_v{IVF_FORMAT_VERSION}",
+    )
+    # rebuild fresh each run: append is not idempotent (it ADMITS a
+    # batch), so the stable path starts from a clean build every time
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    IVFIndex(built, **params).write(spark, path)
+    index = IVFIndex.load(spark, path, expect=params)
+    index.append(appended)
+    out = index.search(qvec, k=10, n_probe=3)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 def q108_token_mix_upsampled(spark, sf_dir):
     """Mixture UPSAMPLING (operators/sampling.py:token_budget_mix
     epochs — VERDICT r8 item 6): low-resource domains whose budget
@@ -2050,28 +2110,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 9) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-9 ordering:
-    #   1-3   q107 (persisted MinHash index, new), q108 (mixture
-    #         upsampling epochs, new), q72 (first round with an
-    #         envelope oracle — previously the lone rows-only entry):
-    #         never hash-gated before.
-    #   4-10  code-changed this round, so they re-enter the gate:
+    #   1-5   q107 (persisted MinHash index, new), q108 (mixture
+    #         upsampling epochs, new), q109 (GK quantile rank-envelope
+    #         gate, new), q110 (IVF append, new), q72 (first round
+    #         with an envelope oracle — previously the lone rows-only
+    #         entry): never hash-gated before.
+    #   6-12  code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   11-23 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   13-25 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   24-26 q67/q57/q66: flagship heavy pipelines kept under
+    #   26-28 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   27-44 q47-q56, q58-q65: last driver-gated r6/r7 — now the
+    #   29-46 q47-q56, q58-q65: last driver-gated r6/r7 — now the
     #         longest-ungated block.
-    #   45-50 q68/q69/q71/q73/q74/q75: ditto.
-    # Everything below slot 50 (q1/q5/q20/q21, q2-q19, q22-q32/q34,
-    # q70/q104 (r8-gated), q77-q89 (r7/r8-gated), q91-q103 remainder)
-    # stays value-checked every run by the local DuckDB replica
-    # (tests/test_entry_oracle.py auto-parametrizes all entries).
+    #   47-50 q68/q69/q71/q73: ditto.
+    # Everything below slot 50 (q74/q75 (r7-gated), q1/q5/q20/q21,
+    # q2-q19, q22-q32/q34, q70/q104 (r8-gated), q77-q89 (r7/r8-gated),
+    # q91-q103 remainder) stays value-checked every run by the local
+    # DuckDB replica (tests/test_entry_oracle.py auto-parametrizes
+    # all entries).
     "q107_minhash_index_probe": q107_minhash_index_probe,
     "q108_token_mix_upsampled": q108_token_mix_upsampled,
+    "q109_quantile_sketch_audit": q109_quantile_sketch_audit,
+    "q110_ivf_append_search": q110_ivf_append_search,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -2705,6 +2769,81 @@ OPERATOR_ORACLES: dict[str, str] = {
         FROM e, q
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
+    """,
+    # q109: rank-envelope gate for the GK quantile sketch — exact side
+    # (n + TRUE flags) replicable by any engine; see q72's device.
+    "q109_quantile_sketch_audit": """
+        SELECT source,
+               COUNT(n_chars) AS n,
+               TRUE AS ok_p500,
+               TRUE AS ok_p950
+        FROM documents
+        GROUP BY source
+    """,
+    # q110: q70's deterministic IVF replay with the BUILD restricted
+    # to even vec_ids (stride init + one Lloyd step over the built
+    # half) and the ASSIGNMENT over ALL ids — exactly build+append.
+    "q110_ivf_append_search": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+          FROM e WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8
+        ),
+        a0 AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT e.vec_id, e.v, i.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(i.v, i.v)
+                              - 2 * list_dot_product(e.v, i.v), i.ci
+                   ) AS rn
+            FROM e CROSS JOIN init i
+            WHERE e.vec_id % 2 = 0
+          ) WHERE rn = 1
+        ),
+        dims AS (
+          SELECT ci, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM a0
+        ),
+        m AS (
+          SELECT ci, pos, SUM(val) / COUNT(*) AS cv FROM dims GROUP BY ci, pos
+        ),
+        c1 AS (
+          SELECT i.ci, COALESCE(mm.mv, i.v) AS v
+          FROM init i LEFT JOIN (
+            SELECT ci, list(cv ORDER BY pos) AS mv FROM m GROUP BY ci
+          ) mm USING (ci)
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probes AS (
+          SELECT ci FROM c1, q
+          ORDER BY list_dot_product(c1.v, c1.v)
+                   - 2 * list_dot_product(c1.v, q.qv), ci
+          LIMIT 3
+        ),
+        a1 AS (
+          SELECT vec_id, ci FROM (
+            SELECT e.vec_id, c.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(c.v, c.v)
+                              - 2 * list_dot_product(e.v, c.v), c.ci
+                   ) AS rn
+            FROM e CROSS JOIN c1 c
+          ) WHERE rn = 1
+        )
+        SELECT vec_id, ROUND(c, 6) AS cosine FROM (
+          SELECT e.vec_id,
+                 list_dot_product(e.v, q.qv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+          FROM e JOIN a1 USING (vec_id), q
+          WHERE a1.ci IN (SELECT ci FROM probes)
+          ORDER BY c DESC, e.vec_id ASC
+          LIMIT 10
+        )
     """,
     # q107: identical oracle to q105 — the INDEXED probe (build +
     # write + load + append + probe off parquet postings/sets) must

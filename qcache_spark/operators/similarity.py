@@ -153,6 +153,7 @@ class IVFIndex:
             centroids = new_centroids
 
         self.centroids = centroids
+        self.path: str | None = None
         self.assigned = df.withColumn(
             "cluster_id", _assign_udf(centroids)(F.col(vec_col).cast("array<double>"))
         )
@@ -192,6 +193,36 @@ class IVFIndex:
         spark.createDataFrame(
             [(_json.dumps(meta),)], "meta string"
         ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+        self.path = path
+        self.assigned = spark.read.parquet(path)
+
+    def append(self, batch: DataFrame) -> None:
+        """Admit a batch of new vectors (VERDICT r8's ingestion-loop
+        discipline, the MinHashIndex.append analogue for embeddings):
+        assign each batch vector to its nearest EXISTING centroid —
+        the same argmin-L2 kernel the build used, so probes stay
+        consistent with the persisted geometry — and append the
+        assignments as new files inside the cluster_id partitions.
+        O(batch) compute and I/O; centroids are NOT refit (refitting
+        would silently invalidate every previously-assigned vector —
+        rebuild when drift warrants it, the meta sidecar's version
+        check makes stale mixes impossible to serve by accident).
+        Caller owns id uniqueness, as with MinHashIndex.append."""
+        if self.path is None:
+            raise ValueError(
+                "append requires a persisted index — call write() first"
+            )
+        spark = batch.sparkSession
+        assigned = batch.withColumn(
+            "cluster_id",
+            _assign_udf(self.centroids)(
+                F.col(self.vec_col).cast("array<double>")
+            ),
+        )
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(
+            self.path
+        )
+        self.assigned = spark.read.parquet(self.path)
 
     @classmethod
     def load(cls, spark, path: str, expect: dict | None = None) -> "IVFIndex":
@@ -224,6 +255,7 @@ class IVFIndex:
         index.vec_col = meta["vec_col"]
         index.n_centroids = meta["n_centroids"]
         index.iters = meta.get("iters")
+        index.path = path
         index.assigned = spark.read.parquet(path)
         return index
 

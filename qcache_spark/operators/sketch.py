@@ -75,6 +75,65 @@ def hll_estimate(sketches: DataFrame, sketch_col: str = "hll_sketch") -> DataFra
     ).drop(sketch_col)
 
 
+def quantile_rank_audit(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    probabilities: list[float],
+    accuracy: int = 10000,
+    estimates: DataFrame | None = None,
+) -> DataFrame:
+    """Rank-space audit of the Greenwald-Khanna guarantee: for each
+    group and probability p, check that the sketch's estimate is a
+    value whose rank interval intersects the guaranteed window
+    ``[(p - 1/accuracy) x n, (p + 1/accuracy) x n]`` (±1 rank of
+    float slack). Returns one row per group: the keys, ``n``
+    (non-null count) and one ``ok_p{permille}`` boolean per
+    probability.
+
+    This is the externally-checkable form of "the sketch is within
+    its documented bound": the exact side (n and TRUE) is replicable
+    by any engine, while the estimate itself is engine-specific — the
+    same envelope-gate device as the HLL q72 entry. Cost: the sketch
+    pass plus ONE broadcast join of the O(groups) estimates and one
+    partial-agg count pass — no sort, no full-rank materialization.
+
+    ``estimates`` (tests only): inject an estimate frame in
+    ``approx_quantiles_by``'s schema to prove the audit rejects
+    out-of-envelope values.
+
+    A group whose values are all null has n = 0 and null ok flags
+    (no rank window exists to check)."""
+    est = (
+        estimates
+        if estimates is not None
+        else approx_quantiles_by(df, keys, col, probabilities, accuracy)
+    )
+    j = df.join(F.broadcast(est), keys)
+    aggs = [F.count(F.col(col)).alias("n")]
+    for i in range(len(probabilities)):
+        qi = F.col("quantiles")[i]
+        aggs.append(
+            F.sum((F.col(col) < qi).cast("long")).alias(f"__lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col(col) <= qi).cast("long")).alias(f"__le{i}")
+        )
+    g = j.groupBy(*keys).agg(*aggs)
+    out = [*keys, "n"]
+    sel = [F.col(c) for c in out]
+    eps = 1.0 / accuracy
+    for i, p in enumerate(probabilities):
+        # the estimate occupies the rank interval [lt+1, le] (its
+        # duplicate range); GK guarantees SOME rank in the window —
+        # intersection, with ±1 rank of float-rounding slack
+        lo = F.lit(p - eps) * F.col("n") - 1
+        hi = F.lit(p + eps) * F.col("n") + 1
+        ok = (F.col(f"__le{i}") >= lo) & ((F.col(f"__lt{i}") + 1) <= hi)
+        sel.append(ok.alias(f"ok_p{int(round(p * 1000))}"))
+    return g.select(*sel)
+
+
 def approx_quantiles_by(
     df: DataFrame,
     keys: list[str],

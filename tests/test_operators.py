@@ -1413,6 +1413,89 @@ def test_cardinality_estimate_within_rsd(spark, docs):
         assert abs(est[k] - e) <= max(3, 0.06 * e), (k, est[k], e)
 
 
+def test_quantile_rank_audit_envelope_and_rejection(spark):
+    """The audit passes real percentile_approx output (GK guarantee)
+    and REJECTS an injected out-of-envelope estimate — the property
+    that makes q109's TRUE-flag oracle a real gate."""
+    from qcache_spark.operators import sketch
+
+    rows = [(i % 2, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    good = sketch.quantile_rank_audit(
+        df, ["g"], "v", [0.5, 0.95], accuracy=100
+    ).collect()
+    assert len(good) == 2
+    for r in good:
+        assert r["n"] == 500 and r["ok_p500"] and r["ok_p950"]
+    # inject estimates far outside the window: min value for p50
+    # (rank 1 vs window ~[445, 555]) must fail; a mid value passes
+    # p95 values sit AT rank ~475 of 500 (in-window): 948 in the even
+    # group, 949 in the odd group
+    bad = spark.createDataFrame(
+        [(0, [0.0, 948.0]), (1, [1.0, 949.0])],
+        "g bigint, quantiles array<double>",
+    )
+    audited = {
+        r["g"]: r
+        for r in sketch.quantile_rank_audit(
+            df, ["g"], "v", [0.5, 0.95], accuracy=100, estimates=bad
+        ).collect()
+    }
+    assert not audited[0]["ok_p500"] and not audited[1]["ok_p500"]
+    assert audited[0]["ok_p950"] and audited[1]["ok_p950"]
+
+
+def test_ivf_append_assignment_and_search(spark, sf_dir, tmp_path):
+    """IVFIndex.append admits a batch against the EXISTING centroids:
+    appended rows get exactly the assignment the index's own kernel
+    gives them, search sees both halves, and centroids/meta are
+    untouched (no silent refit)."""
+    import numpy as np
+
+    from qcache_spark.operators.similarity import IVFIndex
+    from qcache_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_app")
+    idx0 = IVFIndex(built, n_centroids=4, iters=1)
+    idx0.write(spark, path)
+    idx = IVFIndex.load(spark, path, expect={"n_centroids": 4})
+    centroids_before = [list(c) for c in idx.centroids]
+    idx.append(batch)
+    assert [list(c) for c in idx.centroids] == centroids_before
+    n_built = built.count()
+    n_all = idx.assigned.count()
+    assert n_all == n_built + batch.count()
+    # appended assignments match a brute-force argmin-L2 in python
+    C = np.array(centroids_before)
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in idx.assigned.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "cluster_id")
+        .limit(50)
+        .collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(list(r["embedding"]), dtype=float)
+        for r in batch.filter(F.col("vec_id").isin(list(got)))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for vid, cid in got.items():
+        d2 = ((C - vecs[vid]) ** 2).sum(axis=1)
+        assert int(d2.argmin()) == cid, vid
+    # search over the grown index returns ids from BOTH halves overall
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    hits = idx.search(qvec, k=20, n_probe=4).collect()
+    assert len(hits) == 20
+    assert any(r["vec_id"] % 2 == 1 for r in hits)
+    # append before write() refuses (in-memory divergence guard)
+    with pytest.raises(ValueError, match="write"):
+        IVFIndex(built, n_centroids=4, iters=0).append(batch)
+
+
 def test_hll_sketch_merge_matches_direct(spark, docs):
     """The 100 TB pattern: per-source sketches UNIONED must estimate
     the same as sketching the whole column directly (mergeability is
