@@ -2106,36 +2106,144 @@ def _token_budget_mix_oracle_sql() -> str:
     """
 
 
+def q111_distribution_match(spark, sf_dir):
+    """Largest exact subsample matching a target language distribution
+    (operators/sampling.py:distribution_matched_sample — categorical
+    importance resampling, the DoReMi/DSIR-style mixture-reshaping
+    primitive): integer-exact quotas k_g = floor(w_g * N / W) with
+    N = min_g floor(n_g * W / w_g), selection = the k_g-row prefix of
+    each group's deterministic md5 hash order (via token_budget_mix
+    with unit weights — no per-group single reducer). The oracle
+    replays the identical integer arithmetic and hash-order
+    row_number; 'zh' is deliberately outside the target (dropped)."""
+    from qcache_spark.operators.sampling import distribution_matched_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = distribution_matched_sample(
+        docs, "lang", _Q111_TARGET, key_col="doc_id", seed=0, hash_fn="md5"
+    )
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+_Q111_TARGET = {"en": 5, "de": 2, "es": 2, "fr": 1}
+
+
+def _distribution_match_oracle_sql() -> str:
+    """DuckDB replica of q111: same md5 60-bit hash, same integer
+    quota arithmetic (N = min floor(n*W/w), k = floor(w*N/W)), same
+    per-group hash-order row_number cutoff — generated from the SAME
+    target dict as the entry."""
+    tw = {str(g): int(w) for g, w in _Q111_TARGET.items() if w > 0}
+    W = sum(tw.values())
+    values = ", ".join(f"('{g}', {w})" for g, w in tw.items())
+    return f"""
+        WITH tw AS (SELECT * FROM (VALUES {values}) AS t(lang, w)),
+        cnt AS (
+            SELECT CAST(lang AS VARCHAR) AS lang, COUNT(*) AS n
+            FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+            GROUP BY 1
+        ),
+        nn AS (
+            SELECT MIN((COALESCE(c.n, 0) * {W}) // t.w) AS nt
+            FROM tw t LEFT JOIN cnt c ON c.lang = t.lang
+        ),
+        k AS (SELECT t.lang, (t.w * nn.nt) // {W} AS kq FROM tw t, nn),
+        h AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+            FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        ),
+        r AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rnk
+            FROM h
+        )
+        SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS sample_rank
+        FROM r JOIN k ON k.lang = r.lang
+        WHERE r.rnk <= k.kq
+    """
+
+
+def q112_balanced_shards(spark, sf_dir):
+    """Weight-balanced training-shard assignment
+    (operators/sampling.py:balanced_shards): global rank by
+    (n_chars desc, doc_id) dealt round-robin over 8 shards —
+    per-shard char totals differ pairwise by at most one document's
+    n_chars, so data-parallel readers stay in step. The rank is
+    distributed-exact (range repartition + per-partition windows +
+    broadcast offsets, NO single-reducer global window — plan-asserted
+    in pytest); the oracle replays it as one SQL window, valid at
+    oracle scale."""
+    from qcache_spark.operators.sampling import balanced_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = balanced_shards(
+        docs,
+        "n_chars",
+        _Q112_SHARDS,
+        key_col="doc_id",
+        shard_col="shard",
+        rank_col="shard_rank",
+    )
+    return out.select("doc_id", "n_chars", "shard", "shard_rank")
+
+
+_Q112_SHARDS = 8
+
+
+def _balanced_shards_oracle_sql() -> str:
+    """DuckDB replica of q112: one global window over the identical
+    total order (COALESCE(n_chars,0) DESC, doc_id), round-robin
+    modulo — generated from the SAME shard count as the entry."""
+    return f"""
+        SELECT doc_id, n_chars,
+               CAST((ROW_NUMBER() OVER (
+                   ORDER BY COALESCE(n_chars, 0) DESC, doc_id) - 1)
+                   % {_Q112_SHARDS} AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY COALESCE(n_chars, 0) DESC, doc_id)
+                   AS BIGINT) AS shard_rank
+        FROM documents
+        WHERE doc_id IS NOT NULL
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 9) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-9 ordering:
-    #   1-5   q107 (persisted MinHash index, new), q108 (mixture
+    #   1-7   q107 (persisted MinHash index, new), q108 (mixture
     #         upsampling epochs, new), q109 (GK quantile rank-envelope
-    #         gate, new), q110 (IVF append, new), q72 (first round
-    #         with an envelope oracle — previously the lone rows-only
-    #         entry): never hash-gated before.
-    #   6-12  code-changed this round, so they re-enter the gate:
+    #         gate, new), q110 (IVF append, new), q111 (distribution-
+    #         matched sample, new), q112 (balanced shards, new), q72
+    #         (first round with an envelope oracle — previously the
+    #         lone rows-only entry): never hash-gated before.
+    #   8-14  code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   13-25 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   15-27 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   26-28 q67/q57/q66: flagship heavy pipelines kept under
+    #   28-30 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   29-46 q47-q56, q58-q65: last driver-gated r6/r7 — now the
+    #   31-48 q47-q56, q58-q65: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    #   47-50 q68/q69/q71/q73: ditto.
-    # Everything below slot 50 (q74/q75 (r7-gated), q1/q5/q20/q21,
-    # q2-q19, q22-q32/q34, q70/q104 (r8-gated), q77-q89 (r7/r8-gated),
-    # q91-q103 remainder) stays value-checked every run by the local
-    # DuckDB replica (tests/test_entry_oracle.py auto-parametrizes
-    # all entries).
+    #   49-50 q68/q69: ditto.
+    # Everything below slot 50 (q71/q73 — displaced by the two new
+    # entries, rotate back next round — q74/q75 (r7-gated),
+    # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
+    # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
+    # every run by the local DuckDB replica
+    # (tests/test_entry_oracle.py auto-parametrizes all entries).
     "q107_minhash_index_probe": q107_minhash_index_probe,
     "q108_token_mix_upsampled": q108_token_mix_upsampled,
     "q109_quantile_sketch_audit": q109_quantile_sketch_audit,
     "q110_ivf_append_search": q110_ivf_append_search,
+    "q111_distribution_match": q111_distribution_match,
+    "q112_balanced_shards": q112_balanced_shards,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -2180,11 +2288,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_stream_enrich": q65_stream_enrich,
     "q68_sequence_packing": q68_sequence_packing,
     "q69_rollup_qgrammar": q69_rollup_qgrammar,
+    # ---- below the 50-slot gate cap --------------------------------
     "q71_dedup_clusters": q71_dedup_clusters,
     "q73_asof_forward": q73_asof_forward,
     "q74_event_gaps": q74_event_gaps,
     "q75_negative_sampling": q75_negative_sampling,
-    # ---- below the 50-slot gate cap --------------------------------
     "q104_skewed_join_composite": q104_skewed_join_composite,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
@@ -4162,6 +4270,8 @@ def oracle_sql() -> dict[str, str]:
     out["q54_hash_split"] = _hash_split_oracle_sql()
     out["q106_token_budget_mix"] = _token_budget_mix_oracle_sql()
     out["q108_token_mix_upsampled"] = _token_mix_upsampled_oracle_sql()
+    out["q111_distribution_match"] = _distribution_match_oracle_sql()
+    out["q112_balanced_shards"] = _balanced_shards_oracle_sql()
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()

@@ -369,6 +369,7 @@ def token_budget_mix(
     cum_col: str = "cum_weight",
     epochs: int = 1,
     epoch_col: str = "epoch",
+    _family: str = _TOKEN_MIX_FAMILY,
 ) -> DataFrame:
     """Domain-mixture selection under per-domain token budgets: for
     each domain, keep documents in deterministic hash order until the
@@ -442,7 +443,7 @@ def token_budget_mix(
     # pinned: downstream cumsum reads this materialization's __pid
     # layout (same ADVICE r8 argument as curriculum_buckets above)
     ranged = opcache.cache(
-        df.sparkSession, _TOKEN_MIX_FAMILY, ranged, pinned=True
+        df.sparkSession, _family, ranged, pinned=True
     )
 
     gs = F.col(domain_col).cast("string")
@@ -461,14 +462,14 @@ def token_budget_mix(
     )  # O(partitions x domains) — the only driver-side data
     neg = min((r["__wmin"] for r in counts), default=0)
     if neg is not None and neg < 0:
-        opcache.release(df.sparkSession, _TOKEN_MIX_FAMILY)
+        opcache.release(df.sparkSession, _family)
         raise ValueError(
             f"token_budget_mix: negative weight {neg} in {weight_col!r} — "
             "cumulative budgets require non-negative weights (filter or "
             "clamp upstream)"
         )
     if not counts:
-        opcache.release(df.sparkSession, _TOKEN_MIX_FAMILY)
+        opcache.release(df.sparkSession, _family)
         return (
             ranged.withColumn(cum_col, F.lit(0).cast("long"))
             .withColumn(epoch_col, F.lit(1).cast("int"))
@@ -633,3 +634,185 @@ def weighted_sample(
         * F.lit(frac_scale).cast("decimal(38,0)")
         < w_scaled * F.lit(HASH_SCALE).cast("decimal(38,0)")
     )
+
+
+_DIST_MATCH_FAMILY = "sampling.dist_match"
+
+
+def distribution_matched_sample(
+    df: DataFrame,
+    group_col: str,
+    target: dict,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "md5",
+    num_partitions: int | None = None,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Largest exact subsample matching a target group distribution:
+    the categorical form of importance resampling ("reshape the corpus
+    to 80% en / 10% de / 10% es"), the primitive behind
+    distribution-matched mixture construction (cf. DoReMi / DSIR-style
+    domain reweighting, arXiv:2305.10429 / 2302.03169 — here with an
+    observed categorical feature rather than a learned score).
+
+    ``target`` maps the group's STRING rendering to a non-negative
+    integer weight; proportions are ``w_g / W`` with ``W = sum(w)``.
+    All arithmetic is integer-exact so any engine reproduces the same
+    boundary (no float proportions):
+
+        N   = min over {g : w_g > 0} of  floor(n_g * W / w_g)
+        k_g = floor(w_g * N / W)
+
+    ``N`` is the largest total for which every budgeted group can
+    supply its share from the corpus counts ``n_g``; a targeted group
+    absent from the data forces ``N = 0`` (an unachievable spec
+    returns the empty frame rather than a silently skewed one).
+    Groups with ``w_g = 0`` or outside ``target`` are dropped.
+
+    Selection within each group is the ``k_g``-row prefix of the
+    deterministic (seed, key) hash order — the module's standard
+    device, so the subsample is reproducible across engines/runs and
+    stable under corpus growth everywhere except where the grown
+    counts move the ``k_g`` boundaries themselves.
+
+    Scale shape: one O(groups) count collect, then exactly
+    :func:`token_budget_mix` with unit weights (budgets = ``k_g``) —
+    the distributed-exact grouped prefix with NO per-group single
+    reducer; see that function's plan notes. Returns the selected
+    rows plus ``rank_col`` (1-based position in the group's hash
+    order, <= ``k_g``).
+    """
+    if not target:
+        raise ValueError("target must be non-empty")
+    if any(w < 0 for w in target.values()):
+        raise ValueError("target weights must be non-negative")
+    W = sum(int(w) for w in target.values())
+    if W <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    gs = F.col(group_col).cast("string")
+    budgeted = {str(g): int(w) for g, w in target.items() if w > 0}
+    counts = {
+        r["__g"]: r["__n"]
+        for r in (
+            df.filter(
+                gs.isin(*budgeted) & F.col(key_col).isNotNull()
+            )
+            .groupBy(gs.alias("__g"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+    }  # O(groups) scalars — the only extra driver-side data
+    n_total = min(
+        (counts.get(g, 0) * W) // w for g, w in budgeted.items()
+    )
+    quotas = {g: (w * n_total) // W for g, w in budgeted.items()}
+    out = token_budget_mix(
+        df.withColumn("__one", F.lit(1)),
+        group_col,
+        "__one",
+        quotas,
+        key_col=key_col,
+        seed=seed,
+        hash_fn=hash_fn,
+        num_partitions=num_partitions,
+        cum_col=rank_col,
+        _family=_DIST_MATCH_FAMILY,
+    )
+    return out.drop("__one", "epoch")
+
+
+_SHARDS_FAMILY = "sampling.shards"
+
+
+def balanced_shards(
+    df: DataFrame,
+    weight_col: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Weight-balanced shard assignment for training-data output:
+    rank all rows by (weight desc, key asc) and deal them round-robin
+    across ``n_shards`` — the classic size-descending round-robin,
+    whose per-shard weight totals differ PAIRWISE by at most the
+    single largest weight: for shards a < b, each round's gap
+    ``w[rK+a] - w[rK+b]`` is >= 0 and bounded by ``w[rK+a] -
+    w[(r+1)K+a]`` (the next round's a-item is even smaller than this
+    round's b-item), so the gaps telescope to <= max(w).
+    Writing training shards balanced by TOKEN COUNT (not row count) is
+    what keeps data-parallel readers in step; a hash-partitioned write
+    leaves long-document shards dominating an epoch's tail.
+
+    Deterministic: the rank order is total (ties broken by the unique
+    key), so re-runs and engine changes produce the identical
+    assignment — the oracle replays it as one SQL window. NULL keys
+    are excluded (no stable identity); NULL weights sort as 0 via
+    coalesce (documented, not silent: the row still gets a shard).
+
+    DISTRIBUTED exact global rank — the curriculum_buckets device
+    (see its plan notes; same shape, different final arithmetic): one
+    ``repartitionByRange`` on the sort key, per-partition
+    ``row_number`` windows, O(partitions) count scalars to the driver,
+    broadcast offsets back; NO single-reducer global window. Returns
+    the input rows plus ``shard_col`` (0-based) and, when ``rank_col``
+    is given, the 1-based global rank."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    w = F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
+    base = df.filter(F.col(key_col).isNotNull()).withColumn("__w", w)
+    order = [F.col("__w").desc(), F.col(key_col).asc()]
+    if num_partitions is None:
+        ranged = base.repartitionByRange(*order)
+    else:
+        ranged = base.repartitionByRange(num_partitions, *order)
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    # pinned: the returned plan's rank arithmetic reads the collected
+    # per-__pid offsets of THIS materialization (ADVICE r8 — same
+    # argument as curriculum_buckets)
+    ranged = opcache.cache(
+        df.sparkSession, _SHARDS_FAMILY, ranged, pinned=True
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )  # O(num_partitions) rows — the only driver-side data
+    if not counts:
+        opcache.release(df.sparkSession, _SHARDS_FAMILY)
+        out = ranged.withColumn(shard_col, F.lit(None).cast("int"))
+        if rank_col is not None:
+            out = out.withColumn(rank_col, F.lit(None).cast("long"))
+        return out.drop("__w", "__pid")
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    if len(offsets) <= LITERAL_MAP_MAX:
+        based = ranged
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("__pid"),
+        )
+    else:
+        # 10^4+ partitions: broadcast-join the offsets, O(1) plan size
+        odf = df.sparkSession.createDataFrame(
+            list(offsets.items()), "__opid int, __off long"
+        )
+        based = ranged.join(
+            F.broadcast(odf), F.col("__pid") == F.col("__opid")
+        ).drop("__opid")
+        off = F.col("__off")
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
+    rank = (off + local).cast("long")  # 1-based global rank, exact
+    out = based.withColumn(
+        shard_col, F.pmod(rank - 1, F.lit(int(n_shards))).cast("int")
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, rank)
+    return out.drop("__w", "__pid", "__off")

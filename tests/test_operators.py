@@ -375,6 +375,110 @@ def test_token_budget_mix_upsampling_epochs(spark):
         token_budget_mix(df, "domain", "n_tok", budgets, epochs=0)
 
 
+def test_distribution_matched_sample(spark):
+    """Integer-exact quotas: N = min floor(n*W/w), k = floor(w*N/W);
+    selection is each group's hash-order prefix; an unachievable
+    target (a group absent from the data) returns empty rather than a
+    skewed sample."""
+    from collections import Counter
+
+    from qcache_spark.operators.sampling import (
+        distribution_matched_sample,
+        hash60,
+    )
+
+    # counts: en=60, de=25, es=15; target 6:2:2 (W=10)
+    # N = min(60*10//6, 25*10//2, 15*10//2) = min(100, 125, 75) = 75
+    # k = {en: 6*75//10=45, de: 2*75//10=15, es: 15}
+    rows = [
+        (i, "en" if i < 60 else ("de" if i < 85 else "es"))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    target = {"en": 6, "de": 2, "es": 2}
+    out = distribution_matched_sample(df, "lang", target).collect()
+    c = Counter(r["lang"] for r in out)
+    assert c == {"en": 45, "de": 15, "es": 15}
+    # achieved proportions are the floor-exact best: 45/75, 15/75, 15/75
+    # selection per group = the k-prefix of the md5 hash order
+    hcol = hash60(F.col("doc_id"), 0, "md5")
+    for lang, k in [("en", 45), ("de", 15), ("es", 15)]:
+        order = [
+            r["doc_id"]
+            for r in df.filter(F.col("lang") == lang)
+            .select("doc_id", hcol.alias("h"))
+            .orderBy("h", "doc_id")
+            .collect()
+        ]
+        sel = sorted(r["doc_id"] for r in out if r["lang"] == lang)
+        assert sel == sorted(order[:k]), lang
+        ranks = sorted(r["sample_rank"] for r in out if r["lang"] == lang)
+        assert ranks == list(range(1, k + 1))
+    # stable under a different physical layout
+    again = distribution_matched_sample(
+        df.repartition(3), "lang", target, num_partitions=2
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    # a targeted group with no rows forces N = 0 -> empty, loudly not skewed
+    assert (
+        distribution_matched_sample(df, "lang", {"en": 1, "xx": 1}).count()
+        == 0
+    )
+    # zero-weight groups are dropped from the sample entirely
+    no_es = distribution_matched_sample(
+        df, "lang", {"en": 1, "de": 1, "es": 0}
+    ).collect()
+    assert all(r["lang"] != "es" for r in no_es)
+    with pytest.raises(ValueError):
+        distribution_matched_sample(df, "lang", {})
+    with pytest.raises(ValueError):
+        distribution_matched_sample(df, "lang", {"en": -1})
+    with pytest.raises(ValueError):
+        distribution_matched_sample(df, "lang", {"en": 0})
+
+
+def test_balanced_shards(spark):
+    """Size-descending round-robin: assignment equals the sequential
+    replica, per-shard weight totals differ by at most the largest
+    single weight, and the result is stable under repartitioning."""
+    from qcache_spark.operators.sampling import balanced_shards
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(101)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = balanced_shards(
+        df, "n_tok", 7, key_col="doc_id", rank_col="rk", num_partitions=5
+    ).collect()
+    assert len(out) == 101
+    assert all(0 <= r["shard"] < 7 for r in out)
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    expect = {r[0]: i % 7 for i, r in enumerate(order)}
+    assert {r["doc_id"]: r["shard"] for r in out} == expect
+    assert {r["doc_id"]: r["rk"] for r in out} == {
+        r[0]: i + 1 for i, r in enumerate(order)
+    }
+    # balance bound: pairwise shard-total gap <= max single weight
+    sums: dict = {}
+    w = dict(rows)
+    for r in out:
+        sums[r["shard"]] = sums.get(r["shard"], 0) + w[r["doc_id"]]
+    assert max(sums.values()) - min(sums.values()) <= max(w.values())
+    # stable under a different physical layout
+    again = balanced_shards(
+        df.repartition(3), "n_tok", 7, key_col="doc_id"
+    ).collect()
+    assert {r["doc_id"]: r["shard"] for r in again} == expect
+    # null weight sorts as 0 (still assigned); null key excluded
+    extra = spark.createDataFrame(
+        [(900, None), (None, 50)], ["doc_id", "n_tok"]
+    )
+    out2 = balanced_shards(df.union(extra), "n_tok", 7).collect()
+    assert len(out2) == 102
+    ranked = {r["doc_id"] for r in out2}
+    assert 900 in ranked and None not in ranked
+    with pytest.raises(ValueError):
+        balanced_shards(df, "n_tok", 0)
+
+
 def test_minhash_sensitivity(docs):
     # sanity at testdata scale: runs, returns plausible jaccards
     pairs = dedup.minhash_lsh_pairs(
