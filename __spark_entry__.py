@@ -2210,30 +2210,73 @@ def _balanced_shards_oracle_sql() -> str:
     """
 
 
+def q113_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split (operators/sampling.py:
+    cluster_split): assignment keyed on the near-dup CLUSTER id
+    (q71's connected components over the q66 shared-span pair graph),
+    so near-duplicate documents can never straddle the split — the
+    eval-contamination guard a per-document split lacks. The oracle
+    wraps the q71 recursive-CTE clustering (already individually
+    gated) and applies the q54 md5 threshold device to the cluster
+    id; gating (doc_id, split) end-to-end checks the composition:
+    any clustering or threshold drift flips a split value."""
+    from qcache_spark.operators.sampling import cluster_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.shared_ngram_pairs(docs, n=8)
+    clusters = _dedup.dedup_clusters(pairs, docs.select("doc_id"))
+    out = cluster_split(
+        docs, clusters, _Q113_WEIGHTS, seed=11, hash_fn="md5"
+    )
+    return out.select("doc_id", "split")
+
+
+_Q113_WEIGHTS = {"train": 0.9, "test": 0.1}
+
+
+def _cluster_safe_split_oracle_sql() -> str:
+    """DuckDB replica of q113: the q71 clustering SQL (verbatim, one
+    source of truth) as a derived table, then the q54 integer-
+    threshold split keyed on the cluster id — thresholds taken from
+    sampling.split_thresholds on the SAME weights dict as the
+    entry."""
+    (train_name, train_t), = _sampling.split_thresholds(_Q113_WEIGHTS)
+    seed = 11
+    return f"""
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('{seed}:' ||
+                        CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                        < {train_t}
+                    THEN '{train_name}' ELSE 'test' END AS split
+        FROM ({OPERATOR_ORACLES['q71_dedup_clusters']}) labels
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 9) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-9 ordering:
-    #   1-7   q107 (persisted MinHash index, new), q108 (mixture
+    #   1-8   q107 (persisted MinHash index, new), q108 (mixture
     #         upsampling epochs, new), q109 (GK quantile rank-envelope
     #         gate, new), q110 (IVF append, new), q111 (distribution-
-    #         matched sample, new), q112 (balanced shards, new), q72
-    #         (first round with an envelope oracle — previously the
-    #         lone rows-only entry): never hash-gated before.
-    #   8-14  code-changed this round, so they re-enter the gate:
+    #         matched sample, new), q112 (balanced shards, new), q113
+    #         (cluster-safe split, new), q72 (first round with an
+    #         envelope oracle — previously the lone rows-only entry):
+    #         never hash-gated before.
+    #   9-15  code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   15-27 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   16-28 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   28-30 q67/q57/q66: flagship heavy pipelines kept under
+    #   29-31 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   31-48 q47-q56, q58-q65: last driver-gated r6/r7 — the
+    #   32-49 q47-q56, q58-q65: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    #   49-50 q68/q69: ditto.
-    # Everything below slot 50 (q71/q73 — displaced by the two new
-    # entries, rotate back next round — q74/q75 (r7-gated),
+    #   50    q68: ditto.
+    # Everything below slot 50 (q69/q71/q73 — displaced by the three
+    # new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2244,6 +2287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_ivf_append_search": q110_ivf_append_search,
     "q111_distribution_match": q111_distribution_match,
     "q112_balanced_shards": q112_balanced_shards,
+    "q113_cluster_safe_split": q113_cluster_safe_split,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -2287,8 +2331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_stratified_sample": q64_stratified_sample,
     "q65_stream_enrich": q65_stream_enrich,
     "q68_sequence_packing": q68_sequence_packing,
-    "q69_rollup_qgrammar": q69_rollup_qgrammar,
     # ---- below the 50-slot gate cap --------------------------------
+    "q69_rollup_qgrammar": q69_rollup_qgrammar,
     "q71_dedup_clusters": q71_dedup_clusters,
     "q73_asof_forward": q73_asof_forward,
     "q74_event_gaps": q74_event_gaps,
@@ -4272,6 +4316,7 @@ def oracle_sql() -> dict[str, str]:
     out["q108_token_mix_upsampled"] = _token_mix_upsampled_oracle_sql()
     out["q111_distribution_match"] = _distribution_match_oracle_sql()
     out["q112_balanced_shards"] = _balanced_shards_oracle_sql()
+    out["q113_cluster_safe_split"] = _cluster_safe_split_oracle_sql()
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()

@@ -90,6 +90,8 @@ HEADLINE = [
     "q106_token_budget_mix",
     "q107_minhash_index_probe",
     "q108_token_mix_upsampled",
+    "q111_distribution_match",
+    "q112_balanced_shards",
 ]
 
 

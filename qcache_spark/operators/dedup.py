@@ -636,18 +636,33 @@ class MinHashIndex:
     def write(self, spark, path: str) -> None:
         """Persist postings + sets + meta sidecar. ``overwrite`` keeps
         rewrites idempotent (same discipline as IVFIndex.write)."""
-        import json as _json
+        import os as _os
 
+        if self.path is not None and _os.path.abspath(
+            path
+        ) == _os.path.abspath(self.path):
+            # Re-writing a disk-backed index onto its own path:
+            # postings/sets READ that path, so an overwrite would
+            # delete the files mid-scan (FAILED_READ_FILE; same guard
+            # as IVFIndex.write). The data there is already canonical;
+            # only the meta sidecar needs refreshing.
+            self._write_meta(spark, path)
+            return
         self.postings.write.mode("overwrite").partitionBy("_band").parquet(
             path + "/postings"
         )
         self.sets.write.mode("overwrite").parquet(path + "/sets")
+        self._write_meta(spark, path)
+        self.path = path
+        self._reload(spark)
+
+    def _write_meta(self, spark, path: str) -> None:
+        import json as _json
+
         meta = {"format_version": MINHASH_FORMAT_VERSION, **self._params()}
         spark.createDataFrame(
             [(_json.dumps(meta),)], "meta string"
         ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
-        self.path = path
-        self._reload(spark)
 
     @classmethod
     def load(cls, spark, path: str, expect: dict | None = None) -> "MinHashIndex":

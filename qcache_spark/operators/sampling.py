@@ -722,6 +722,53 @@ def distribution_matched_sample(
     return out.drop("__one", "epoch")
 
 
+def cluster_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_id_col: str = "cluster_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test split: assignment is keyed on the
+    near-dup CLUSTER id, not the document id, so two near-duplicate
+    documents can never straddle the split boundary — the standard
+    eval-contamination failure of a per-document split (train on one
+    copy, test on its paraphrase). Composes with any cluster map:
+    exact-dup groups, MinHash-LSH + connected components
+    (``dedup.dedup_clusters``), or embedding near-dup clusters.
+
+    ``clusters`` holds (``id_col``, ``cluster_id_col``); documents
+    without a cluster row key on their OWN id (singleton semantics,
+    matching dedup_clusters' self-labeling). Assignment is
+    :func:`train_test_split` on the cluster key — a pure function of
+    (seed, cluster id), so it inherits every guarantee of the module
+    (deterministic, engine-portable with md5, stable under
+    re-partitioning and corpus growth; a cluster that grows keeps its
+    split).
+
+    Scale shape: ONE equi-join on the id (broadcast when the cluster
+    map is small — it only needs rows for clustered docs — shuffled
+    otherwise) + a scan-stage hash; nothing else moves.
+    """
+    cl = clusters.select(
+        F.col(id_col).alias("__cid"),
+        F.col(cluster_id_col).alias("__ckey_raw"),
+    )
+    joined = df.join(cl, F.col(id_col) == F.col("__cid"), "left").drop(
+        "__cid"
+    )
+    keyed = joined.withColumn(
+        "__ckey", F.coalesce(F.col("__ckey_raw"), F.col(id_col))
+    ).drop("__ckey_raw")
+    return train_test_split(
+        keyed, "__ckey", weights, seed=seed, hash_fn=hash_fn,
+        out_col=out_col,
+    ).drop("__ckey")
+
+
 _SHARDS_FAMILY = "sampling.shards"
 
 

@@ -175,9 +175,26 @@ class IVFIndex:
         """Persist the assigned table partitioned by cluster_id: a
         probe then reads only n_probe/n_centroids of the FILES
         (partition prune on the file index — the IVF scale story)."""
+        import os as _os
+
+        if self.path is not None and _os.path.abspath(
+            path
+        ) == _os.path.abspath(self.path):
+            # Re-writing a disk-backed index onto its own path:
+            # `assigned` READS that path, so an overwrite would delete
+            # the files mid-scan (FAILED_READ_FILE). The data there is
+            # already canonical (write/append put it there); only the
+            # meta sidecar needs refreshing.
+            self._write_meta(spark, path)
+            return
+        self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        self._write_meta(spark, path)
+        self.path = path
+        self.assigned = spark.read.parquet(path)
+
+    def _write_meta(self, spark, path: str) -> None:
         import json as _json
 
-        self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
         meta = {
             "format_version": IVF_FORMAT_VERSION,
             "centroids": self.centroids,
@@ -193,8 +210,6 @@ class IVFIndex:
         spark.createDataFrame(
             [(_json.dumps(meta),)], "meta string"
         ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
-        self.path = path
-        self.assigned = spark.read.parquet(path)
 
     def append(self, batch: DataFrame) -> None:
         """Admit a batch of new vectors (VERDICT r8's ingestion-loop

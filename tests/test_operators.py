@@ -237,6 +237,13 @@ def test_minhash_index_probe_parity_and_append(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError):
         dedup.MinHashIndex(part_a, num_perm=64, bands=7)
 
+    # re-writing a disk-backed index onto its OWN path must not
+    # self-overwrite the files it reads (meta-only refresh; same
+    # regression class as test_ivf_write_is_idempotent)
+    loaded.write(spark, path)
+    again = dedup.MinHashIndex.load(spark, path)
+    assert key(again.probe(batch, verify_threshold=0.3).collect()) == got2
+
 
 def test_minhash_index_probe_plan_has_no_corpus_shuffle(spark, sf_dir, tmp_path):
     """The probe's scale contract: stored postings reach the cap
@@ -1736,6 +1743,86 @@ def test_curriculum_buckets_no_global_single_partition_sort(spark, docs):
     for line in plan.splitlines():
         if "Window " in line:
             assert "windowspecdefinition(__pid" in line or "__pid" in line, line
+
+
+def test_cluster_split_leakage_safety(spark):
+    """Every cluster lands entirely in ONE split (the leakage
+    property); unclustered docs key on their own id (identical to a
+    plain train_test_split); assignment is deterministic and matches
+    the per-cluster hash replica."""
+    from qcache_spark.operators.sampling import (
+        cluster_split,
+        hash60,
+        split_thresholds,
+        train_test_split,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # clusters: docs 0-9 -> cluster 0, 10-14 -> cluster 10; rest absent
+    cl = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(i, 10) for i in range(10, 15)],
+        ["doc_id", "cluster_id"],
+    )
+    weights = {"train": 0.8, "test": 0.2}
+    out = cluster_split(df, cl, weights, seed=3, hash_fn="md5").collect()
+    assert len(out) == 100
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    # leakage property: one split per cluster
+    assert len({by_id[i] for i in range(10)}) == 1
+    assert len({by_id[i] for i in range(10, 15)}) == 1
+    # cluster split == hash of the cluster id with the same thresholds
+    (train_name, t), = split_thresholds(weights)
+    h0 = spark.range(1).select(
+        hash60(F.lit(0).cast("long"), 3, "md5").alias("h")
+    ).collect()[0]["h"]
+    assert by_id[0] == ("train" if h0 < t else "test")
+    # unclustered docs behave exactly like a per-doc split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(
+            df.filter(F.col("doc_id") >= 15), "doc_id", weights,
+            seed=3, hash_fn="md5",
+        ).collect()
+    }
+    assert {i: by_id[i] for i in range(15, 100)} == plain
+    # deterministic under repartitioning
+    again = cluster_split(
+        df.repartition(7), cl.repartition(2), weights, seed=3,
+        hash_fn="md5",
+    ).collect()
+    assert {r["doc_id"]: r["split"] for r in again} == by_id
+
+
+def test_balanced_shards_no_global_single_partition_sort(spark, docs):
+    """Scale guard: the global rank behind the shard deal must come
+    from per-partition windows over the range repartition, never a
+    single-reducer global Window (same contract as curriculum_buckets,
+    whose device it reuses)."""
+    from qcache_spark.operators import sampling
+
+    df = sampling.balanced_shards(docs, "n_chars", 8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, line
+
+
+def test_distribution_matched_sample_no_single_partition(spark, docs):
+    """Scale guard: the per-group prefix selection inherits
+    token_budget_mix's distributed plan — no SinglePartition exchange,
+    windows keyed on the partition id."""
+    from qcache_spark.operators import sampling
+
+    df = sampling.distribution_matched_sample(
+        docs, "lang", {"en": 3, "de": 1}
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, line
 
 
 def test_group_centroids_vectors_and_reproducibility(spark, embeddings):

@@ -197,11 +197,47 @@ def main_shared(runs: int) -> None:
     print(json.dumps({"sweep": out, "runs": runs}))
 
 
+def main_merge(paths: list[str]) -> None:
+    """Merge N sweep_fresh.json passes into one block: min per
+    (query, point) across passes, exponents recomputed — the r7
+    protocol ("min per point across two full fresh-JVM sweeps").
+    Writes the merged block to FRESH_OUT and prints it."""
+    merged: dict[str, dict[float, float]] = {}
+    runs = 0
+    for p in paths:
+        with open(p) as f:
+            blk = json.load(f)
+        runs = max(runs, blk.get("runs", 0))
+        for q, d in blk["sweep"].items():
+            pts = merged.setdefault(q, {})
+            for sf_s, t in d["t_sec"].items():
+                sf = float(sf_s)
+                pts[sf] = min(pts[sf], t) if sf in pts else t
+    out = {
+        "protocol": "fresh-jvm-per-query-point",
+        "runs": runs,
+        "note": f"min per point across {len(paths)} full fresh-JVM "
+                f"sweep passes ({runs} timed runs each)",
+        "sweep": {
+            q: {
+                "t_sec": {f"{s:g}": pts[s] for s in sorted(pts)},
+                "exponent": _exponents(pts),
+            }
+            for q, pts in merged.items()
+        },
+    }
+    with open(FRESH_OUT, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if args[:1] == ["--worker"]:
         worker(args[1], args[2], int(args[3]))
     elif args[:1] == ["--shared-jvm"]:
         main_shared(int(args[1]) if len(args) > 1 else 3)
+    elif args[:1] == ["--merge"]:
+        main_merge(args[1:])
     else:
         main_fresh(int(args[0]) if args else 2)
