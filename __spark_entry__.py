@@ -2234,6 +2234,71 @@ def q113_cluster_safe_split(spark, sf_dir):
 _Q113_WEIGHTS = {"train": 0.9, "test": 0.1}
 
 
+def q114_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
+    embeddings table (operators/similarity.py:semantic_dedup):
+    deterministic k-means — the q70 IVF build, 8 stride-seeded
+    centroids + 1 Lloyd step with empty-cluster carryover — then
+    within each cluster every vector with a LOWER-id neighbor at
+    cosine >= 0.40 is dropped (this corpus's near-dup band is cosine
+    0.40-0.51, the q34 pairs; the "dominated by a smaller id" policy
+    is order-free, so the kept set is partition-invariant). The
+    quadratic stage is confined within clusters: ONE self-join keyed
+    on cluster_id over an opcache'd (id, vector, norm) base. The
+    oracle replays the ENTIRE pipeline — the q70 clustering CTEs plus
+    a NOT EXISTS dominated filter — and cluster ids are part of the
+    gated output, so assignment drift fails the hash, not just
+    membership. Cross-engine float stability: assignment algebra is
+    q70's (c.c - 2 x.c), the cosine kernel is q51's (index-order
+    fold = DuckDB list_dot_product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _similarity.semantic_dedup(
+        emb, n_centroids=8, iters=1, threshold=0.40
+    ).select("vec_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+def q115_minhash_compacted_probe(spark, sf_dir):
+    """q107's index lifecycle plus COMPACTION (operators/dedup.py:
+    MinHashIndex.compact): build postings+sets from doc_id %4 in
+    {1,2}, append %4==3 (a second file round inside every _band=
+    partition), then compact — postings rewritten into ONE
+    bucket-sorted file per band under generation-1 dirs, the meta
+    sidecar's generation pointer flipped, superseded dirs removed —
+    reload from disk (load() must follow the pointer) and probe
+    %4==0 off the compacted files. Gated by the same brute-force
+    batch x corpus Jaccard oracle as q105/q107: compaction must be
+    result-invisible while collapsing append small files (365 daily
+    admissions = 365 files per band otherwise; each probe then pays
+    per-file footer opens and loses _bucket row-group pruning)."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.dedup import (
+        MINHASH_FORMAT_VERSION,
+        MinHashIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    built = docs.filter((F.col("doc_id") % 4 == 1) | (F.col("doc_id") % 4 == 2))
+    appended = docs.filter(F.col("doc_id") % 4 == 3)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_minhash_compact_{sf_tag}_v{MINHASH_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    idx = MinHashIndex(built)
+    idx.write(spark, path)
+    idx.append(appended)
+    idx.compact()
+    index = MinHashIndex.load(spark, path)
+    return index.probe(batch, verify_threshold=0.5).select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _cluster_safe_split_oracle_sql() -> str:
     """DuckDB replica of q113: the q71 clustering SQL (verbatim, one
     source of truth) as a derived table, then the q54 integer-
@@ -2256,27 +2321,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 9) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-9 ordering:
-    #   1-8   q107 (persisted MinHash index, new), q108 (mixture
+    #   1-10  q107 (persisted MinHash index, new), q108 (mixture
     #         upsampling epochs, new), q109 (GK quantile rank-envelope
     #         gate, new), q110 (IVF append, new), q111 (distribution-
     #         matched sample, new), q112 (balanced shards, new), q113
-    #         (cluster-safe split, new), q72 (first round with an
-    #         envelope oracle — previously the lone rows-only entry):
-    #         never hash-gated before.
-    #   9-15  code-changed this round, so they re-enter the gate:
+    #         (cluster-safe split, new), q114 (SemDeDup semantic
+    #         dedup, new), q115 (probe off a COMPACTED MinHash index,
+    #         new), q72 (first round with an envelope oracle —
+    #         previously the lone rows-only entry): never hash-gated
+    #         before.
+    #   11-17 code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   16-28 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   18-30 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   29-31 q67/q57/q66: flagship heavy pipelines kept under
+    #   31-33 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   32-49 q47-q56, q58-q65: last driver-gated r6/r7 — the
+    #   34-50 q47-q56, q58-q64: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    #   50    q68: ditto.
-    # Everything below slot 50 (q69/q71/q73 — displaced by the three
-    # new entries, rotate back next round — q74/q75 (r7-gated),
+    # Everything below slot 50 (q65/q68/q69/q71/q73 — displaced by
+    # the five new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2288,6 +2354,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_distribution_match": q111_distribution_match,
     "q112_balanced_shards": q112_balanced_shards,
     "q113_cluster_safe_split": q113_cluster_safe_split,
+    "q114_semantic_dedup": q114_semantic_dedup,
+    "q115_minhash_compacted_probe": q115_minhash_compacted_probe,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -3169,6 +3237,67 @@ OPERATOR_ORACLES: dict[str, str] = {
           WHERE a1.ci IN (SELECT ci FROM probes)
           ORDER BY c DESC, e.vec_id ASC
           LIMIT 10
+        )
+    """,
+    # q114: the q70 deterministic-k-means CTEs (init = 8 lowest
+    # vec_ids, argmin c.c - 2 x.c with first-wins tiebreak, per-dim
+    # mean refine with empty-cluster carryover, re-assign) followed by
+    # SemDeDup's dominated filter: drop a vector iff a LOWER-id vector
+    # in the SAME cluster has cosine >= 0.40 with it. Cosine algebra
+    # is q51's (list_dot_product / norms), already pinned stable
+    # cross-engine at this exact threshold on this corpus.
+    "q114_semantic_dedup": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+          FROM e ORDER BY vec_id LIMIT 8
+        ),
+        a0 AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT e.vec_id, e.v, i.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(i.v, i.v)
+                              - 2 * list_dot_product(e.v, i.v), i.ci
+                   ) AS rn
+            FROM e CROSS JOIN init i
+          ) WHERE rn = 1
+        ),
+        dims AS (
+          SELECT ci, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM a0
+        ),
+        m AS (
+          SELECT ci, pos, SUM(val) / COUNT(*) AS cv FROM dims GROUP BY ci, pos
+        ),
+        c1 AS (
+          SELECT i.ci, COALESCE(mm.mv, i.v) AS v
+          FROM init i LEFT JOIN (
+            SELECT ci, list(cv ORDER BY pos) AS mv FROM m GROUP BY ci
+          ) mm USING (ci)
+        ),
+        a1 AS (
+          SELECT vec_id, ci FROM (
+            SELECT e.vec_id, c.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(c.v, c.v)
+                              - 2 * list_dot_product(e.v, c.v), c.ci
+                   ) AS rn
+            FROM e CROSS JOIN c1 c
+          ) WHERE rn = 1
+        )
+        SELECT a.vec_id, a.ci AS cluster_id
+        FROM a1 a JOIN e ea ON ea.vec_id = a.vec_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM a1 b JOIN e eb ON eb.vec_id = b.vec_id
+          WHERE b.ci = a.ci AND b.vec_id < a.vec_id
+            AND list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))) >= 0.40
         )
     """,
     # q42: probing all clusters makes IVF exactly equal brute force —
@@ -4317,6 +4446,9 @@ def oracle_sql() -> dict[str, str]:
     out["q111_distribution_match"] = _distribution_match_oracle_sql()
     out["q112_balanced_shards"] = _balanced_shards_oracle_sql()
     out["q113_cluster_safe_split"] = _cluster_safe_split_oracle_sql()
+    # q115: identical oracle to q105/q107 — probing off a COMPACTED
+    # index must return exactly what the from-text probe returns.
+    out["q115_minhash_compacted_probe"] = out["q107_minhash_index_probe"]
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()

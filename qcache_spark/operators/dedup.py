@@ -604,6 +604,7 @@ class MinHashIndex:
         self.num_perm, self.bands = num_perm, bands
         self.shingle_size, self.seed = shingle_size, seed
         self.path: str | None = None
+        self.generation = 0
         self._spark = df.sparkSession
         base = self._base(df)
         self.postings = base.select(
@@ -633,6 +634,20 @@ class MinHashIndex:
             self.seed,
         )
 
+    # Data directories are generation-suffixed so compact() can build
+    # a full replacement NEXT to the live one and flip the meta
+    # pointer, instead of overwriting files a concurrent probe may be
+    # scanning (the same mid-scan hazard write()'s same-path guard
+    # exists for). Generation 0 keeps the bare names, so every index
+    # written before compaction existed loads unchanged.
+    def _postings_dir(self) -> str:
+        g = self.generation
+        return self.path + ("/postings" if g == 0 else f"/postings_g{g}")
+
+    def _sets_dir(self) -> str:
+        g = self.generation
+        return self.path + ("/sets" if g == 0 else f"/sets_g{g}")
+
     def write(self, spark, path: str) -> None:
         """Persist postings + sets + meta sidecar. ``overwrite`` keeps
         rewrites idempotent (same discipline as IVFIndex.write)."""
@@ -648,6 +663,7 @@ class MinHashIndex:
             # only the meta sidecar needs refreshing.
             self._write_meta(spark, path)
             return
+        self.generation = 0
         self.postings.write.mode("overwrite").partitionBy("_band").parquet(
             path + "/postings"
         )
@@ -659,7 +675,11 @@ class MinHashIndex:
     def _write_meta(self, spark, path: str) -> None:
         import json as _json
 
-        meta = {"format_version": MINHASH_FORMAT_VERSION, **self._params()}
+        meta = {
+            "format_version": MINHASH_FORMAT_VERSION,
+            "postings_generation": self.generation,
+            **self._params(),
+        }
         spark.createDataFrame(
             [(_json.dumps(meta),)], "meta string"
         ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
@@ -695,6 +715,7 @@ class MinHashIndex:
         index.shingle_size = meta["shingle_size"]
         index.seed = meta["seed"]
         index.path = path
+        index.generation = meta.get("postings_generation", 0)
         index._spark = spark
         index._reload(spark)
         return index
@@ -703,10 +724,10 @@ class MinHashIndex:
         """(Re)open the on-disk tables — fresh reads after write/append
         so the file listing reflects files added since the previous
         DataFrame was planned."""
-        self.postings = spark.read.parquet(self.path + "/postings").select(
+        self.postings = spark.read.parquet(self._postings_dir()).select(
             "_id", "_band", "_bucket"
         )
-        self.sets = spark.read.parquet(self.path + "/sets")
+        self.sets = spark.read.parquet(self._sets_dir())
 
     def append(self, batch: DataFrame) -> None:
         """Admit a batch: derive its postings + sets with the index's
@@ -723,12 +744,72 @@ class MinHashIndex:
         base.select(
             "_id", F.posexplode("_bands").alias("_band", "_bucket")
         ).write.mode("append").partitionBy("_band").parquet(
-            self.path + "/postings"
+            self._postings_dir()
         )
         base.select("_id", "_shingles").write.mode("append").parquet(
-            self.path + "/sets"
+            self._sets_dir()
         )
         self._reload(self._spark)
+
+    @staticmethod
+    def _count_files(path: str) -> int | None:
+        import os as _os
+
+        if not _os.path.isdir(path):
+            return None  # non-local store; stats unavailable here
+        return sum(
+            1
+            for root, _dirs, files in _os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def compact(self) -> dict:
+        """Rewrite postings + sets into one bucket-sorted file per
+        band. Every ``append`` lands a new file set inside the 16
+        ``_band=`` partitions, so a year of daily admissions leaves
+        ~365 small files per band — each probe's touched-bucket scan
+        then pays per-file open/footer cost and loses row-group
+        pruning. Compaction rebuilds the data dirs at generation N+1
+        (``repartition(bands, _band)`` + ``sortWithinPartitions
+        (_bucket)`` — one shuffle of 24-byte rows, bucket-clustered
+        row groups so min/max stats prune within a band), flips the
+        meta sidecar's ``postings_generation`` pointer, reloads, and
+        only then best-effort-deletes the superseded generation — a
+        reader planned against the old files is never yanked mid-scan
+        by the write itself. Returns before/after file counts (None
+        on non-local stores). Probe results are unchanged (pytest
+        pins probe-parity across compact)."""
+        if self.path is None:
+            raise ValueError(
+                "compact requires a persisted index — call write() first"
+            )
+        import shutil as _shutil
+
+        old_postings, old_sets = self._postings_dir(), self._sets_dir()
+        before = self._count_files(old_postings)
+        self.generation += 1
+        try:
+            self.postings.repartition(self.bands, "_band").sortWithinPartitions(
+                "_bucket", "_id"
+            ).write.mode("overwrite").partitionBy("_band").parquet(
+                self._postings_dir()
+            )
+            self.sets.repartition(self.bands).write.mode("overwrite").parquet(
+                self._sets_dir()
+            )
+            self._write_meta(self._spark, self.path)
+        except Exception:
+            self.generation -= 1  # live pointer still names old dirs
+            raise
+        self._reload(self._spark)
+        after = self._count_files(self._postings_dir())
+        import os as _os
+
+        for d in (old_postings, old_sets):
+            if _os.path.isdir(d):
+                _shutil.rmtree(d, ignore_errors=True)
+        return {"postings_files_before": before, "postings_files_after": after}
 
     def probe(
         self,

@@ -630,3 +630,84 @@ def quantize_embeddings(
         qvec.alias("qvec"),
         recon_mse.alias("recon_mse"),
     )
+
+
+# ------------------------------------------------------ semantic dedup
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 1,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): prune semantic
+    near-duplicates by clustering embeddings and comparing pairs only
+    WITHIN a cluster. Returns the kept rows as (id, cluster_id): a row
+    is dropped iff some LOWER-id row in the same cluster has cosine >=
+    threshold with it (the deterministic "dominated by a smaller id"
+    keep policy — order-free, so the result is identical under any
+    partitioning, and an external SQL oracle can state it as a single
+    NOT EXISTS).
+
+    The reference engine has no embedding operators at all
+    (qcache/qframe/ supports only scalar columns); this is pipeline
+    surface beyond the reference, in the driver's mandated family.
+
+    Plan shape / 100 TB judgment:
+    - clustering is the IVFIndex deterministic build (stride-seeded
+      init + `iters` distributed Lloyd steps; assignment is one
+      Arrow-batched matmul per batch — the sanctioned dense-linear-
+      algebra Pandas UDF);
+    - the quadratic stage is a self-join keyed on cluster_id — ONE
+      exchange of (id, vector, norm) per side, with the assigned base
+      cached (opcache) so the k-means result is computed once, not
+      re-derived per join input;
+    - cost is sum over clusters of |c|^2 dot products, bounded by the
+      caller's n_centroids (SemDeDup at scale uses k proportional to
+      N so E|c| stays constant; the paper runs k=50k on LAION-440M,
+      mean cluster ~9k vectors — each cluster's pair block then fits
+      one task). Dropping a>=b pair duplication halves the work:
+      only (a.id > b.id) pairs are scored.
+    """
+    from qcache_spark import opcache
+
+    assigned = IVFIndex(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, iters=iters
+    ).assigned
+    vec = F.col(vec_col).cast("array<double>")
+    base = assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col("cluster_id"),
+        vec.alias("_v"),
+        l2_norm(vec).alias("_n"),
+    )
+    base = opcache.cache(df.sparkSession, "similarity.semantic_dedup", base)
+    hi = base.select(
+        "cluster_id",
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    lo = base.select(
+        "cluster_id",
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dominated = (
+        hi.join(lo, "cluster_id")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(dot / (F.col("_na") * F.col("_nb")) >= threshold)
+        .select(F.col("_ida").alias("_id"))
+        .distinct()
+    )
+    return base.join(dominated, "_id", "left_anti").select(
+        F.col("_id").alias(id_col), "cluster_id"
+    )

@@ -245,6 +245,64 @@ def test_minhash_index_probe_parity_and_append(spark, sf_dir, tmp_path):
     assert key(again.probe(batch, verify_threshold=0.3).collect()) == got2
 
 
+def test_minhash_index_compact(spark, sf_dir, tmp_path):
+    """compact() must merge append-accumulated small files into one
+    bucket-sorted file per band WITHOUT changing probe results, flip
+    the generation pointer so a fresh load() reads the compacted
+    dirs, and keep appending after compaction working."""
+    import os
+
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    parts = [docs.filter(F.col("doc_id") % 4 == i) for i in range(3)]
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    path = str(tmp_path / "mh_idx_compact")
+
+    def key(rows):
+        return sorted(
+            (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+            for r in rows
+        )
+
+    idx = dedup.MinHashIndex(parts[0])
+    idx.write(spark, path)
+    idx.append(parts[1])
+    idx.append(parts[2])
+    before = key(idx.probe(batch, verify_threshold=0.3).collect())
+    assert len(before) > 0
+
+    stats = idx.compact()
+    # 3 write rounds -> >= 3 files per band before; exactly 1 after
+    assert stats["postings_files_before"] > stats["postings_files_after"]
+    assert stats["postings_files_after"] == idx.bands
+    assert idx.generation == 1
+    assert os.path.isdir(os.path.join(path, "postings_g1"))
+    assert not os.path.isdir(os.path.join(path, "postings"))
+
+    # probe parity across compaction, both in-hand and freshly loaded
+    assert key(idx.probe(batch, verify_threshold=0.3).collect()) == before
+    loaded = dedup.MinHashIndex.load(spark, path)
+    assert loaded.generation == 1
+    assert key(loaded.probe(batch, verify_threshold=0.3).collect()) == before
+
+    # admission continues against the compacted generation
+    loaded.append(batch.filter(F.col("doc_id") % 8 == 3))
+    assert len(loaded.probe(batch, verify_threshold=0.3).collect()) >= len(
+        before
+    )
+
+    # second compact flips to g2 and removes g1
+    loaded.compact()
+    assert loaded.generation == 2
+    assert os.path.isdir(os.path.join(path, "postings_g2"))
+    assert not os.path.isdir(os.path.join(path, "postings_g1"))
+
+    # un-persisted index refuses
+    with pytest.raises(ValueError, match="write"):
+        dedup.MinHashIndex(parts[0]).compact()
+
+
 def test_minhash_index_probe_plan_has_no_corpus_shuffle(spark, sf_dir, tmp_path):
     """The probe's scale contract: stored postings reach the cap
     window through a broadcast SEMI join (touched buckets only) — the
@@ -2015,6 +2073,55 @@ def test_quantize_embeddings_scan_stage_only(spark, embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure scan-stage map: no shuffle
+
+
+def test_semantic_dedup_dominated_policy(spark):
+    """Hand-built corpus pins the SemDeDup semantics: a row is dropped
+    iff a LOWER-id same-cluster row has cosine >= threshold — even
+    when that lower-id row is itself dropped (NOT-EXISTS dominance,
+    not sequential-greedy), and never across cluster boundaries."""
+    # two tight bundles on orthogonal axes -> 2 clusters under any
+    # sane assignment; within each, ids 0/1/2 are mutual near-dups
+    import math
+
+    def unit(theta, axis):
+        v = [0.0, 0.0, 0.0]
+        v[axis] = math.cos(theta)
+        v[(axis + 1) % 3] = math.sin(theta)
+        return v
+
+    rows = []
+    for i, th in enumerate([0.0, 0.01, 0.02]):  # x-bundle: ids 0,1,2
+        rows.append((i, unit(th, 0)))
+    for i, th in enumerate([0.0, 0.01, 0.02]):  # z-bundle: ids 3,4,5
+        rows.append((3 + i, unit(th, 2)))
+    # a lone vector far from both bundles in cosine (45 deg off x)
+    rows.append((6, unit(math.pi / 4, 0)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kept = similarity.semantic_dedup(
+        df, n_centroids=2, iters=1, threshold=0.99
+    )
+    got = {r["vec_id"] for r in kept.collect()}
+    # each bundle keeps only its lowest id; the lone vector survives
+    # (cos(45 deg) ~= 0.707 < 0.99 to everything)
+    assert {0, 3, 6} <= got
+    assert {1, 2} & got == set() and {4, 5} & got == set()
+    # partition-invariance: the dominated policy is order-free
+    got_rep = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df.repartition(5), n_centroids=2, iters=1, threshold=0.99
+        ).collect()
+    }
+    assert got_rep == got
+    # threshold above every pairwise cosine keeps everything
+    assert (
+        similarity.semantic_dedup(
+            df, n_centroids=2, iters=1, threshold=1.0001
+        ).count()
+        == 7
+    )
 
 
 def test_weighted_sample_deterministic_and_monotone(spark, docs):
