@@ -2299,6 +2299,42 @@ def q115_minhash_compacted_probe(spark, sf_dir):
     )
 
 
+def q116_minhash_admit(spark, sf_dir):
+    """The complete admission primitive (operators/dedup.py:
+    MinHashIndex.admit): probe the batch (doc_id %4 == 0) against the
+    indexed corpus (%4 != 0), drop rows that near-duplicate the
+    corpus OR are dominated by a lower-id row of the same batch
+    (intra-batch LSH self-join at the index's own parameters), append
+    only the survivors, return them. The oracle is fully brute-force:
+    batch ids minus (any corpus neighbor at jaccard >= 0.5) minus
+    (any LOWER-id batch neighbor at >= 0.5) — dominance is a pair
+    property, so a row dominated only by an already-dropped row is
+    still dropped (order-free, partition-invariant). LSH recall 1.0
+    vs brute force on this corpus is pinned by the q31/q105 gates;
+    hash-vs-string shingle Jaccard equivalence by the same."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.dedup import (
+        MINHASH_FORMAT_VERSION,
+        MinHashIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_minhash_admit_{sf_tag}_v{MINHASH_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    idx = MinHashIndex(corpus)
+    idx.write(spark, path)
+    return idx.admit(batch, verify_threshold=0.5).select("doc_id")
+
+
 def _cluster_safe_split_oracle_sql() -> str:
     """DuckDB replica of q113: the q71 clustering SQL (verbatim, one
     source of truth) as a derived table, then the q54 integer-
@@ -2321,28 +2357,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 9) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-9 ordering:
-    #   1-10  q107 (persisted MinHash index, new), q108 (mixture
+    #   1-11  q107 (persisted MinHash index, new), q108 (mixture
     #         upsampling epochs, new), q109 (GK quantile rank-envelope
     #         gate, new), q110 (IVF append, new), q111 (distribution-
     #         matched sample, new), q112 (balanced shards, new), q113
     #         (cluster-safe split, new), q114 (SemDeDup semantic
     #         dedup, new), q115 (probe off a COMPACTED MinHash index,
-    #         new), q72 (first round with an envelope oracle —
-    #         previously the lone rows-only entry): never hash-gated
-    #         before.
-    #   11-17 code-changed this round, so they re-enter the gate:
+    #         new), q116 (admit: probe + intra-batch dedup + append
+    #         survivors, new), q72 (first round with an envelope
+    #         oracle — previously the lone rows-only entry): never
+    #         hash-gated before.
+    #   12-18 code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   18-30 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   19-31 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   31-33 q67/q57/q66: flagship heavy pipelines kept under
+    #   32-34 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   34-50 q47-q56, q58-q64: last driver-gated r6/r7 — the
+    #   35-50 q47-q56, q58-q63: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    # Everything below slot 50 (q65/q68/q69/q71/q73 — displaced by
-    # the five new entries, rotate back next round — q74/q75 (r7-gated),
+    # Everything below slot 50 (q64/q65/q68/q69/q71/q73 — displaced by
+    # the six new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2356,6 +2393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_cluster_safe_split": q113_cluster_safe_split,
     "q114_semantic_dedup": q114_semantic_dedup,
     "q115_minhash_compacted_probe": q115_minhash_compacted_probe,
+    "q116_minhash_admit": q116_minhash_admit,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -3089,6 +3127,38 @@ OPERATOR_ORACLES: dict[str, str] = {
         )
         SELECT batch_id, corpus_id, ROUND(jacc, 6) AS jaccard
         FROM j WHERE jacc >= 0.5
+    """,
+    # q116: admit survivors, fully brute-force — batch ids minus any
+    # corpus neighbor at >= 0.5 minus any LOWER-id batch neighbor at
+    # >= 0.5 (dominance is a pair property: being dominated by an
+    # already-dropped row still drops).
+    "q116_minhash_admit": """
+        WITH t AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                   END AS sh
+            FROM t
+        )
+        SELECT b.doc_id
+        FROM s b
+        WHERE b.doc_id % 4 = 0
+          AND NOT EXISTS (
+            SELECT 1 FROM s c
+            WHERE c.doc_id % 4 != 0
+              AND len(list_intersect(b.sh, c.sh))::DOUBLE /
+                  len(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM s a
+            WHERE a.doc_id % 4 = 0 AND a.doc_id < b.doc_id
+              AND len(list_intersect(b.sh, a.sh))::DOUBLE /
+                  len(list_distinct(list_concat(b.sh, a.sh))) >= 0.5
+          )
     """,
     # q105: brute-force batch x corpus shingle Jaccard — the probe
     # analogue of q31's oracle (same recall-1.0 and hash-vs-string

@@ -92,6 +92,8 @@ HEADLINE = [
     "q108_token_mix_upsampled",
     "q111_distribution_match",
     "q112_balanced_shards",
+    "q114_semantic_dedup",
+    "q116_minhash_admit",
 ]
 
 

@@ -884,6 +884,67 @@ class MinHashIndex:
             verified = verified.filter(F.col("jaccard") >= verify_threshold)
         return verified
 
+    def admit(
+        self,
+        batch: DataFrame,
+        max_bucket_size: int = 500,
+        verify_threshold: float = 0.5,
+        intra_batch: bool = True,
+    ) -> DataFrame:
+        """The complete daily-admission step: probe, drop the batch's
+        near-duplicates, append the survivors, return them.
+
+        A batch row is dropped iff
+        - it near-duplicates the CORPUS (``probe`` jaccard >=
+          ``verify_threshold``), or
+        - with ``intra_batch=True``, a LOWER-id row of the SAME batch
+          reaches the threshold against it (the dominated policy —
+          order-free, so the survivor set is partition-invariant and
+          externally SQL-expressible; a row dominated only by another
+          DROPPED row is still dropped, by design: dominance is a
+          property of the pair, not of the admission outcome).
+
+        Everything stays O(batch): the corpus side is the persisted
+        probe (touched-bucket postings scan + stored sets), the
+        intra-batch side is the LSH self-join over the batch alone
+        (``minhash_lsh_pairs`` with this index's parameters), and
+        ``append`` writes only survivors. Returns the surviving batch
+        rows with their original columns."""
+        if self.path is None:
+            raise ValueError(
+                "admit requires a persisted index — call write() first"
+            )
+        dropped = self.probe(
+            batch, max_bucket_size=max_bucket_size,
+            verify_threshold=verify_threshold,
+        ).select(F.col("batch_id").alias("_dropped"))
+        if intra_batch:
+            intra = minhash_lsh_pairs(
+                batch,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                num_perm=self.num_perm,
+                bands=self.bands,
+                shingle_size=self.shingle_size,
+                seed=self.seed,
+                max_bucket_size=max_bucket_size,
+                verify_threshold=verify_threshold,
+            )
+            # pairs come back id_a < id_b: the higher id is dominated
+            dropped = dropped.union(
+                intra.select(F.col("id_b").alias("_dropped"))
+            )
+        survivors = batch.join(
+            dropped.distinct().withColumnRenamed("_dropped", self.id_col),
+            self.id_col,
+            "left_anti",
+        )
+        # append() triggers the probe/self-join jobs via the write;
+        # the survivor frame is then re-read as stored postings, so no
+        # cache pin is needed beyond the write itself.
+        self.append(survivors)
+        return survivors
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -245,6 +245,75 @@ def test_minhash_index_probe_parity_and_append(spark, sf_dir, tmp_path):
     assert key(again.probe(batch, verify_threshold=0.3).collect()) == got2
 
 
+def test_minhash_index_admit(spark, sf_dir, tmp_path):
+    """admit() = probe + dominated intra-batch dedup + append of the
+    survivors only. Pins the policy on a hand-built batch (corpus-dup
+    dropped; row dominated by an already-dropped lower id STILL
+    dropped — dominance is a pair property; unique row survives) and
+    the survivor equivalence on real docs."""
+    from qcache_spark.session import load_table
+
+    # ---- policy pins on synthetic rows
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # corpus dup
+            (11, "alpha beta gamma delta epsilon"),  # corpus dup AND
+            #    dominated by 10 — dropped under either rule
+            (20, "zeta eta theta iota kappa"),       # corpus-novel
+            (21, "zeta eta theta iota kappa"),       # dominated by 20
+            (12, "mu nu xi omicron pi rho"),         # unique
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_admit_syn")
+    idx = dedup.MinHashIndex(corpus)
+    idx.write(spark, path)
+    kept = idx.admit(batch)
+    assert sorted(kept.columns) == ["doc_id", "text"]
+    assert {r["doc_id"] for r in kept.collect()} == {12, 20}
+    assert idx.sets.count() == 3  # corpus + the two survivors
+    # intra_batch=False drops only CORPUS dups: the batch-internal
+    # duplicate 21 is admitted alongside 20
+    idx2 = dedup.MinHashIndex(corpus)
+    idx2.write(spark, str(tmp_path / "mh_admit_syn2"))
+    kept2 = idx2.admit(batch, intra_batch=False)
+    assert {r["doc_id"] for r in kept2.collect()} == {12, 20, 21}
+
+    # ---- survivor equivalence on real documents
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    corpus = docs.filter(
+        (F.col("doc_id") % 4 == 1) | (F.col("doc_id") % 4 == 2)
+    )
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "mh_admit")
+    idx = dedup.MinHashIndex(corpus)
+    idx.write(spark, path)
+    got = {r["doc_id"] for r in idx.admit(batch, verify_threshold=0.3).collect()}
+    corpus_dups = {
+        r["batch_id"]
+        for r in dedup.minhash_probe_pairs(
+            corpus, batch, verify_threshold=0.3
+        ).collect()
+    }
+    intra_dups = {
+        r["id_b"]
+        for r in dedup.minhash_lsh_pairs(
+            batch, verify_threshold=0.3
+        ).collect()
+    }
+    want = {
+        r["doc_id"] for r in batch.select("doc_id").collect()
+    } - corpus_dups - intra_dups
+    assert got == want
+    assert idx.sets.count() == corpus.count() + len(want)
+    # un-persisted index refuses
+    with pytest.raises(ValueError, match="write"):
+        dedup.MinHashIndex(corpus).admit(batch)
+
+
 def test_minhash_index_compact(spark, sf_dir, tmp_path):
     """compact() must merge append-accumulated small files into one
     bucket-sorted file per band WITHOUT changing probe results, flip
