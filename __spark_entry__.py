@@ -2335,6 +2335,43 @@ def q116_minhash_admit(spark, sf_dir):
     return idx.admit(batch, verify_threshold=0.5).select("doc_id")
 
 
+def q117_ivf_admit(spark, sf_dir):
+    """The embeddings admission step (operators/similarity.py:
+    IVFIndex.dup_probe/admit — q116's analogue for vectors): build the
+    deterministic IVF index on the corpus (vec_id %4 != 0; the q70
+    build — 8 stride-seeded centroids + 1 Lloyd step), write + load
+    it, then ADMIT the batch (%4 == 0): drop batch vectors that
+    near-duplicate the corpus within their home cluster (n_probe=1 —
+    SemDeDup's within-cluster discipline applied incrementally,
+    cosine >= 0.40) or a lower-id batch vector sharing the home
+    cluster (dominated policy), append only the survivors. The oracle
+    replays everything: k-means fit on the CORPUS subset, c1
+    assignment for both sides, and two NOT EXISTS filters. Cost is
+    O(batch): batch assignment is one Arrow matmul, the corpus side
+    is partition-pruned to touched cluster dirs, the join broadcasts
+    the batch."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.similarity import IVF_FORMAT_VERSION, IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_ivf_admit_{sf_tag}_v{IVF_FORMAT_VERSION}",
+    )
+    # admit is not idempotent (it admits); start from a clean build
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    params = {"n_centroids": 8, "iters": 1}
+    IVFIndex(corpus, **params).write(spark, path)
+    idx = IVFIndex.load(spark, path, expect=params)
+    return idx.admit(batch, threshold=0.40, n_probe=1).select("vec_id")
+
+
 def _cluster_safe_split_oracle_sql() -> str:
     """DuckDB replica of q113: the q71 clustering SQL (verbatim, one
     source of truth) as a derived table, then the q54 integer-
@@ -2357,29 +2394,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 9) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-9 ordering:
-    #   1-11  q107 (persisted MinHash index, new), q108 (mixture
+    #   1-12  q107 (persisted MinHash index, new), q108 (mixture
     #         upsampling epochs, new), q109 (GK quantile rank-envelope
     #         gate, new), q110 (IVF append, new), q111 (distribution-
     #         matched sample, new), q112 (balanced shards, new), q113
     #         (cluster-safe split, new), q114 (SemDeDup semantic
     #         dedup, new), q115 (probe off a COMPACTED MinHash index,
     #         new), q116 (admit: probe + intra-batch dedup + append
-    #         survivors, new), q72 (first round with an envelope
-    #         oracle — previously the lone rows-only entry): never
-    #         hash-gated before.
-    #   12-18 code-changed this round, so they re-enter the gate:
+    #         survivors, new), q117 (IVF admit — q116 for embeddings,
+    #         new), q72 (first round with an envelope oracle —
+    #         previously the lone rows-only entry): never hash-gated
+    #         before.
+    #   13-19 code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   19-31 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   20-32 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   32-34 q67/q57/q66: flagship heavy pipelines kept under
+    #   33-35 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   35-50 q47-q56, q58-q63: last driver-gated r6/r7 — the
+    #   36-50 q47-q56, q58-q62: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    # Everything below slot 50 (q64/q65/q68/q69/q71/q73 — displaced by
-    # the six new entries, rotate back next round — q74/q75 (r7-gated),
+    # Everything below slot 50 (q63/q64/q65/q68/q69/q71/q73 — displaced
+    # by the seven new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2394,6 +2432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_semantic_dedup": q114_semantic_dedup,
     "q115_minhash_compacted_probe": q115_minhash_compacted_probe,
     "q116_minhash_admit": q116_minhash_admit,
+    "q117_ivf_admit": q117_ivf_admit,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -3368,6 +3407,85 @@ OPERATOR_ORACLES: dict[str, str] = {
             AND list_dot_product(ea.v, eb.v)
                 / (sqrt(list_dot_product(ea.v, ea.v))
                    * sqrt(list_dot_product(eb.v, eb.v))) >= 0.40
+        )
+    """,
+    # q117: IVF admit — k-means fit on the CORPUS subset (q70's
+    # deterministic build), c1 home-cluster assignment for corpus AND
+    # batch, then survivors = batch minus (corpus neighbor in the home
+    # cluster at cosine >= 0.40) minus (lower-id batch vector sharing
+    # the home cluster at >= 0.40). Same float contracts as q70/q51.
+    "q117_ivf_admit": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        corp AS (SELECT * FROM e WHERE vec_id % 4 != 0),
+        init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+          FROM corp ORDER BY vec_id LIMIT 8
+        ),
+        a0 AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT c.vec_id, c.v, i.ci,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(i.v, i.v)
+                              - 2 * list_dot_product(c.v, i.v), i.ci
+                   ) AS rn
+            FROM corp c CROSS JOIN init i
+          ) WHERE rn = 1
+        ),
+        dims AS (
+          SELECT ci, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM a0
+        ),
+        m AS (
+          SELECT ci, pos, SUM(val) / COUNT(*) AS cv FROM dims GROUP BY ci, pos
+        ),
+        c1 AS (
+          SELECT i.ci, COALESCE(mm.mv, i.v) AS v
+          FROM init i LEFT JOIN (
+            SELECT ci, list(cv ORDER BY pos) AS mv FROM m GROUP BY ci
+          ) mm USING (ci)
+        ),
+        ca AS (
+          SELECT vec_id, ci FROM (
+            SELECT c.vec_id, k.ci,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(k.v, k.v)
+                              - 2 * list_dot_product(c.v, k.v), k.ci
+                   ) AS rn
+            FROM corp c CROSS JOIN c1 k
+          ) WHERE rn = 1
+        ),
+        bb AS (
+          SELECT vec_id, ci FROM (
+            SELECT b.vec_id, k.ci,
+                   row_number() OVER (
+                     PARTITION BY b.vec_id
+                     ORDER BY list_dot_product(k.v, k.v)
+                              - 2 * list_dot_product(b.v, k.v), k.ci
+                   ) AS rn
+            FROM e b CROSS JOIN c1 k
+            WHERE b.vec_id % 4 = 0
+          ) WHERE rn = 1
+        )
+        SELECT b.vec_id
+        FROM bb b JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ca n JOIN e en ON en.vec_id = n.vec_id
+          WHERE n.ci = b.ci
+            AND list_dot_product(eb.v, en.v)
+                / (sqrt(list_dot_product(eb.v, eb.v))
+                   * sqrt(list_dot_product(en.v, en.v))) >= 0.40
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM bb a JOIN e ea ON ea.vec_id = a.vec_id
+          WHERE a.ci = b.ci AND a.vec_id < b.vec_id
+            AND list_dot_product(eb.v, ea.v)
+                / (sqrt(list_dot_product(eb.v, eb.v))
+                   * sqrt(list_dot_product(ea.v, ea.v))) >= 0.40
         )
     """,
     # q42: probing all clusters makes IVF exactly equal brute force —

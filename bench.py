@@ -94,6 +94,7 @@ HEADLINE = [
     "q112_balanced_shards",
     "q114_semantic_dedup",
     "q116_minhash_admit",
+    "q117_ivf_admit",
 ]
 
 

@@ -92,6 +92,26 @@ def _assign_udf(centroids: list[list[float]]):
     return assign
 
 
+def _assign_topn_udf(centroids: list[list[float]], n: int):
+    """Pandas UDF: the `n` nearest centroids by L2, nearest first
+    (same batch-matmul kernel as _assign_udf; stable argsort, so
+    distance ties break toward the LOWER centroid id — the same
+    first-wins rule np.argmin and the SQL oracles use)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy())
+        d2 = c_sq[None, :] - 2.0 * (X @ C.T)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype("int32")
+        return pd.Series(list(idx))
+
+    return assign
+
+
 # Bumped whenever the on-disk index layout or the assignment/centroid
 # algorithm changes incompatibly.  Persisted in the _meta sidecar and
 # checked by load(): a stale index (older code version, or a meta with
@@ -238,6 +258,130 @@ class IVFIndex:
             self.path
         )
         self.assigned = spark.read.parquet(self.path)
+
+    def dup_probe(
+        self,
+        batch: DataFrame,
+        threshold: float = 0.95,
+        n_probe: int = 1,
+    ) -> DataFrame:
+        """Near-duplicate pairs between a NEW batch and the indexed
+        corpus: (batch_id, corpus_id, cosine), cosine >= threshold —
+        the embeddings analogue of MinHashIndex.probe, and SemDeDup's
+        within-cluster discipline applied incrementally: each batch
+        vector is compared only against corpus vectors of its
+        ``n_probe`` nearest clusters (nearest-first, ties to the lower
+        centroid id — the build's own argmin rule at n_probe=1).
+
+        Scale shape: batch assignment is one Arrow batch matmul; the
+        corpus side is partition-PRUNED to the touched cluster_id
+        dirs (the collect is O(n_centroids), never data); the join
+        broadcasts the batch. Cost O(|batch| x touched-cluster size),
+        never O(corpus). A corpus vector lives in exactly one cluster,
+        so pairs are unique without a distinct."""
+        if not 1 <= n_probe <= self.n_centroids:
+            raise ValueError(
+                f"n_probe must be in [1, {self.n_centroids}], got {n_probe}"
+            )
+        vec = F.col(self.vec_col).cast("array<double>")
+        b = batch.select(
+            F.col(self.id_col).alias("batch_id"),
+            vec.alias("_vb"),
+            l2_norm(vec).alias("_nb"),
+            F.explode(
+                _assign_topn_udf(self.centroids, n_probe)(vec)
+            ).alias("cluster_id"),
+        )
+        touched = sorted(
+            r["cluster_id"]
+            for r in b.select("cluster_id").distinct().collect()
+        )
+        corpus = self.assigned.filter(
+            F.col("cluster_id").isin(touched)
+        ).select(
+            "cluster_id",
+            F.col(self.id_col).alias("corpus_id"),
+            F.col(self.vec_col).cast("array<double>").alias("_vc"),
+        )
+        dot = F.aggregate(
+            F.zip_with("_vb", "_vc", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            corpus.join(F.broadcast(b), "cluster_id")
+            .filter(F.col("batch_id") != F.col("corpus_id"))
+            .select(
+                "batch_id",
+                "corpus_id",
+                (dot / (F.col("_nb") * l2_norm(F.col("_vc")))).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    def admit(
+        self,
+        batch: DataFrame,
+        threshold: float = 0.95,
+        n_probe: int = 1,
+        intra_batch: bool = True,
+    ) -> DataFrame:
+        """The embeddings admission step (MinHashIndex.admit's
+        analogue): drop batch vectors that near-duplicate the indexed
+        corpus (``dup_probe`` at ``threshold``/``n_probe``) or — with
+        ``intra_batch=True`` — a LOWER-id vector of the same batch
+        sharing the same HOME cluster (nearest centroid; the dominated
+        policy: a pair property, order-free, still dropped when the
+        dominating row is itself dropped). Appends only the survivors,
+        returns them with their original columns. All O(batch)."""
+        if self.path is None:
+            raise ValueError(
+                "admit requires a persisted index — call write() first"
+            )
+        dropped = self.dup_probe(batch, threshold, n_probe).select(
+            F.col("batch_id").alias("_dropped")
+        )
+        if intra_batch:
+            vec = F.col(self.vec_col).cast("array<double>")
+            home = batch.select(
+                F.col(self.id_col).alias("_id"),
+                vec.alias("_v"),
+                l2_norm(vec).alias("_n"),
+                _assign_udf(self.centroids)(vec).alias("_c"),
+            )
+            hi = home.select(
+                F.col("_c"),
+                F.col("_id").alias("_ida"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            )
+            lo = home.select(
+                F.col("_c"),
+                F.col("_id").alias("_idb"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            )
+            dot = F.aggregate(
+                F.zip_with("_va", "_vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dominated = (
+                hi.join(lo, "_c")
+                .filter(F.col("_idb") < F.col("_ida"))
+                .filter(dot / (F.col("_na") * F.col("_nb")) >= threshold)
+                .select(F.col("_ida").alias("_dropped"))
+            )
+            dropped = dropped.union(dominated)
+        survivors = batch.join(
+            dropped.distinct().withColumnRenamed("_dropped", self.id_col),
+            self.id_col,
+            "left_anti",
+        )
+        self.append(survivors)
+        return survivors
 
     @classmethod
     def load(cls, spark, path: str, expect: dict | None = None) -> "IVFIndex":

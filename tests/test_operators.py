@@ -2144,6 +2144,74 @@ def test_quantize_embeddings_scan_stage_only(spark, embeddings):
     assert "Exchange" not in plan  # pure scan-stage map: no shuffle
 
 
+def test_ivf_dup_probe_and_admit(spark, tmp_path):
+    """IVF admission loop: dup_probe finds batch-vs-corpus near-dups
+    within the home cluster; admit drops corpus dups + dominated
+    intra-batch rows, appends only survivors. Synthetic geometry pins
+    the policy (same construction as the semantic_dedup test)."""
+    import math
+
+    def unit(theta, axis):
+        v = [0.0, 0.0, 0.0]
+        v[axis] = math.cos(theta)
+        v[(axis + 1) % 3] = math.sin(theta)
+        return v
+
+    # init takes the 2 lowest ids: one per bundle, so the clusters
+    # separate deterministically
+    corpus = spark.createDataFrame(
+        [
+            (0, unit(0.0, 0)),   # x-bundle
+            (1, unit(0.0, 2)),   # z-bundle
+            (2, unit(0.01, 0)),  # x-bundle
+            (3, unit(0.01, 2)),  # z-bundle
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, unit(0.02, 0)),        # near the x-bundle: corpus dup
+            (20, unit(math.pi / 2, 0)),  # y-axis: corpus-novel
+            (21, unit(math.pi / 2 - 0.01, 0)),  # dominated by 20
+            (12, unit(math.pi / 4, 0)),  # 45 deg: unique at 0.99
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_admit")
+    similarity.IVFIndex(corpus, n_centroids=2, iters=1).write(spark, path)
+    idx = similarity.IVFIndex.load(spark, path)
+
+    pairs = idx.dup_probe(batch, threshold=0.99).collect()
+    assert {r["batch_id"] for r in pairs} == {10}
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+
+    kept = idx.admit(batch, threshold=0.99)
+    assert sorted(kept.columns) == ["embedding", "vec_id"]
+    assert {r["vec_id"] for r in kept.collect()} == {12, 20}
+    # survivors were appended: the index now holds corpus + survivors
+    assert idx.assigned.count() == 6
+    # a fresh load sees them too, and a re-probe of a vector identical
+    # to an admitted one reports the near-dup
+    again = similarity.IVFIndex.load(spark, path)
+    reprobe = spark.createDataFrame(
+        [(99, unit(math.pi / 2, 0))], "vec_id long, embedding array<double>"
+    )
+    assert {r["corpus_id"] for r in again.dup_probe(reprobe, threshold=0.99).collect()} == {20}
+
+    # intra_batch=False admits the batch-internal duplicate as well
+    path2 = str(tmp_path / "ivf_admit2")
+    similarity.IVFIndex(corpus, n_centroids=2, iters=1).write(spark, path2)
+    idx2 = similarity.IVFIndex.load(spark, path2)
+    kept2 = idx2.admit(batch, threshold=0.99, intra_batch=False)
+    assert {r["vec_id"] for r in kept2.collect()} == {12, 20, 21}
+
+    # guards
+    with pytest.raises(ValueError, match="n_probe"):
+        idx.dup_probe(batch, n_probe=0)
+    with pytest.raises(ValueError, match="write"):
+        similarity.IVFIndex(corpus, n_centroids=2, iters=1).admit(batch)
+
+
 def test_semantic_dedup_dominated_policy(spark):
     """Hand-built corpus pins the SemDeDup semantics: a row is dropped
     iff a LOWER-id same-cluster row has cosine >= threshold — even
