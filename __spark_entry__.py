@@ -2372,6 +2372,60 @@ def q117_ivf_admit(spark, sf_dir):
     return idx.admit(batch, threshold=0.40, n_probe=1).select("vec_id")
 
 
+def q118_streaming_admit(spark, sf_dir):
+    """Streaming ingestion through the persistent near-dup index
+    (streaming/admission.py): doc_id %3 == 1 and %3 == 2 land as two
+    files, drained one micro-batch each (maxFilesPerTrigger=1,
+    availableNow) through MinHashIndex.admit — batch 2 is deduped
+    against corpus PLUS batch 1's admitted survivors, the state no
+    watermark-bounded streaming operator could hold. Returns every id
+    the index holds afterwards. The oracle replays the sequential
+    admission exactly: S1 = %3==1 survivors vs the corpus (q116's two
+    NOT EXISTS), S2 = %3==2 survivors vs corpus UNION S1, result =
+    corpus + S1 + S2 — the strongest external gate the streaming
+    family has (q46/q58 gate batch-degenerate paths; this gates true
+    multi-micro-batch stateful behavior)."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.dedup import (
+        MINHASH_FORMAT_VERSION,
+        MinHashIndex,
+    )
+    from qcache_spark.streaming import streaming_admit
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    b2 = docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_stream_admit_{sf_tag}_v{MINHASH_FORMAT_VERSION}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    land = os.path.join(root, "landing")
+    # distinct dirs written in order: both mtime and path order agree,
+    # so the file source drains a before b deterministically
+    b1.coalesce(1).write.parquet(os.path.join(land, "a"))
+    b2.coalesce(1).write.parquet(os.path.join(land, "b"))
+    idx_path = os.path.join(root, "index")
+    MinHashIndex(corpus).write(spark, idx_path)
+    idx = MinHashIndex.load(spark, idx_path)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/*/")
+    )
+    q = streaming_admit(
+        stream, idx, checkpoint_dir=os.path.join(root, "ckpt"),
+        verify_threshold=0.5,
+    )
+    q.awaitTermination()
+    reloaded = MinHashIndex.load(spark, idx_path)
+    return reloaded.sets.select(F.col("_id").alias("doc_id"))
+
+
 def _cluster_safe_split_oracle_sql() -> str:
     """DuckDB replica of q113: the q71 clustering SQL (verbatim, one
     source of truth) as a derived table, then the q54 integer-
@@ -2394,7 +2448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 9) -------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-9 ordering:
-    #   1-12  q107 (persisted MinHash index, new), q108 (mixture
+    #   1-13  q107 (persisted MinHash index, new), q108 (mixture
     #         upsampling epochs, new), q109 (GK quantile rank-envelope
     #         gate, new), q110 (IVF append, new), q111 (distribution-
     #         matched sample, new), q112 (balanced shards, new), q113
@@ -2402,22 +2456,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         dedup, new), q115 (probe off a COMPACTED MinHash index,
     #         new), q116 (admit: probe + intra-batch dedup + append
     #         survivors, new), q117 (IVF admit — q116 for embeddings,
-    #         new), q72 (first round with an envelope oracle —
-    #         previously the lone rows-only entry): never hash-gated
-    #         before.
-    #   13-19 code-changed this round, so they re-enter the gate:
+    #         new), q118 (streaming admission — true multi-micro-batch
+    #         stateful gate, new), q72 (first round with an envelope
+    #         oracle — previously the lone rows-only entry): never
+    #         hash-gated before.
+    #   14-20 code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   20-32 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   21-33 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   33-35 q67/q57/q66: flagship heavy pipelines kept under
+    #   34-36 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   36-50 q47-q56, q58-q62: last driver-gated r6/r7 — the
+    #   37-50 q47-q56, q58-q61: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    # Everything below slot 50 (q63/q64/q65/q68/q69/q71/q73 — displaced
-    # by the seven new entries, rotate back next round — q74/q75 (r7-gated),
+    # Everything below slot 50 (q62-q65/q68/q69/q71/q73 — displaced
+    # by the eight new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2433,6 +2488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_minhash_compacted_probe": q115_minhash_compacted_probe,
     "q116_minhash_admit": q116_minhash_admit,
     "q117_ivf_admit": q117_ivf_admit,
+    "q118_streaming_admit": q118_streaming_admit,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -3198,6 +3254,59 @@ OPERATOR_ORACLES: dict[str, str] = {
               AND len(list_intersect(b.sh, a.sh))::DOUBLE /
                   len(list_distinct(list_concat(b.sh, a.sh))) >= 0.5
           )
+    """,
+    # q118: sequential streaming admission, fully brute-force — S1 =
+    # %3==1 survivors vs the %3==0 corpus (two NOT EXISTS, q116's
+    # construction), S2 = %3==2 survivors vs corpus UNION S1's
+    # survivors, result = corpus + S1 + S2 (disjoint by %3).
+    "q118_streaming_admit": """
+        WITH t AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                   END AS sh
+            FROM t
+        ), s1 AS (
+            SELECT b.doc_id
+            FROM s b
+            WHERE b.doc_id % 3 = 1
+              AND NOT EXISTS (
+                SELECT 1 FROM s c
+                WHERE c.doc_id % 3 = 0
+                  AND len(list_intersect(b.sh, c.sh))::DOUBLE /
+                      len(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM s a
+                WHERE a.doc_id % 3 = 1 AND a.doc_id < b.doc_id
+                  AND len(list_intersect(b.sh, a.sh))::DOUBLE /
+                      len(list_distinct(list_concat(b.sh, a.sh))) >= 0.5
+              )
+        ), s2 AS (
+            SELECT b.doc_id
+            FROM s b
+            WHERE b.doc_id % 3 = 2
+              AND NOT EXISTS (
+                SELECT 1 FROM s c
+                WHERE (c.doc_id % 3 = 0
+                       OR c.doc_id IN (SELECT doc_id FROM s1))
+                  AND len(list_intersect(b.sh, c.sh))::DOUBLE /
+                      len(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM s a
+                WHERE a.doc_id % 3 = 2 AND a.doc_id < b.doc_id
+                  AND len(list_intersect(b.sh, a.sh))::DOUBLE /
+                      len(list_distinct(list_concat(b.sh, a.sh))) >= 0.5
+              )
+        )
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id FROM s1
+        UNION ALL SELECT doc_id FROM s2
     """,
     # q105: brute-force batch x corpus shingle Jaccard — the probe
     # analogue of q31's oracle (same recall-1.0 and hash-vs-string

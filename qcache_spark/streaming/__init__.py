@@ -1,3 +1,4 @@
+from .admission import admit_foreach_batch, streaming_admit
 from .dedupe import (
     content_fingerprint,
     dedup_stream_by_content,
@@ -22,6 +23,8 @@ from .windows import (
 )
 
 __all__ = [
+    "admit_foreach_batch",
+    "streaming_admit",
     "content_fingerprint",
     "dedup_stream_by_content",
     "dedup_within_watermark",

@@ -1,0 +1,141 @@
+"""Streaming ingestion through the persistent near-dup index.
+
+The batch admission loop (operators/dedup.py:MinHashIndex.admit —
+probe the batch against everything admitted so far, drop near-dups,
+append the survivors) lifted onto Structured Streaming. The dedup
+state here is the CORPUS itself — unbounded, exact, and shared with
+batch jobs — which is precisely the state that does NOT belong in the
+streaming state store: `dropDuplicatesWithinWatermark`
+(streaming/dedupe.py) bounds its state by the watermark horizon and
+therefore forgets; an ingestion corpus must never forget. The right
+tool is `foreachBatch` with the on-disk index as the state backend:
+
+- per trigger, cost is O(micro-batch) — the index probe touches only
+  the buckets the batch touches (broadcast semi-join), appends are
+  new files, the corpus is never re-shuffled;
+- the state survives restarts, is queryable by any batch session, and
+  is maintained (compacted) independently of the stream;
+- exactly-once admission across failure/replay comes from a batch-id
+  high-watermark persisted NEXT TO the index: `foreachBatch` may
+  redeliver a micro-batch after a crash, and `admit()` is not
+  idempotent under redelivery (a replayed row's own first-delivery
+  copy is invisible to the probe's self-pair filter, because both
+  carry the same id) — so replayed batch ids are skipped instead.
+
+Single-writer contract: one streaming query owns an index for
+admission at a time (the same contract `append` itself has). The
+reference engine has no streaming surface at all; this is the
+Spark-first composition of its dedup semantics with Structured
+Streaming.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+
+_PROGRESS_FILE = "_admission_progress.json"
+
+
+def _progress_path(index_path: str) -> str:
+    return os.path.join(index_path, _PROGRESS_FILE)
+
+
+def _last_admitted(index_path: str) -> int:
+    try:
+        with open(_progress_path(index_path)) as f:
+            return json.load(f)["last_batch_id"]
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _record_admitted(index_path: str, batch_id: int) -> None:
+    tmp = _progress_path(index_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_batch_id": batch_id}, f)
+    os.replace(tmp, _progress_path(index_path))  # atomic on POSIX
+
+
+def admit_foreach_batch(
+    index,
+    max_bucket_size: int = 500,
+    verify_threshold: float = 0.5,
+    intra_batch: bool = True,
+    on_batch=None,
+):
+    """Build the `foreachBatch` function that admits each micro-batch
+    through ``index`` (a persisted MinHashIndex). Exposed separately
+    from :func:`streaming_admit` so tests and callers with custom
+    writeStream plumbing can compose it.
+
+    Replay safety: micro-batches with ``batch_id <=`` the persisted
+    high-watermark are skipped (already admitted before the crash).
+    The watermark is recorded AFTER ``admit()`` returns — a crash
+    between the append and the record replays the batch, which is the
+    at-least-once corner every foreachBatch sink has; admission makes
+    it visible as duplicate postings for that one batch, exactly like
+    calling ``append`` twice, and ``on_batch`` (if given) receives
+    ``(batch_id, survivors_count)`` for monitoring."""
+    if index.path is None:
+        raise ValueError(
+            "streaming admission requires a persisted index — call "
+            "write() first"
+        )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_admitted(index.path):
+            return  # replayed after restart: already admitted
+        survivors = index.admit(
+            batch_df,
+            max_bucket_size=max_bucket_size,
+            verify_threshold=verify_threshold,
+            intra_batch=intra_batch,
+        )
+        # admit() returns a LAZY frame whose append already ran; count
+        # here is served from the just-written files via the index
+        n = None
+        if on_batch is not None:
+            n = survivors.count()
+        _record_admitted(index.path, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id, n)
+
+    return _admit
+
+
+def streaming_admit(
+    stream_df: DataFrame,
+    index,
+    checkpoint_dir: str,
+    max_bucket_size: int = 500,
+    verify_threshold: float = 0.5,
+    intra_batch: bool = True,
+    available_now: bool = True,
+    on_batch=None,
+):
+    """Start the admission stream: every micro-batch of ``stream_df``
+    is probed against ``index`` and only near-dup-free survivors are
+    appended. Returns the started StreamingQuery.
+
+    ``available_now=True`` (default) drains everything currently
+    available and stops — the scheduled-ingest shape (run hourly over
+    a landing directory); ``False`` runs continuously with the
+    source's own trigger cadence."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            admit_foreach_batch(
+                index,
+                max_bucket_size=max_bucket_size,
+                verify_threshold=verify_threshold,
+                intra_batch=intra_batch,
+                on_batch=on_batch,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("qcache_spark_admission")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -438,3 +438,78 @@ def test_stream_matches_batch_ohlc(spark, events_batch, events_stream):
         k = (r["event_type"],
              int(r["bucket_start"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()))
         assert ts_op[k] == (r["n"], r["open"], r["close"])
+
+
+def test_streaming_admit_parity_and_replay(spark, sf_dir, tmp_path):
+    """Streaming admission (streaming/admission.py): micro-batches
+    drained through MinHashIndex.admit must leave the index in the
+    SAME state as batch admits of the same data in the same order;
+    a restart with the same checkpoint (or an explicitly replayed
+    batch id) must not double-admit."""
+    from pyspark.sql import functions as F
+
+    from qcache_spark.operators import dedup
+    from qcache_spark.session import load_table
+    from qcache_spark.streaming import admit_foreach_batch, streaming_admit
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    # ---- streaming side: two landing files, one micro-batch each
+    land = tmp_path / "landing"
+    b1.select("doc_id", "text").coalesce(1).write.parquet(str(land / "a"))
+    b2.select("doc_id", "text").coalesce(1).write.parquet(str(land / "b"))
+    s_path = str(tmp_path / "mh_stream")
+    idx = dedup.MinHashIndex(corpus)
+    idx.write(spark, s_path)
+
+    seen = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/*/")
+    )
+    q = streaming_admit(
+        stream,
+        idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        verify_threshold=0.3,
+        on_batch=lambda bid, n: seen.append((bid, n)),
+    )
+    q.awaitTermination()
+    assert len(seen) == 2  # two files -> two micro-batches, both admitted
+
+    # ---- batch side: same corpus, same admits in file order
+    r_path = str(tmp_path / "mh_ref")
+    ref = dedup.MinHashIndex(corpus)
+    ref.write(spark, r_path)
+    ref.admit(b1, verify_threshold=0.3)
+    ref.admit(b2, verify_threshold=0.3)
+
+    def ids(index):
+        return sorted(r["_id"] for r in index.sets.select("_id").collect())
+
+    stream_ids = ids(dedup.MinHashIndex.load(spark, s_path))
+    assert stream_ids == ids(dedup.MinHashIndex.load(spark, r_path))
+    assert len(stream_ids) > corpus.count()  # some survivors admitted
+
+    # ---- replay safety: a batch id at/below the high-watermark is a
+    # no-op (the restart-redelivery path)
+    fn = admit_foreach_batch(idx, verify_threshold=0.3)
+    before = len(stream_ids)
+    fn(b1.select("doc_id", "text"), 0)  # already admitted as batch 0
+    assert len(ids(dedup.MinHashIndex.load(spark, s_path))) == before
+
+    # fresh trigger with NO new files admits nothing new either
+    q2 = streaming_admit(
+        stream, idx, checkpoint_dir=str(tmp_path / "ckpt"),
+        verify_threshold=0.3,
+    )
+    q2.awaitTermination()
+    assert len(ids(dedup.MinHashIndex.load(spark, s_path))) == before
+
+    # un-persisted index refuses up front
+    with pytest.raises(ValueError, match="write"):
+        admit_foreach_batch(dedup.MinHashIndex(corpus))
