@@ -65,8 +65,12 @@ FRESH_OUT = os.path.join(REPO, ".scaledata", "sweep_fresh.json")
 # heap for each fresh worker JVM: sf10's cached tables + shuffle state
 # need far more than bench's 8g default (q90's localCheckpoint died
 # deserializing cached blocks at 8g; 79 s green at a bigger heap).
-# One worker runs at a time, so a large heap is safe on the 128 GiB box.
-SWEEP_DRIVER_MEMORY = os.environ.get("SWEEP_DRIVER_MEMORY", "48g")
+# One worker runs at a time, so a large heap is safe on the 128 GiB
+# box. Raised 48g -> 80g in r9: q90's sf10 point measured 88.7 s at
+# 48g vs 63.9 s at 80g (same code, same data, same box) — the
+# localCheckpoint rank state over 120 M edges is GC-bound at 48g, so
+# the smaller heap was charging memory pressure to the algorithm.
+SWEEP_DRIVER_MEMORY = os.environ.get("SWEEP_DRIVER_MEMORY", "80g")
 
 
 def _exponents(pts: dict[float, float]) -> dict[str, float]:
