@@ -2007,6 +2007,48 @@ def q110_ivf_append_search(spark, sf_dir):
     )
 
 
+def q119_ivf_compacted_search(spark, sf_dir):
+    """q110's lifecycle plus COMPACTION (operators/similarity.py:
+    IVFIndex.compact — the embeddings analogue of q115): build on
+    even vec_ids, append the odd half (a second file round inside
+    every cluster_id partition), compact — assignments rewritten to
+    ONE id-sorted file per cluster under generation-1 dirs, meta
+    pointer flipped, superseded partitions removed — then LOAD (which
+    must follow the pointer) and run the pruned 3-of-8 probe. Same
+    oracle as q110: compaction must be result-invisible while
+    collapsing admission small files (probes otherwise pay per-file
+    footer opens and lose row-group pruning)."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.similarity import (
+        IVF_FORMAT_VERSION,
+        IVFIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    built = emb.filter(F.col("vec_id") % 2 == 0)
+    appended = emb.filter(F.col("vec_id") % 2 == 1)
+    params = {"n_centroids": 8, "iters": 1}
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_ivfcompact_{sf_tag}_v{IVF_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    IVFIndex(built, **params).write(spark, path)
+    idx = IVFIndex.load(spark, path, expect=params)
+    idx.append(appended)
+    idx.compact()
+    index = IVFIndex.load(spark, path, expect=params)
+    out = index.search(qvec, k=10, n_probe=3)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 def q108_token_mix_upsampled(spark, sf_dir):
     """Mixture UPSAMPLING (operators/sampling.py:token_budget_mix
     epochs — VERDICT r8 item 6): low-resource domains whose budget
@@ -2457,22 +2499,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         new), q116 (admit: probe + intra-batch dedup + append
     #         survivors, new), q117 (IVF admit — q116 for embeddings,
     #         new), q118 (streaming admission — true multi-micro-batch
-    #         stateful gate, new), q72 (first round with an envelope
+    #         stateful gate, new), q119 (pruned probe off a COMPACTED
+    #         IVF index, new), q72 (first round with an envelope
     #         oracle — previously the lone rows-only entry): never
-    #         hash-gated before.
-    #   14-20 code-changed this round, so they re-enter the gate:
+    #         hash-gated before. (1-14.)
+    #   15-21 code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   21-33 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   22-34 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   34-36 q67/q57/q66: flagship heavy pipelines kept under
+    #   35-37 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   37-50 q47-q56, q58-q61: last driver-gated r6/r7 — the
+    #   38-50 q47-q56, q58-q60: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    # Everything below slot 50 (q62-q65/q68/q69/q71/q73 — displaced
-    # by the eight new entries, rotate back next round — q74/q75 (r7-gated),
+    # Everything below slot 50 (q61-q65/q68/q69/q71/q73 — displaced
+    # by the nine new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2489,6 +2532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_minhash_admit": q116_minhash_admit,
     "q117_ivf_admit": q117_ivf_admit,
     "q118_streaming_admit": q118_streaming_admit,
+    "q119_ivf_compacted_search": q119_ivf_compacted_search,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -4746,6 +4790,9 @@ def oracle_sql() -> dict[str, str]:
     # q115: identical oracle to q105/q107 — probing off a COMPACTED
     # index must return exactly what the from-text probe returns.
     out["q115_minhash_compacted_probe"] = out["q107_minhash_index_probe"]
+    # q119: identical oracle to q110 — the pruned probe off a
+    # COMPACTED index must return exactly what build+append returns.
+    out["q119_ivf_compacted_search"] = out["q110_ivf_append_search"]
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()

@@ -24,6 +24,7 @@ dedup's embedding family).
 from __future__ import annotations
 
 import math
+import os
 import random
 from typing import Iterable, Sequence
 
@@ -125,6 +126,17 @@ class IVFIndexMismatch(ValueError):
     version or build parameters; callers should rebuild."""
 
 
+def _count_parquet_files(path: str) -> int | None:
+    if not os.path.isdir(path):
+        return None  # non-local store; stats unavailable here
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 class IVFIndex:
     """Deterministic IVF index over an embedding table.
 
@@ -174,6 +186,7 @@ class IVFIndex:
 
         self.centroids = centroids
         self.path: str | None = None
+        self.generation = 0
         self.assigned = df.withColumn(
             "cluster_id", _assign_udf(centroids)(F.col(vec_col).cast("array<double>"))
         )
@@ -191,6 +204,18 @@ class IVFIndex:
         pruned = self.assigned.filter(F.col("cluster_id").isin(probes))
         return cosine_topk(pruned, q, k, self.id_col, self.vec_col)
 
+    # Data lives at the path root for generation 0 (the layout every
+    # index written before compaction existed uses) and under
+    # ``data_g{N}`` afterwards — compact() builds the replacement NEXT
+    # to the live files and flips the meta pointer, the same no-
+    # mid-scan-overwrite discipline as MinHashIndex.compact.
+    def _data_dir(self) -> str:
+        g = getattr(self, "generation", 0)
+        return self.path if g == 0 else os.path.join(self.path, f"data_g{g}")
+
+    def _reload(self, spark) -> None:
+        self.assigned = spark.read.parquet(self._data_dir())
+
     def write(self, spark, path: str) -> None:
         """Persist the assigned table partitioned by cluster_id: a
         probe then reads only n_probe/n_centroids of the FILES
@@ -207,16 +232,68 @@ class IVFIndex:
             # meta sidecar needs refreshing.
             self._write_meta(spark, path)
             return
+        self.generation = 0
         self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
         self._write_meta(spark, path)
         self.path = path
-        self.assigned = spark.read.parquet(path)
+        self._reload(spark)
+
+    def compact(self) -> dict:
+        """Rewrite the assigned table into one id-sorted file per
+        cluster partition. Every ``append``/``admit`` lands a new file
+        set inside the ``cluster_id=`` partitions, so daily admission
+        accumulates per-partition small files — each probe then pays
+        per-file footer opens and loses row-group pruning. The rewrite
+        (one shuffle: ``repartition(n_centroids, cluster_id)`` +
+        ``sortWithinPartitions(id)``) lands under generation-N+1 dirs;
+        the meta pointer flips BEFORE the superseded generation is
+        best-effort deleted, so concurrent readers planned against the
+        old files are never yanked mid-scan. Returns before/after file
+        counts (None on non-local stores). Search results are
+        unchanged (pytest + q119 gate pin it)."""
+        if self.path is None:
+            raise ValueError(
+                "compact requires a persisted index — call write() first"
+            )
+        import shutil as _shutil
+
+        spark = self.assigned.sparkSession
+        old_gen = getattr(self, "generation", 0)
+        old_dir = self._data_dir()
+        before = _count_parquet_files(old_dir)
+        self.generation = old_gen + 1
+        try:
+            self.assigned.repartition(
+                self.n_centroids, "cluster_id"
+            ).sortWithinPartitions(self.id_col).write.mode(
+                "overwrite"
+            ).partitionBy("cluster_id").parquet(self._data_dir())
+            self._write_meta(spark, self.path)
+        except Exception:
+            self.generation = old_gen
+            raise
+        self._reload(spark)
+        after = _count_parquet_files(self._data_dir())
+        if old_gen == 0:
+            # generation 0 lives at the path ROOT: remove only its
+            # cluster partitions (+ the write markers), never the new
+            # data_g dirs or the meta sidecar
+            for name in os.listdir(self.path):
+                full = os.path.join(self.path, name)
+                if name.startswith("cluster_id="):
+                    _shutil.rmtree(full, ignore_errors=True)
+                elif name.startswith("_") and os.path.isfile(full):
+                    os.remove(full)
+        elif os.path.isdir(old_dir):
+            _shutil.rmtree(old_dir, ignore_errors=True)
+        return {"files_before": before, "files_after": after}
 
     def _write_meta(self, spark, path: str) -> None:
         import json as _json
 
         meta = {
             "format_version": IVF_FORMAT_VERSION,
+            "data_generation": getattr(self, "generation", 0),
             "centroids": self.centroids,
             "id_col": self.id_col,
             "vec_col": self.vec_col,
@@ -255,9 +332,9 @@ class IVFIndex:
             ),
         )
         assigned.write.mode("append").partitionBy("cluster_id").parquet(
-            self.path
+            self._data_dir()
         )
-        self.assigned = spark.read.parquet(self.path)
+        self._reload(spark)
 
     def dup_probe(
         self,
@@ -415,7 +492,8 @@ class IVFIndex:
         index.n_centroids = meta["n_centroids"]
         index.iters = meta.get("iters")
         index.path = path
-        index.assigned = spark.read.parquet(path)
+        index.generation = meta.get("data_generation", 0)
+        index._reload(spark)
         return index
 
 

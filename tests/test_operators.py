@@ -2212,6 +2212,68 @@ def test_ivf_dup_probe_and_admit(spark, tmp_path):
         similarity.IVFIndex(corpus, n_centroids=2, iters=1).admit(batch)
 
 
+def test_ivf_compact(spark, embeddings, tmp_path):
+    """IVFIndex.compact: append small files merged to one id-sorted
+    file per cluster partition under data_g{N+1}, meta pointer
+    flipped, search/probe results unchanged, append-after-compact
+    works, and a fresh load follows the generation pointer."""
+    import os
+
+    emb = embeddings
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    path = str(tmp_path / "ivf_compact")
+    idx = similarity.IVFIndex(
+        emb.filter(F.col("vec_id") % 3 == 0), n_centroids=4, iters=1
+    )
+    idx.write(spark, path)
+    idx.append(emb.filter(F.col("vec_id") % 3 == 1))
+    idx.append(emb.filter(F.col("vec_id") % 3 == 2))
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in idx.search(qvec, k=10, n_probe=4).collect()
+    ]
+
+    stats = idx.compact()
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["files_after"] == idx.n_centroids
+    assert idx.generation == 1
+    assert os.path.isdir(os.path.join(path, "data_g1"))
+    # generation-0 partitions are gone from the root
+    assert not any(
+        n.startswith("cluster_id=") for n in os.listdir(path)
+    )
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in idx.search(qvec, k=10, n_probe=4).collect()
+    ]
+    assert got == want
+
+    loaded = similarity.IVFIndex.load(spark, path)
+    assert loaded.generation == 1
+    got2 = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in loaded.search(qvec, k=10, n_probe=4).collect()
+    ]
+    assert got2 == want
+
+    # admission continues against the compacted generation; a second
+    # compact flips to g2 and removes g1
+    n_before = loaded.assigned.count()
+    extra = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    loaded.append(extra)
+    assert loaded.assigned.count() == n_before + 5
+    loaded.compact()
+    assert loaded.generation == 2
+    assert os.path.isdir(os.path.join(path, "data_g2"))
+    assert not os.path.isdir(os.path.join(path, "data_g1"))
+    assert loaded.assigned.count() == n_before + 5
+
+    with pytest.raises(ValueError, match="write"):
+        similarity.IVFIndex(emb, n_centroids=4, iters=1).compact()
+
+
 def test_semantic_dedup_dominated_policy(spark):
     """Hand-built corpus pins the SemDeDup semantics: a row is dropped
     iff a LOWER-id same-cluster row has cosine >= threshold — even
