@@ -1632,6 +1632,45 @@ def test_ivf_pruned_entry_plan_and_recall(spark):
     assert ann.count() == 10
 
 
+def test_ivf_dup_probe_plan_prunes_and_broadcasts(spark, embeddings, tmp_path):
+    """dup_probe's scale contract: the corpus side is partition-PRUNED
+    to the touched cluster_id dirs (file-index prune, not a post-scan
+    filter) and the batch side arrives via BroadcastExchange — the
+    join must never shuffle the corpus."""
+    path = str(tmp_path / "ivf_probe_plan")
+    similarity.IVFIndex(
+        embeddings.filter(F.col("vec_id") % 2 == 0), n_centroids=8, iters=1
+    ).write(spark, path)
+    idx = similarity.IVFIndex.load(spark, path)
+    batch = embeddings.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40)
+    )
+    out = idx.dup_probe(batch, threshold=0.4, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "cluster_id" in pf, pf
+    assert "BroadcastExchange" in plan
+    # no shuffle of the corpus scan: the only Exchange allowed is the
+    # broadcast one
+    import re as _re
+
+    exchanges = _re.findall(r"(\w*Exchange\w*)", plan)
+    assert all("Broadcast" in e for e in exchanges), exchanges
+
+
+def test_semantic_dedup_single_cached_base(spark, embeddings):
+    """semantic_dedup's scale contract: both sides of the
+    within-cluster self-join and the anti-join read the CACHED
+    assigned base (InMemoryTableScan), so k-means assignment runs
+    once, not three times."""
+    out = similarity.semantic_dedup(
+        embeddings, n_centroids=4, iters=1, threshold=0.4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan[:500]
+
+
 # ---------------------------------------------------------------- sketches
 
 
