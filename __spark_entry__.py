@@ -2007,6 +2007,43 @@ def q110_ivf_append_search(spark, sf_dir):
     )
 
 
+def q120_minhash_delete_probe(spark, sf_dir):
+    """Index deletion/retraction (operators/dedup.py:
+    MinHashIndex.delete — the GDPR/takedown lifecycle step): build the
+    index on doc_id %4 != 0, DELETE the %8 == 5 subset (tombstones —
+    one small parquet append, O(|ids|) regardless of corpus size; the
+    probe masks them with a broadcast anti-join BEFORE the bucket-cap
+    window), then probe the %4 == 0 batch. The oracle is the q105
+    brute-force batch x corpus Jaccard with the corpus restricted to
+    the UNDELETED ids — i.e. probe-after-delete must be exactly what a
+    rebuild-without-the-deleted-docs would answer."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.dedup import (
+        MINHASH_FORMAT_VERSION,
+        MinHashIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_minhash_del_{sf_tag}_v{MINHASH_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    idx = MinHashIndex(corpus)
+    idx.write(spark, path)
+    idx.delete(corpus.filter(F.col("doc_id") % 8 == 5).select("doc_id"))
+    index = MinHashIndex.load(spark, path)
+    return index.probe(batch, verify_threshold=0.5).select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q119_ivf_compacted_search(spark, sf_dir):
     """q110's lifecycle plus COMPACTION (operators/similarity.py:
     IVFIndex.compact — the embeddings analogue of q115): build on
@@ -2500,22 +2537,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         survivors, new), q117 (IVF admit — q116 for embeddings,
     #         new), q118 (streaming admission — true multi-micro-batch
     #         stateful gate, new), q119 (pruned probe off a COMPACTED
-    #         IVF index, new), q72 (first round with an envelope
-    #         oracle — previously the lone rows-only entry): never
-    #         hash-gated before. (1-14.)
-    #   15-21 code-changed this round, so they re-enter the gate:
+    #         IVF index, new), q120 (probe after DELETE — tombstone
+    #         masking ≡ rebuild-without, new), q72 (first round with
+    #         an envelope oracle — previously the lone rows-only
+    #         entry): never hash-gated before. (1-15.)
+    #   16-22 code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   22-34 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   23-35 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   35-37 q67/q57/q66: flagship heavy pipelines kept under
+    #   36-38 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   38-50 q47-q56, q58-q60: last driver-gated r6/r7 — the
+    #   39-50 q47-q56, q58-q59: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    # Everything below slot 50 (q61-q65/q68/q69/q71/q73 — displaced
-    # by the nine new entries, rotate back next round — q74/q75 (r7-gated),
+    # Everything below slot 50 (q60-q65/q68/q69/q71/q73 — displaced
+    # by the ten new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2533,6 +2571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q117_ivf_admit": q117_ivf_admit,
     "q118_streaming_admit": q118_streaming_admit,
     "q119_ivf_compacted_search": q119_ivf_compacted_search,
+    "q120_minhash_delete_probe": q120_minhash_delete_probe,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -3351,6 +3390,31 @@ OPERATOR_ORACLES: dict[str, str] = {
         SELECT doc_id FROM documents WHERE doc_id % 3 = 0
         UNION ALL SELECT doc_id FROM s1
         UNION ALL SELECT doc_id FROM s2
+    """,
+    # q120: probe after DELETE — the q105 construction with the
+    # corpus restricted to undeleted ids (%8 != 5): tombstone masking
+    # must equal a rebuild without the deleted documents.
+    "q120_minhash_delete_probe": """
+        WITH t AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                   END AS sh
+            FROM t
+        ), j AS (
+            SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                   len(list_intersect(b.sh, c.sh))::DOUBLE /
+                   len(list_distinct(list_concat(b.sh, c.sh))) AS jacc
+            FROM s b JOIN s c
+              ON b.doc_id % 4 = 0 AND c.doc_id % 4 != 0
+                 AND c.doc_id % 8 != 5
+        )
+        SELECT batch_id, corpus_id, ROUND(jacc, 6) AS jaccard
+        FROM j WHERE jacc >= 0.5
     """,
     # q105: brute-force batch x corpus shingle Jaccard — the probe
     # analogue of q31's oracle (same recall-1.0 and hash-vs-string

@@ -605,6 +605,7 @@ class MinHashIndex:
         self.shingle_size, self.seed = shingle_size, seed
         self.path: str | None = None
         self.generation = 0
+        self.tombstones: DataFrame | None = None
         self._spark = df.sparkSession
         base = self._base(df)
         self.postings = base.select(
@@ -647,6 +648,11 @@ class MinHashIndex:
     def _sets_dir(self) -> str:
         g = self.generation
         return self.path + ("/sets" if g == 0 else f"/sets_g{g}")
+
+    def _tombstones_dir(self) -> str:
+        # generation-independent: tombstones mask the LIVE generation
+        # and are materialized away (and cleared) by the next compact
+        return self.path + "/tombstones"
 
     def write(self, spark, path: str) -> None:
         """Persist postings + sets + meta sidecar. ``overwrite`` keeps
@@ -728,6 +734,13 @@ class MinHashIndex:
             "_id", "_band", "_bucket"
         )
         self.sets = spark.read.parquet(self._sets_dir())
+        import os as _os
+
+        self.tombstones = (
+            spark.read.parquet(self._tombstones_dir())
+            if _os.path.isdir(self._tombstones_dir())
+            else None
+        )
 
     def append(self, batch: DataFrame) -> None:
         """Admit a batch: derive its postings + sets with the index's
@@ -750,6 +763,38 @@ class MinHashIndex:
             self._sets_dir()
         )
         self._reload(self._spark)
+
+    def delete(self, ids) -> None:
+        """Retract documents from the index (the GDPR/takedown
+        lifecycle step): ``ids`` — a DataFrame carrying the index's id
+        column, or an iterable of ids — are tombstoned, NOT rewritten:
+        one small parquet append under ``tombstones/``, O(|ids|) I/O
+        regardless of corpus size. Every subsequent ``probe``/``admit``
+        masks tombstoned postings with a broadcast anti-join BEFORE
+        the bucket-cap window, so results are identical to an index
+        rebuilt without those documents (pytest-pinned) — deleted
+        boilerplate stops inflating bucket sizes immediately. The next
+        ``compact()`` materializes the deletions into the rewritten
+        files and clears the tombstones."""
+        if self.path is None:
+            raise ValueError(
+                "delete requires a persisted index — call write() first"
+            )
+        if isinstance(ids, DataFrame):
+            tdf = ids.select(F.col(self.id_col).alias("_id"))
+        else:
+            tdf = self._spark.createDataFrame(
+                [(int(i),) for i in ids], "_id long"
+            )
+        tdf.write.mode("append").parquet(self._tombstones_dir())
+        self._reload(self._spark)
+
+    def _live_postings(self) -> DataFrame:
+        if self.tombstones is None:
+            return self.postings
+        return self.postings.join(
+            F.broadcast(self.tombstones.select("_id")), "_id", "left_anti"
+        )
 
     @staticmethod
     def _count_files(path: str) -> int | None:
@@ -788,27 +833,34 @@ class MinHashIndex:
 
         old_postings, old_sets = self._postings_dir(), self._sets_dir()
         before = self._count_files(old_postings)
+        postings, sets = self.postings, self.sets
+        if self.tombstones is not None:
+            # materialize pending deletions: the rewrite drops
+            # tombstoned rows, then the tombstones themselves
+            tomb = F.broadcast(self.tombstones.select("_id"))
+            postings = postings.join(tomb, "_id", "left_anti")
+            sets = sets.join(tomb, "_id", "left_anti")
         self.generation += 1
         try:
-            self.postings.repartition(self.bands, "_band").sortWithinPartitions(
+            postings.repartition(self.bands, "_band").sortWithinPartitions(
                 "_bucket", "_id"
             ).write.mode("overwrite").partitionBy("_band").parquet(
                 self._postings_dir()
             )
-            self.sets.repartition(self.bands).write.mode("overwrite").parquet(
+            sets.repartition(self.bands).write.mode("overwrite").parquet(
                 self._sets_dir()
             )
             self._write_meta(self._spark, self.path)
         except Exception:
             self.generation -= 1  # live pointer still names old dirs
             raise
-        self._reload(self._spark)
-        after = self._count_files(self._postings_dir())
         import os as _os
 
-        for d in (old_postings, old_sets):
+        for d in (old_postings, old_sets, self._tombstones_dir()):
             if _os.path.isdir(d):
                 _shutil.rmtree(d, ignore_errors=True)
+        self._reload(self._spark)
+        after = self._count_files(self._postings_dir())
         return {"postings_files_before": before, "postings_files_after": after}
 
     def probe(
@@ -833,7 +885,7 @@ class MinHashIndex:
         # exchange carries O(|batch| x bucket-size) rows, not the
         # corpus postings (the whole point of persisting them).
         bkeys = bbuckets.select("_band", "_bucket").distinct()
-        touched = self.postings.join(
+        touched = self._live_postings().join(
             F.broadcast(bkeys), ["_band", "_bucket"], "left_semi"
         )
         w_bucket = Window.partitionBy("_band", "_bucket")

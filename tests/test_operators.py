@@ -314,6 +314,63 @@ def test_minhash_index_admit(spark, sf_dir, tmp_path):
         dedup.MinHashIndex(corpus).admit(batch)
 
 
+def test_minhash_index_delete(spark, sf_dir, tmp_path):
+    """delete() tombstones: probe-after-delete must equal a probe off
+    an index REBUILT without the deleted docs (including bucket-cap
+    effects); compact() materializes the deletions and clears the
+    tombstones; admit() respects deletions (a doc equal to a deleted
+    one is admittable again)."""
+    import os
+
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    gone = corpus.filter(F.col("doc_id") % 8 == 1)  # half of %4==1
+
+    def key(rows):
+        return sorted(
+            (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+            for r in rows
+        )
+
+    path = str(tmp_path / "mh_del")
+    idx = dedup.MinHashIndex(corpus)
+    idx.write(spark, path)
+    full = key(idx.probe(batch, verify_threshold=0.3).collect())
+
+    idx.delete(gone.select("doc_id"))
+    after_del = key(idx.probe(batch, verify_threshold=0.3).collect())
+    rebuilt = dedup.MinHashIndex(corpus.filter(F.col("doc_id") % 8 != 1))
+    rebuilt.write(spark, str(tmp_path / "mh_del_ref"))
+    assert after_del == key(
+        rebuilt.probe(batch, verify_threshold=0.3).collect()
+    )
+    assert after_del != full  # the deletion actually removed pairs
+
+    # a fresh load sees the tombstones
+    loaded = dedup.MinHashIndex.load(spark, path)
+    assert loaded.tombstones is not None
+    assert key(loaded.probe(batch, verify_threshold=0.3).collect()) == after_del
+
+    # compact materializes: tombstones dir gone, stored ids shrink,
+    # probe unchanged
+    n_gone = gone.count()
+    n_before = loaded.sets.count()
+    loaded.compact()
+    assert loaded.tombstones is None
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    assert loaded.sets.count() == n_before - n_gone
+    assert key(loaded.probe(batch, verify_threshold=0.3).collect()) == after_del
+
+    # iterable form + guards
+    loaded.delete([999_999])  # unknown id: harmless tombstone
+    assert key(loaded.probe(batch, verify_threshold=0.3).collect()) == after_del
+    with pytest.raises(ValueError, match="write"):
+        dedup.MinHashIndex(corpus).delete([1])
+
+
 def test_minhash_index_compact(spark, sf_dir, tmp_path):
     """compact() must merge append-accumulated small files into one
     bucket-sorted file per band WITHOUT changing probe results, flip
