@@ -2044,6 +2044,42 @@ def q120_minhash_delete_probe(spark, sf_dir):
     )
 
 
+def q121_ivf_delete_search(spark, sf_dir):
+    """Vector deletion (operators/similarity.py:IVFIndex.delete —
+    q120's embeddings analogue): build the index on ALL vectors,
+    tombstone the vec_id %5 == 0 subset (one O(ids) parquet append;
+    search/dup_probe mask them with a broadcast anti-join), then run
+    an ALL-clusters probe — which makes IVF exactly brute force (the
+    q42 device), so the oracle is exact top-10 cosine over the
+    UNDELETED ids: deletion must behave as if those vectors were
+    never indexed, while the centroids (and thus the partitions)
+    stay untouched."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.similarity import IVF_FORMAT_VERSION, IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    params = {"n_centroids": 8, "iters": 1}
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_ivf_del_{sf_tag}_v{IVF_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    shutil.rmtree(path + "_tombstones", ignore_errors=True)
+    IVFIndex(emb, **params).write(spark, path)
+    idx = IVFIndex.load(spark, path, expect=params)
+    idx.delete(emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"))
+    index = IVFIndex.load(spark, path, expect=params)
+    out = index.search(qvec, k=10, n_probe=8)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 def q119_ivf_compacted_search(spark, sf_dir):
     """q110's lifecycle plus COMPACTION (operators/similarity.py:
     IVFIndex.compact — the embeddings analogue of q115): build on
@@ -2538,22 +2574,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         new), q118 (streaming admission — true multi-micro-batch
     #         stateful gate, new), q119 (pruned probe off a COMPACTED
     #         IVF index, new), q120 (probe after DELETE — tombstone
-    #         masking ≡ rebuild-without, new), q72 (first round with
-    #         an envelope oracle — previously the lone rows-only
-    #         entry): never hash-gated before. (1-15.)
-    #   16-22 code-changed this round, so they re-enter the gate:
+    #         masking ≡ rebuild-without, new), q121 (IVF delete —
+    #         all-clusters probe over undeleted ids, new), q72 (first
+    #         round with an envelope oracle — previously the lone
+    #         rows-only entry): never hash-gated before. (1-16.)
+    #   17-23 code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   23-35 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   24-36 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   36-38 q67/q57/q66: flagship heavy pipelines kept under
+    #   37-39 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   39-50 q47-q56, q58-q59: last driver-gated r6/r7 — the
+    #   40-50 q47-q56, q58: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    # Everything below slot 50 (q60-q65/q68/q69/q71/q73 — displaced
-    # by the ten new entries, rotate back next round — q74/q75 (r7-gated),
+    # Everything below slot 50 (q59-q65/q68/q69/q71/q73 — displaced
+    # by the eleven new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2572,6 +2609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_streaming_admit": q118_streaming_admit,
     "q119_ivf_compacted_search": q119_ivf_compacted_search,
     "q120_minhash_delete_probe": q120_minhash_delete_probe,
+    "q121_ivf_delete_search": q121_ivf_delete_search,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -3703,6 +3741,26 @@ OPERATOR_ORACLES: dict[str, str] = {
             AND list_dot_product(eb.v, ea.v)
                 / (sqrt(list_dot_product(eb.v, eb.v))
                    * sqrt(list_dot_product(ea.v, ea.v))) >= 0.40
+        )
+    """,
+    # q121: all-clusters probe after DELETE — the q42 brute-force
+    # device over the UNDELETED ids: tombstone masking must equal
+    # never having indexed those vectors (centroids untouched).
+    "q121_ivf_delete_search": """
+        WITH q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings WHERE vec_id % 5 != 0
+        )
+        SELECT vec_id, ROUND(c, 6) AS cosine FROM (
+            SELECT vec_id,
+                   list_dot_product(ev, qv) /
+                   (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS c
+            FROM e, q
+            ORDER BY c DESC, vec_id ASC
+            LIMIT 10
         )
     """,
     # q42: probing all clusters makes IVF exactly equal brute force —

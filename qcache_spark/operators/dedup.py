@@ -669,11 +669,17 @@ class MinHashIndex:
             # only the meta sidecar needs refreshing.
             self._write_meta(spark, path)
             return
+        # a re-homed index materializes its pending deletions
+        postings, sets = self.postings, self.sets
+        if self.tombstones is not None:
+            tomb = F.broadcast(self.tombstones.select("_id"))
+            postings = postings.join(tomb, "_id", "left_anti")
+            sets = sets.join(tomb, "_id", "left_anti")
         self.generation = 0
-        self.postings.write.mode("overwrite").partitionBy("_band").parquet(
+        postings.write.mode("overwrite").partitionBy("_band").parquet(
             path + "/postings"
         )
-        self.sets.write.mode("overwrite").parquet(path + "/sets")
+        sets.write.mode("overwrite").parquet(path + "/sets")
         self._write_meta(spark, path)
         self.path = path
         self._reload(spark)

@@ -187,6 +187,7 @@ class IVFIndex:
         self.centroids = centroids
         self.path: str | None = None
         self.generation = 0
+        self.tombstones: DataFrame | None = None
         self.assigned = df.withColumn(
             "cluster_id", _assign_udf(centroids)(F.col(vec_col).cast("array<double>"))
         )
@@ -201,7 +202,7 @@ class IVFIndex:
             for ci, c in enumerate(self.centroids)
         ]
         probes = [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
-        pruned = self.assigned.filter(F.col("cluster_id").isin(probes))
+        pruned = self._live_assigned().filter(F.col("cluster_id").isin(probes))
         return cosine_topk(pruned, q, k, self.id_col, self.vec_col)
 
     # Data lives at the path root for generation 0 (the layout every
@@ -213,8 +214,49 @@ class IVFIndex:
         g = getattr(self, "generation", 0)
         return self.path if g == 0 else os.path.join(self.path, f"data_g{g}")
 
+    def _tombstones_dir(self) -> str:
+        # generation-independent (and, for generation 0, outside the
+        # data root so spark.read.parquet(path) never mixes it in)
+        return self.path + "_tombstones"
+
     def _reload(self, spark) -> None:
         self.assigned = spark.read.parquet(self._data_dir())
+        self.tombstones = (
+            spark.read.parquet(self._tombstones_dir())
+            if os.path.isdir(self._tombstones_dir())
+            else None
+        )
+
+    def _live_assigned(self) -> DataFrame:
+        if getattr(self, "tombstones", None) is None:
+            return self.assigned
+        return self.assigned.join(
+            F.broadcast(self.tombstones.select(self.id_col)),
+            self.id_col,
+            "left_anti",
+        )
+
+    def delete(self, ids) -> None:
+        """Retract vectors from the index (MinHashIndex.delete's
+        analogue): ``ids`` — a DataFrame carrying the id column, or an
+        iterable — are tombstoned with one O(|ids|) parquet append;
+        ``search``/``dup_probe``/``admit`` mask them with a broadcast
+        anti-join, so results equal an index rebuilt without those
+        vectors; the next ``compact()`` materializes the deletions
+        into the rewritten files and clears the tombstones."""
+        if self.path is None:
+            raise ValueError(
+                "delete requires a persisted index — call write() first"
+            )
+        spark = self.assigned.sparkSession
+        if isinstance(ids, DataFrame):
+            tdf = ids.select(self.id_col)
+        else:
+            tdf = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{self.id_col} long"
+            )
+        tdf.write.mode("append").parquet(self._tombstones_dir())
+        self._reload(spark)
 
     def write(self, spark, path: str) -> None:
         """Persist the assigned table partitioned by cluster_id: a
@@ -232,8 +274,9 @@ class IVFIndex:
             # meta sidecar needs refreshing.
             self._write_meta(spark, path)
             return
-        self.generation = 0
-        self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        data = self._live_assigned()  # a re-homed index materializes
+        self.generation = 0           # its pending deletions
+        data.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
         self._write_meta(spark, path)
         self.path = path
         self._reload(spark)
@@ -261,9 +304,11 @@ class IVFIndex:
         old_gen = getattr(self, "generation", 0)
         old_dir = self._data_dir()
         before = _count_parquet_files(old_dir)
+        # materialize pending deletions into the rewrite
+        data = self._live_assigned()
         self.generation = old_gen + 1
         try:
-            self.assigned.repartition(
+            data.repartition(
                 self.n_centroids, "cluster_id"
             ).sortWithinPartitions(self.id_col).write.mode(
                 "overwrite"
@@ -272,6 +317,8 @@ class IVFIndex:
         except Exception:
             self.generation = old_gen
             raise
+        if os.path.isdir(self._tombstones_dir()):
+            _shutil.rmtree(self._tombstones_dir(), ignore_errors=True)
         self._reload(spark)
         after = _count_parquet_files(self._data_dir())
         if old_gen == 0:
@@ -373,7 +420,7 @@ class IVFIndex:
             r["cluster_id"]
             for r in b.select("cluster_id").distinct().collect()
         )
-        corpus = self.assigned.filter(
+        corpus = self._live_assigned().filter(
             F.col("cluster_id").isin(touched)
         ).select(
             "cluster_id",

@@ -2370,6 +2370,72 @@ def test_ivf_compact(spark, embeddings, tmp_path):
         similarity.IVFIndex(emb, n_centroids=4, iters=1).compact()
 
 
+def test_ivf_delete(spark, embeddings, tmp_path):
+    """IVFIndex.delete tombstones: same CENTROIDS, live rows only —
+    a probe-all search equals brute-force top-k over the undeleted
+    vectors; dup_probe drops exactly the pairs whose corpus side was
+    deleted; compact() materializes and clears."""
+    import os
+
+    emb = embeddings
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    path = str(tmp_path / "ivf_del")
+    similarity.IVFIndex(emb, n_centroids=4, iters=1).write(spark, path)
+    idx = similarity.IVFIndex.load(spark, path)
+
+    batch = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    pairs_before = {
+        (r["batch_id"], r["corpus_id"])
+        for r in idx.dup_probe(batch, threshold=0.4).collect()
+    }
+
+    deleted = {r["vec_id"] for r in emb.filter(F.col("vec_id") % 5 == 0).collect()}
+    idx.delete(emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"))
+
+    # probe-all search == brute force over the undeleted rows
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in idx.search(qvec, k=10, n_probe=4).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.cosine_topk(
+            emb.filter(F.col("vec_id") % 5 != 0), qvec, k=10
+        ).collect()
+    ]
+    assert got == want
+    assert all(v not in deleted for v, _ in got)
+
+    # dup_probe: exactly the deleted-corpus pairs disappear
+    pairs_after = {
+        (r["batch_id"], r["corpus_id"])
+        for r in idx.dup_probe(batch, threshold=0.4).collect()
+    }
+    assert pairs_after == {
+        (b, c) for b, c in pairs_before if c not in deleted
+    }
+    assert pairs_after != pairs_before  # some deletions bound
+
+    # fresh load sees tombstones; compact materializes + clears
+    loaded = similarity.IVFIndex.load(spark, path)
+    assert loaded.tombstones is not None
+    n_live = emb.count() - len(deleted)
+    loaded.compact()
+    assert loaded.tombstones is None
+    assert not os.path.isdir(path + "_tombstones")
+    assert loaded.assigned.count() == n_live
+    got2 = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in loaded.search(qvec, k=10, n_probe=4).collect()
+    ]
+    assert got2 == want
+
+    with pytest.raises(ValueError, match="write"):
+        similarity.IVFIndex(emb, n_centroids=4, iters=1).delete([1])
+
+
 def test_semantic_dedup_dominated_policy(spark):
     """Hand-built corpus pins the SemDeDup semantics: a row is dropped
     iff a LOWER-id same-cluster row has cosine >= threshold — even
