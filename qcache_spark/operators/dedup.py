@@ -781,7 +781,13 @@ class MinHashIndex:
         rebuilt without those documents (pytest-pinned) — deleted
         boilerplate stops inflating bucket sizes immediately. The next
         ``compact()`` materializes the deletions into the rewritten
-        files and clears the tombstones."""
+        files and clears the tombstones.
+
+        Tombstones mask by ID: re-appending a deleted id before the
+        next compact stays masked (and the pending compact drops ALL
+        of that id's rows) — re-admit deleted content under a fresh
+        id, or compact() first. Callers own the id lifecycle, as with
+        append."""
         if self.path is None:
             raise ValueError(
                 "delete requires a persisted index — call write() first"

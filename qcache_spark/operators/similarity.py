@@ -243,7 +243,9 @@ class IVFIndex:
         ``search``/``dup_probe``/``admit`` mask them with a broadcast
         anti-join, so results equal an index rebuilt without those
         vectors; the next ``compact()`` materializes the deletions
-        into the rewritten files and clears the tombstones."""
+        into the rewritten files and clears the tombstones. Tombstones
+        mask by ID (re-append a deleted id only after compact, or
+        under a fresh id — see MinHashIndex.delete)."""
         if self.path is None:
             raise ValueError(
                 "delete requires a persisted index — call write() first"
