@@ -1,8 +1,9 @@
-"""Streaming ingestion through the persistent near-dup index.
+"""Streaming ingestion through a persistent near-dup index.
 
-The batch admission loop (operators/dedup.py:MinHashIndex.admit —
-probe the batch against everything admitted so far, drop near-dups,
-append the survivors) lifted onto Structured Streaming. The dedup
+The batch admission loop (MinHashIndex.admit for text,
+IVFIndex.admit for embeddings — probe the batch against everything
+admitted so far, drop near-dups, append the survivors) lifted onto
+Structured Streaming. The dedup
 state here is the CORPUS itself — unbounded, exact, and shared with
 batch jobs — which is precisely the state that does NOT belong in the
 streaming state store: `dropDuplicatesWithinWatermark`
@@ -60,14 +61,16 @@ def _record_admitted(index_path: str, batch_id: int) -> None:
 
 def admit_foreach_batch(
     index,
-    max_bucket_size: int = 500,
-    verify_threshold: float = 0.5,
-    intra_batch: bool = True,
     on_batch=None,
+    **admit_kwargs,
 ):
     """Build the `foreachBatch` function that admits each micro-batch
-    through ``index`` (a persisted MinHashIndex). Exposed separately
-    from :func:`streaming_admit` so tests and callers with custom
+    through ``index`` — any persisted index exposing ``path`` and
+    ``admit(batch, **kwargs)`` (MinHashIndex for text,
+    IVFIndex for embeddings); ``admit_kwargs`` are forwarded verbatim
+    (e.g. ``verify_threshold=`` / ``max_bucket_size=`` for MinHash,
+    ``threshold=`` / ``n_probe=`` for IVF). Exposed separately from
+    :func:`streaming_admit` so tests and callers with custom
     writeStream plumbing can compose it.
 
     Replay safety: micro-batches with ``batch_id <=`` the persisted
@@ -87,12 +90,7 @@ def admit_foreach_batch(
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _last_admitted(index.path):
             return  # replayed after restart: already admitted
-        survivors = index.admit(
-            batch_df,
-            max_bucket_size=max_bucket_size,
-            verify_threshold=verify_threshold,
-            intra_batch=intra_batch,
-        )
+        survivors = index.admit(batch_df, **admit_kwargs)
         # admit() returns a LAZY frame whose append already ran; count
         # here is served from the just-written files via the index
         n = None
@@ -109,15 +107,15 @@ def streaming_admit(
     stream_df: DataFrame,
     index,
     checkpoint_dir: str,
-    max_bucket_size: int = 500,
-    verify_threshold: float = 0.5,
-    intra_batch: bool = True,
     available_now: bool = True,
     on_batch=None,
+    **admit_kwargs,
 ):
     """Start the admission stream: every micro-batch of ``stream_df``
-    is probed against ``index`` and only near-dup-free survivors are
-    appended. Returns the started StreamingQuery.
+    is probed against ``index`` (text or embeddings — see
+    :func:`admit_foreach_batch`) and only near-dup-free survivors are
+    appended. ``admit_kwargs`` forward to ``index.admit``. Returns the
+    started StreamingQuery.
 
     ``available_now=True`` (default) drains everything currently
     available and stops — the scheduled-ingest shape (run hourly over
@@ -125,13 +123,7 @@ def streaming_admit(
     source's own trigger cadence."""
     writer = (
         stream_df.writeStream.foreachBatch(
-            admit_foreach_batch(
-                index,
-                max_bucket_size=max_bucket_size,
-                verify_threshold=verify_threshold,
-                intra_batch=intra_batch,
-                on_batch=on_batch,
-            )
+            admit_foreach_batch(index, on_batch=on_batch, **admit_kwargs)
         )
         .option("checkpointLocation", checkpoint_dir)
         .queryName("qcache_spark_admission")

@@ -513,3 +513,50 @@ def test_streaming_admit_parity_and_replay(spark, sf_dir, tmp_path):
     # un-persisted index refuses up front
     with pytest.raises(ValueError, match="write"):
         admit_foreach_batch(dedup.MinHashIndex(corpus))
+
+
+def test_streaming_admit_ivf(spark, sf_dir, tmp_path):
+    """The same streaming admission plumbing drives the EMBEDDINGS
+    index: admit_kwargs forward to IVFIndex.admit, micro-batch state
+    parity with sequential batch admits."""
+    from qcache_spark.operators import similarity
+    from qcache_spark.streaming import streaming_admit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+
+    land = tmp_path / "emb_landing"
+    b1.coalesce(1).write.parquet(str(land / "a"))
+    b2.coalesce(1).write.parquet(str(land / "b"))
+    s_path = str(tmp_path / "ivf_stream")
+    idx = similarity.IVFIndex(corpus, n_centroids=4, iters=1)
+    idx.write(spark, s_path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/*/")
+    )
+    q = streaming_admit(
+        stream, idx, checkpoint_dir=str(tmp_path / "emb_ckpt"),
+        threshold=0.4, n_probe=1,
+    )
+    q.awaitTermination()
+
+    ref = similarity.IVFIndex(corpus, n_centroids=4, iters=1)
+    ref.write(spark, str(tmp_path / "ivf_stream_ref"))
+    ref.admit(b1, threshold=0.4, n_probe=1)
+    ref.admit(b2, threshold=0.4, n_probe=1)
+
+    def ids(path):
+        return sorted(
+            r["vec_id"]
+            for r in similarity.IVFIndex.load(spark, path)
+            .assigned.select("vec_id").collect()
+        )
+
+    got = ids(s_path)
+    assert got == ids(str(tmp_path / "ivf_stream_ref"))
+    assert len(got) > corpus.count()  # survivors were admitted
