@@ -808,6 +808,33 @@ class MinHashIndex:
             F.broadcast(self.tombstones.select("_id")), "_id", "left_anti"
         )
 
+    def stats(self) -> dict:
+        """Operational health report — what to check before deciding
+        to ``compact()``: stored vs live (un-tombstoned) document
+        counts, pending tombstones, the live data generation, and
+        postings file count (appends grow it; probe cost follows it).
+        Two small aggregate jobs + a file listing; no corpus text is
+        touched."""
+        n_docs = self.sets.count() if self.sets is not None else 0
+        n_tomb = (
+            self.tombstones.select("_id").distinct().count()
+            if self.tombstones is not None
+            else 0
+        )
+        files = (
+            self._count_files(self._postings_dir())
+            if self.path is not None
+            else None
+        )
+        return {
+            "docs_stored": n_docs,
+            "docs_live": n_docs - n_tomb,
+            "tombstones_pending": n_tomb,
+            "generation": self.generation,
+            "postings_files": files,
+            "bands": self.bands,
+        }
+
     @staticmethod
     def _count_files(path: str) -> int | None:
         import os as _os

@@ -236,6 +236,37 @@ class IVFIndex:
             "left_anti",
         )
 
+    def stats(self) -> dict:
+        """Operational health report (MinHashIndex.stats's analogue):
+        stored vs live vector counts, per-cluster row distribution
+        (skewed clusters = a centroid refit candidate), pending
+        tombstones, generation and data file count."""
+        per_cluster = {
+            r["cluster_id"]: r["n"]
+            for r in self.assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_vecs = sum(per_cluster.values())
+        n_tomb = (
+            self.tombstones.select(self.id_col).distinct().count()
+            if getattr(self, "tombstones", None) is not None
+            else 0
+        )
+        files = (
+            _count_parquet_files(self._data_dir())
+            if self.path is not None
+            else None
+        )
+        return {
+            "vectors_stored": n_vecs,
+            "vectors_live": n_vecs - n_tomb,
+            "tombstones_pending": n_tomb,
+            "generation": getattr(self, "generation", 0),
+            "data_files": files,
+            "cluster_sizes": per_cluster,
+        }
+
     def delete(self, ids) -> None:
         """Retract vectors from the index (MinHashIndex.delete's
         analogue): ``ids`` — a DataFrame carrying the id column, or an

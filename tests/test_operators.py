@@ -3037,3 +3037,42 @@ def test_snapshot_diff_row_semantics(spark):
         snapshot_diff(left, right, [])
     with pytest.raises(ValueError):
         snapshot_diff(left, right, ["nope"])
+
+
+def test_index_stats(spark, sf_dir, embeddings, tmp_path):
+    """stats() health reports track the append/delete/compact
+    lifecycle for both index classes."""
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    idx = dedup.MinHashIndex(docs.filter(F.col("doc_id") % 2 == 0))
+    idx.write(spark, str(tmp_path / "mh_stats"))
+    idx.append(docs.filter(F.col("doc_id") % 2 == 1))
+    idx.delete(docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"))
+    s = idx.stats()
+    n_del = docs.filter(F.col("doc_id") % 10 == 0).count()
+    assert s["docs_stored"] == docs.count()
+    assert s["docs_live"] == docs.count() - n_del
+    assert s["tombstones_pending"] == n_del
+    assert s["generation"] == 0 and s["bands"] == 16
+    assert s["postings_files"] > 16  # two write rounds
+    idx.compact()
+    s2 = idx.stats()
+    assert s2["tombstones_pending"] == 0
+    assert s2["docs_stored"] == s2["docs_live"] == docs.count() - n_del
+    assert s2["generation"] == 1 and s2["postings_files"] == 16
+
+    ivf = similarity.IVFIndex(embeddings, n_centroids=4, iters=1)
+    ivf.write(spark, str(tmp_path / "ivf_stats"))
+    ivf.delete([0, 5, 10])
+    s3 = ivf.stats()
+    assert s3["vectors_stored"] == embeddings.count()
+    assert s3["vectors_live"] == embeddings.count() - 3
+    assert s3["tombstones_pending"] == 3
+    assert sum(s3["cluster_sizes"].values()) == embeddings.count()
+    assert len(s3["cluster_sizes"]) <= 4
+    ivf.compact()
+    s4 = ivf.stats()
+    assert s4["tombstones_pending"] == 0
+    assert s4["vectors_stored"] == embeddings.count() - 3
+    assert s4["data_files"] == 4 and s4["generation"] == 1
