@@ -2044,6 +2044,45 @@ def q120_minhash_delete_probe(spark, sf_dir):
     )
 
 
+def q122_minhash_merge_probe(spark, sf_dir):
+    """Parallel index construction (operators/dedup.py:
+    MinHashIndex.merge): the corpus shards %4 == 1|2 and %4 == 3 are
+    built as INDEPENDENT indexes — each build sees only its shard, no
+    cross-shard shuffle anywhere — then folded together with O(shard)
+    file appends (the second shard never touches disk before the
+    merge), and the %4 == 0 batch is probed off the merged result.
+    Oracle: identical to q105/q107 — the merged index must answer
+    exactly what one index built over the whole corpus answers."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.dedup import (
+        MINHASH_FORMAT_VERSION,
+        MinHashIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    shard_a = docs.filter(
+        (F.col("doc_id") % 4 == 1) | (F.col("doc_id") % 4 == 2)
+    )
+    shard_b = docs.filter(F.col("doc_id") % 4 == 3)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_minhash_merge_{sf_tag}_v{MINHASH_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    idx = MinHashIndex(shard_a)
+    idx.write(spark, path)
+    idx.merge(MinHashIndex(shard_b))
+    index = MinHashIndex.load(spark, path)
+    return index.probe(batch, verify_threshold=0.5).select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q121_ivf_delete_search(spark, sf_dir):
     """Vector deletion (operators/similarity.py:IVFIndex.delete —
     q120's embeddings analogue): build the index on ALL vectors,
@@ -2575,22 +2614,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         stateful gate, new), q119 (pruned probe off a COMPACTED
     #         IVF index, new), q120 (probe after DELETE — tombstone
     #         masking ≡ rebuild-without, new), q121 (IVF delete —
-    #         all-clusters probe over undeleted ids, new), q72 (first
-    #         round with an envelope oracle — previously the lone
-    #         rows-only entry): never hash-gated before. (1-16.)
-    #   17-23 code-changed this round, so they re-enter the gate:
+    #         all-clusters probe over undeleted ids, new), q122
+    #         (probe off an index MERGED from independently-built
+    #         shards, new), q72 (first round with an envelope oracle —
+    #         previously the lone rows-only entry): never hash-gated
+    #         before. (1-17.)
+    #   18-24 code-changed this round, so they re-enter the gate:
     #         q106/q76/q94 (opcache pinning + the epochs refactor
     #         touched their shared cumsum plumbing), q105 (dedup
     #         module changed), q90/q102 (pagerank signature change),
     #         q31 (opcache register/budget-loop change).
-    #   24-36 q33/q35 + q36-q46: the rotation r8's comment promised —
+    #   25-37 q33/q35 + q36-q46: the rotation r8's comment promised —
     #         last driver-gated in r6.
-    #   37-39 q67/q57/q66: flagship heavy pipelines kept under
+    #   38-40 q67/q57/q66: flagship heavy pipelines kept under
     #         continuous external gating (standing pins).
-    #   40-50 q47-q56, q58: last driver-gated r6/r7 — the
+    #   41-50 q47-q56: last driver-gated r6/r7 — the
     #         longest-ungated block.
-    # Everything below slot 50 (q59-q65/q68/q69/q71/q73 — displaced
-    # by the eleven new entries, rotate back next round — q74/q75 (r7-gated),
+    # Everything below slot 50 (q58-q65/q68/q69/q71/q73 — displaced
+    # by the twelve new entries, rotate back next round — q74/q75 (r7-gated),
     # q1/q5/q20/q21, q2-q19, q22-q32/q34, q70/q104 (r8-gated),
     # q77-q89 (r7/r8-gated), q91-q103 remainder) stays value-checked
     # every run by the local DuckDB replica
@@ -2610,6 +2651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_ivf_compacted_search": q119_ivf_compacted_search,
     "q120_minhash_delete_probe": q120_minhash_delete_probe,
     "q121_ivf_delete_search": q121_ivf_delete_search,
+    "q122_minhash_merge_probe": q122_minhash_merge_probe,
     "q72_cardinality_sketch": q72_cardinality_sketch,
     "q106_token_budget_mix": q106_token_budget_mix,
     "q76_curriculum_buckets": q76_curriculum_buckets,
@@ -4912,6 +4954,8 @@ def oracle_sql() -> dict[str, str]:
     # q115: identical oracle to q105/q107 — probing off a COMPACTED
     # index must return exactly what the from-text probe returns.
     out["q115_minhash_compacted_probe"] = out["q107_minhash_index_probe"]
+    # q122: ditto for an index MERGED from independently-built shards.
+    out["q122_minhash_merge_probe"] = out["q107_minhash_index_probe"]
     # q119: identical oracle to q110 — the pruned probe off a
     # COMPACTED index must return exactly what build+append returns.
     out["q119_ivf_compacted_search"] = out["q110_ivf_append_search"]

@@ -770,6 +770,38 @@ class MinHashIndex:
         )
         self._reload(self._spark)
 
+    def merge(self, other: "MinHashIndex") -> None:
+        """Union another index's corpus into this one — the
+        PARALLEL-BUILD path: shard a huge corpus, build per-shard
+        indexes independently (each build is embarrassingly parallel,
+        no cross-shard shuffle anywhere), then fold them together with
+        O(shard) file appends. ``other`` may be in-memory (never
+        written) or loaded from disk; it must share every
+        signature-affecting parameter (checked — merging indexes
+        hashed under different params would silently corrupt probes).
+        ``other``'s pending tombstones are materialized out during the
+        copy; this index's own tombstones are untouched. As with
+        append, callers own id uniqueness across the merged shards."""
+        if self.path is None:
+            raise ValueError(
+                "merge requires a persisted index — call write() first"
+            )
+        if other._params() != self._params():
+            raise MinHashIndexMismatch(
+                f"cannot merge: parameter mismatch "
+                f"{other._params()} != {self._params()}"
+            )
+        postings, sets = other.postings, other.sets
+        if other.tombstones is not None:
+            tomb = F.broadcast(other.tombstones.select("_id"))
+            postings = postings.join(tomb, "_id", "left_anti")
+            sets = sets.join(tomb, "_id", "left_anti")
+        postings.select("_id", "_band", "_bucket").write.mode(
+            "append"
+        ).partitionBy("_band").parquet(self._postings_dir())
+        sets.write.mode("append").parquet(self._sets_dir())
+        self._reload(self._spark)
+
     def delete(self, ids) -> None:
         """Retract documents from the index (the GDPR/takedown
         lifecycle step): ``ids`` — a DataFrame carrying the index's id

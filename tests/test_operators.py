@@ -314,6 +314,54 @@ def test_minhash_index_admit(spark, sf_dir, tmp_path):
         dedup.MinHashIndex(corpus).admit(batch)
 
 
+def test_minhash_index_merge(spark, sf_dir, tmp_path):
+    """merge() folds per-shard indexes into one: probe off the merged
+    index equals probe off an index built on the union; an in-memory
+    (unwritten) shard merges too; parameter mismatch refuses; a
+    deleted doc on the incoming side is materialized out."""
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    half1 = docs.filter(F.col("doc_id") % 4 == 1)
+    half2 = docs.filter(F.col("doc_id") % 4 == 2)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    def key(rows):
+        return sorted(
+            (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+            for r in rows
+        )
+
+    main = dedup.MinHashIndex(half1)
+    main.write(spark, str(tmp_path / "mh_merge"))
+    main.merge(dedup.MinHashIndex(half2))  # in-memory shard
+    got = key(main.probe(batch, verify_threshold=0.3).collect())
+    ref = dedup.MinHashIndex(half1.union(half2))
+    ref.write(spark, str(tmp_path / "mh_merge_ref"))
+    assert got == key(ref.probe(batch, verify_threshold=0.3).collect())
+    assert len(got) > 0
+
+    # incoming side with a pending deletion: materialized out
+    shard = dedup.MinHashIndex(half2)
+    shard.write(spark, str(tmp_path / "mh_shard"))
+    gone = half2.limit(1).select("doc_id")
+    shard.delete(gone)
+    main2 = dedup.MinHashIndex(half1)
+    main2.write(spark, str(tmp_path / "mh_merge2"))
+    main2.merge(shard)
+    gone_id = gone.first()["doc_id"]
+    assert main2.sets.filter(F.col("_id") == gone_id).count() == 0
+    assert (
+        main2.sets.count() == half1.count() + half2.count() - 1
+    )
+
+    # guards
+    with pytest.raises(dedup.MinHashIndexMismatch):
+        main.merge(dedup.MinHashIndex(half2, num_perm=128, bands=16))
+    with pytest.raises(ValueError, match="write"):
+        dedup.MinHashIndex(half1).merge(dedup.MinHashIndex(half2))
+
+
 def test_minhash_index_delete(spark, sf_dir, tmp_path):
     """delete() tombstones: probe-after-delete must equal a probe off
     an index REBUILT without the deleted docs (including bucket-cap
