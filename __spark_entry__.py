@@ -2108,7 +2108,10 @@ def q121_ivf_delete_search(spark, sf_dir):
     )
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(path + "_meta", ignore_errors=True)
-    shutil.rmtree(path + "_tombstones", ignore_errors=True)
+    # NOTE: no manual path+"_tombstones" cleanup — write() itself
+    # clears a previous occupant's tombstones (ADVICE r9 #1), and this
+    # gate re-proves that every round: a prior run's tombstones sit at
+    # exactly that path when write() runs.
     IVFIndex(emb, **params).write(spark, path)
     idx = IVFIndex.load(spark, path, expect=params)
     idx.delete(emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"))

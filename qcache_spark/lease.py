@@ -1,0 +1,117 @@
+"""Single-writer admission lease for persisted indexes.
+
+``MinHashIndex.admit`` / ``IVFIndex.admit`` (and streaming admission on
+top of them) are probe-then-append: a batch row survives iff nothing
+ALREADY ADMITTED near-duplicates it. Two concurrent admitters can both
+probe before either appends, so both copies of a cross-batch near-dup
+pair survive — silent corruption of the index's one invariant. The
+contract was previously documentation only (VERDICT r9 Next #5); this
+module enforces it: ``admit()`` takes the lease for the probe→append
+critical section and a second concurrent admitter RAISES
+:class:`LeaseHeld` instead of corrupting.
+
+Mechanism: a ``_admission_lease.json`` control file inside the index
+path, created exclusively through the Hadoop FileSystem API
+(hadoopfs.create_exclusive — atomic create-if-absent on HDFS and local
+filesystems). After creating, the acquirer reads the file back and
+verifies its own token (fencing: on object stores without atomic
+create, two racers can both "create" — exactly one token survives, the
+other acquirer loses and raises). The underscore-prefixed name keeps
+Spark's parquet listing from ever seeing it as data.
+
+Crash recovery: a process that dies mid-admit leaves its lease behind;
+subsequent admitters fail LOUDLY with the holder's identity until an
+operator confirms the holder is gone and calls
+``IndexLease.break_lease(spark, index_path)``. Loud-stuck beats
+silent-corrupt: there is no TTL auto-takeover, because a stalled (not
+dead) holder that resumes after a takeover would corrupt exactly the
+way the lease exists to prevent.
+"""
+from __future__ import annotations
+
+import json
+import os
+import socket
+import uuid
+
+from qcache_spark import hadoopfs as hfs
+
+LEASE_FILE = "_admission_lease.json"
+
+
+class LeaseHeld(RuntimeError):
+    """Another admitter holds the index's admission lease."""
+
+
+def _lease_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/" + LEASE_FILE
+
+
+class IndexLease:
+    """Context-managed admission lease on a persisted index path.
+
+    >>> with IndexLease(spark, idx.path):
+    ...     idx.admit(batch, lease=False)   # already held by caller
+
+    ``admit()`` acquires one internally by default, so explicit use is
+    only needed to span MULTIPLE admit calls atomically."""
+
+    def __init__(self, spark, index_path: str, owner: str | None = None):
+        self._spark = spark
+        self.index_path = index_path
+        self.owner = owner or (
+            f"{socket.gethostname()}:pid{os.getpid()}:{uuid.uuid4().hex}"
+        )
+        self._held = False
+
+    @property
+    def path(self) -> str:
+        return _lease_path(self.index_path)
+
+    def acquire(self) -> "IndexLease":
+        token = json.dumps({"owner": self.owner})
+        if not hfs.create_exclusive(self._spark, self.path, token):
+            raise LeaseHeld(
+                f"admission lease on {self.index_path!r} is held by "
+                f"{self._holder()!r} — a concurrent admitter would admit "
+                "near-duplicates; wait for it, or if its process is dead, "
+                "run IndexLease.break_lease(spark, index_path)"
+            )
+        # fencing read-back: on stores without atomic create-if-absent
+        # both racers may pass create_exclusive — exactly one token is
+        # the file's final content, the other racer loses here.
+        if self._holder() != self.owner:
+            raise LeaseHeld(
+                f"admission lease on {self.index_path!r} was won by "
+                f"{self._holder()!r} in a concurrent-acquire race"
+            )
+        self._held = True
+        return self
+
+    def release(self) -> None:
+        if not self._held:
+            return
+        if self._holder() == self.owner:  # never delete someone else's
+            hfs.delete(self._spark, self.path, recursive=False)
+        self._held = False
+
+    def _holder(self):
+        text = hfs.read_text(self._spark, self.path)
+        if text is None:
+            return None
+        try:
+            return json.loads(text).get("owner")
+        except ValueError:
+            return f"<unparseable: {text[:80]!r}>"
+
+    @classmethod
+    def break_lease(cls, spark, index_path: str) -> bool:
+        """Operator override: remove a dead holder's lease. Returns
+        True when a lease file was actually removed."""
+        return hfs.delete(spark, _lease_path(index_path), recursive=False)
+
+    def __enter__(self) -> "IndexLease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()

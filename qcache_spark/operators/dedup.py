@@ -31,8 +31,10 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
+from qcache_spark import hadoopfs as hfs
 from qcache_spark import opcache
 
 MERSENNE_PRIME_ISH = 4294967311  # smallest prime > 2^32
@@ -657,11 +659,7 @@ class MinHashIndex:
     def write(self, spark, path: str) -> None:
         """Persist postings + sets + meta sidecar. ``overwrite`` keeps
         rewrites idempotent (same discipline as IVFIndex.write)."""
-        import os as _os
-
-        if self.path is not None and _os.path.abspath(
-            path
-        ) == _os.path.abspath(self.path):
+        if self.path is not None and hfs.same_path(spark, path, self.path):
             # Re-writing a disk-backed index onto its own path:
             # postings/sets READ that path, so an overwrite would
             # delete the files mid-scan (FAILED_READ_FILE; same guard
@@ -669,6 +667,20 @@ class MinHashIndex:
             # only the meta sidecar needs refreshing.
             self._write_meta(spark, path)
             return
+        # Writing over a DIFFERENT index's remains: overwrite mode only
+        # replaces the generation-0 postings/ + sets/ dirs — a previous
+        # occupant's tombstones/ and postings_g*/sets_g* generation dirs
+        # would survive OUTSIDE them and silently mask or shadow the new
+        # index's rows on the next _reload (ADVICE r9 #1). Clear them
+        # FIRST, so a mid-write crash can never leave fresh data under
+        # stale tombstones.
+        for name in hfs.list_names(spark, path):
+            if (
+                name == "tombstones"
+                or name.startswith("postings_g")
+                or name.startswith("sets_g")
+            ):
+                hfs.delete(spark, path.rstrip("/") + "/" + name)
         # a re-homed index materializes its pending deletions
         postings, sets = self.postings, self.sets
         if self.tombstones is not None:
@@ -740,11 +752,12 @@ class MinHashIndex:
             "_id", "_band", "_bucket"
         )
         self.sets = spark.read.parquet(self._sets_dir())
-        import os as _os
-
+        # Hadoop FS existence check, not os.path: on HDFS/S3 an os.*
+        # probe sees nothing and pending deletions would silently stop
+        # masking (VERDICT r9 Wrong #1).
         self.tombstones = (
             spark.read.parquet(self._tombstones_dir())
-            if _os.path.isdir(self._tombstones_dir())
+            if hfs.exists(spark, self._tombstones_dir())
             else None
         )
 
@@ -824,11 +837,18 @@ class MinHashIndex:
             raise ValueError(
                 "delete requires a persisted index — call write() first"
             )
+        # Tombstones carry the INDEX's id dtype, derived from the
+        # stored sets (ADVICE r9 #3: a hardcoded long schema made
+        # string-id deletions raise or silently anti-join nothing
+        # across a type mismatch).
+        id_type = self.sets.schema["_id"].dataType
         if isinstance(ids, DataFrame):
-            tdf = ids.select(F.col(self.id_col).alias("_id"))
+            tdf = ids.select(
+                F.col(self.id_col).cast(id_type).alias("_id")
+            )
         else:
             tdf = self._spark.createDataFrame(
-                [(int(i),) for i in ids], "_id long"
+                [(i,) for i in ids], T.StructType([T.StructField("_id", id_type)])
             )
         tdf.write.mode("append").parquet(self._tombstones_dir())
         self._reload(self._spark)
@@ -867,18 +887,10 @@ class MinHashIndex:
             "bands": self.bands,
         }
 
-    @staticmethod
-    def _count_files(path: str) -> int | None:
-        import os as _os
-
-        if not _os.path.isdir(path):
-            return None  # non-local store; stats unavailable here
-        return sum(
-            1
-            for root, _dirs, files in _os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+    def _count_files(self, path: str) -> int | None:
+        # Hadoop FS recursive listing — works on HDFS/S3, not just
+        # local disk (None only when the path was never written).
+        return hfs.count_files(self._spark, path)
 
     def compact(self) -> dict:
         """Rewrite postings + sets into one bucket-sorted file per
@@ -900,8 +912,6 @@ class MinHashIndex:
             raise ValueError(
                 "compact requires a persisted index — call write() first"
             )
-        import shutil as _shutil
-
         old_postings, old_sets = self._postings_dir(), self._sets_dir()
         before = self._count_files(old_postings)
         postings, sets = self.postings, self.sets
@@ -925,11 +935,11 @@ class MinHashIndex:
         except Exception:
             self.generation -= 1  # live pointer still names old dirs
             raise
-        import os as _os
-
+        # Hadoop FS delete, not shutil: on an object store — the 100 TB
+        # home this compaction exists for (SCALING §17a) — shutil sees
+        # nothing and superseded generations would accumulate forever.
         for d in (old_postings, old_sets, self._tombstones_dir()):
-            if _os.path.isdir(d):
-                _shutil.rmtree(d, ignore_errors=True)
+            hfs.delete(self._spark, d)
         self._reload(self._spark)
         after = self._count_files(self._postings_dir())
         return {"postings_files_before": before, "postings_files_after": after}
@@ -1013,6 +1023,7 @@ class MinHashIndex:
         max_bucket_size: int = 500,
         verify_threshold: float = 0.5,
         intra_batch: bool = True,
+        lease: bool = True,
     ) -> DataFrame:
         """The complete daily-admission step: probe, drop the batch's
         near-duplicates, append the survivors, return them.
@@ -1032,11 +1043,30 @@ class MinHashIndex:
         intra-batch side is the LSH self-join over the batch alone
         (``minhash_lsh_pairs`` with this index's parameters), and
         ``append`` writes only survivors. Returns the surviving batch
-        rows with their original columns."""
+        rows with their original columns.
+
+        Single-writer enforcement (``lease=True``): the probe→append
+        critical section holds the index's admission lease — a
+        concurrent admitter raises :class:`qcache_spark.lease.LeaseHeld`
+        instead of double-admitting a cross-batch near-dup pair (both
+        would probe before either appends). Pass ``lease=False`` only
+        when the caller already holds the lease around a multi-admit
+        transaction."""
         if self.path is None:
             raise ValueError(
                 "admit requires a persisted index — call write() first"
             )
+        if lease:
+            from qcache_spark.lease import IndexLease
+
+            with IndexLease(self._spark, self.path):
+                return self.admit(
+                    batch,
+                    max_bucket_size=max_bucket_size,
+                    verify_threshold=verify_threshold,
+                    intra_batch=intra_batch,
+                    lease=False,
+                )
         dropped = self.probe(
             batch, max_bucket_size=max_bucket_size,
             verify_threshold=verify_threshold,

@@ -1,4 +1,9 @@
-from .admission import admit_foreach_batch, streaming_admit
+from .admission import (
+    AdmissionScopeMismatch,
+    admit_foreach_batch,
+    reset_progress,
+    streaming_admit,
+)
 from .dedupe import (
     content_fingerprint,
     dedup_stream_by_content,
@@ -23,7 +28,9 @@ from .windows import (
 )
 
 __all__ = [
+    "AdmissionScopeMismatch",
     "admit_foreach_batch",
+    "reset_progress",
     "streaming_admit",
     "content_fingerprint",
     "dedup_stream_by_content",

@@ -1,0 +1,424 @@
+"""Round-10 index operability tests: the maintenance lifecycle through
+the Hadoop FileSystem API (VERDICT r9 #1), the single-writer admission
+lease (Next #5), checkpoint-scoped replay watermarks (ADVICE r9 #2),
+typed tombstones (ADVICE #3) and stale-tombstone clearing on overwrite
+(ADVICE #1).
+
+The ``file:`` scheme here exercises the exact code path HDFS/S3A
+would take — ``Path.getFileSystem`` dispatch, ``FileSystem.exists/
+listStatus/delete/rename`` — while ``os.path``-based code sees
+NOTHING behind a ``file:`` URI string it never strips, so any
+regression back to POSIX calls fails these tests immediately. A
+source-level grep assert additionally pins that the index modules
+contain no direct os/shutil filesystem calls at all."""
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcache_spark import hadoopfs as hfs
+from qcache_spark.lease import IndexLease, LeaseHeld
+from qcache_spark.operators.dedup import MinHashIndex
+from qcache_spark.operators.similarity import IVFIndex
+from qcache_spark.session import load_table
+
+
+def _uri(tmp_path, name: str) -> str:
+    # A file:-scheme URI os.path cannot see through: os.path.isdir
+    # ("file:/x/y") is False even when /x/y exists, so every
+    # maintenance step below would break on a POSIX-call regression.
+    return "file:" + str(tmp_path / name)
+
+
+# --------------------------------------------------------- hadoopfs
+
+
+def test_hadoopfs_control_file_ops(spark, tmp_path):
+    p = _uri(tmp_path, "ctl.json")
+    assert hfs.read_text(spark, p) is None
+    assert hfs.exists(spark, p) is False
+    hfs.write_text(spark, p, '{"v": 1}')
+    assert json.loads(hfs.read_text(spark, p)) == {"v": 1}
+    hfs.write_text(spark, p, '{"v": 2}')  # replace
+    assert json.loads(hfs.read_text(spark, p)) == {"v": 2}
+    # exclusive create: first wins, second reports held
+    q = _uri(tmp_path, "excl.json")
+    assert hfs.create_exclusive(spark, q, "a") is True
+    assert hfs.create_exclusive(spark, q, "b") is False
+    assert hfs.read_text(spark, q) == "a"
+    assert hfs.delete(spark, q, recursive=False) is True
+    assert hfs.delete(spark, q, recursive=False) is False  # gone already
+    # qualified identity, not string identity
+    assert hfs.same_path(spark, str(tmp_path), _uri(tmp_path, ""))
+    assert not hfs.same_path(spark, str(tmp_path), str(tmp_path / "x"))
+
+
+def test_hadoopfs_listing(spark, tmp_path):
+    root = tmp_path / "tree"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.parquet").write_text("x")
+    (root / "sub" / "b.parquet").write_text("x")
+    (root / "sub" / "c.txt").write_text("x")
+    u = "file:" + str(root)
+    assert sorted(hfs.list_names(spark, u)) == ["a.parquet", "sub"]
+    assert hfs.list_names(spark, u + "/missing") == []
+    assert hfs.count_files(spark, u) == 2  # recursive, .parquet only
+    assert hfs.count_files(spark, u + "/missing") is None
+    assert hfs.is_dir(spark, u) and not hfs.is_dir(spark, u + "/a.parquet")
+
+
+def test_index_modules_have_no_posix_fs_calls():
+    """Grep-assert (VERDICT r9 Next #1): the index-maintenance modules
+    route every filesystem operation through hadoopfs — no os.path
+    probes, os.listdir/remove/replace/walk, shutil, or open() calls
+    that would silently no-op against HDFS/S3."""
+    import ast
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)), "qcache_spark")
+
+    def called_names(func: ast.AST) -> str:
+        # dotted name of a call target, e.g. "os.path.isdir", "open"
+        parts = []
+        node = func
+        while isinstance(node, ast.Attribute):
+            parts.append(node.attr)
+            node = node.value
+        if isinstance(node, ast.Name):
+            parts.append(node.id)
+        return ".".join(reversed(parts))
+
+    banned = re.compile(
+        r"^(open|(os|_os)\.(path\.\w+|listdir|walk|remove|replace|rename|"
+        r"makedirs|scandir)|(shutil|_shutil)\.\w+)$"
+    )
+    for rel in (
+        "operators/dedup.py",
+        "operators/similarity.py",
+        "streaming/admission.py",
+        "lease.py",
+    ):
+        tree = ast.parse(open(os.path.join(pkg, rel)).read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                name = called_names(node.func)
+                assert not banned.match(name), f"{rel}:{node.lineno}: {name}()"
+
+
+# ------------------------------------- full lifecycle over file: URIs
+
+
+def test_minhash_full_lifecycle_file_scheme(spark, sf_dir, tmp_path):
+    """write → append → admit → delete → stats → compact → merge →
+    streaming admit, every maintenance step against file:-scheme URIs
+    (the FS-layer path an HDFS/S3 deployment takes)."""
+    from qcache_spark.streaming import streaming_admit
+
+    docs = load_table(spark, sf_dir, "documents").limit(240)
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+    b3 = docs.filter(F.col("doc_id") % 4 == 3)
+
+    path = _uri(tmp_path, "mh")
+    MinHashIndex(corpus).write(spark, path)
+    idx = MinHashIndex.load(spark, path)
+    n0 = idx.sets.count()
+
+    idx.append(b1.select("doc_id", "text"))
+    assert idx.sets.count() == n0 + b1.count()
+
+    idx.admit(b2, verify_threshold=0.3)
+
+    # delete + tombstone masking detected THROUGH the FS layer
+    victims = [r["doc_id"] for r in b1.limit(3).collect()]
+    idx.delete(victims)
+    assert idx.tombstones is not None
+    st = idx.stats()
+    assert st["tombstones_pending"] == 3
+    assert st["docs_live"] == st["docs_stored"] - 3
+    assert st["postings_files"] is not None  # FS count works on URIs
+
+    live_before = sorted(
+        r["_id"] for r in idx._live_postings().select("_id").distinct().collect()
+    )
+    rep = idx.compact()
+    assert rep["postings_files_after"] <= rep["postings_files_before"]
+    assert idx.generation == 1
+    assert idx.tombstones is None  # consumed by the rewrite
+    reloaded = MinHashIndex.load(spark, path)
+    assert sorted(
+        r["_id"]
+        for r in reloaded._live_postings().select("_id").distinct().collect()
+    ) == live_before
+    # superseded generation-0 dirs actually deleted through the FS API
+    names = hfs.list_names(spark, path)
+    assert "postings" not in names and "sets" not in names
+    assert "tombstones" not in names
+
+    # merge a shard built independently
+    shard = MinHashIndex(b3)
+    reloaded.merge(shard)
+    assert reloaded.sets.count() == st["docs_stored"] - 3 + b3.count()
+
+    # streaming admission: watermark file written through the FS API
+    land = tmp_path / "landing"
+    extra = docs.filter(F.col("doc_id") % 4 == 3).select("doc_id", "text")
+    extra.coalesce(1).write.parquet(str(land / "a"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{land}/*/")
+    )
+    q = streaming_admit(
+        stream, reloaded, checkpoint_dir=str(tmp_path / "ckpt"),
+        verify_threshold=0.3,
+    )
+    q.awaitTermination()
+    marker = hfs.read_text(spark, path + "/_admission_progress.json")
+    assert marker is not None
+    data = json.loads(marker)
+    assert data["last_batch_id"] == 0
+    assert data["scope"] == hfs.qualify(spark, str(tmp_path / "ckpt"))
+
+
+def test_ivf_full_lifecycle_file_scheme(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    corpus = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+
+    path = _uri(tmp_path, "ivf")
+    IVFIndex(corpus, n_centroids=4, iters=1).write(spark, path)
+    idx = IVFIndex.load(spark, path)
+    idx.append(b1)
+    idx.admit(b2, threshold=0.4, n_probe=1)
+
+    victims = [r["vec_id"] for r in b1.limit(2).collect()]
+    idx.delete(victims)
+    assert idx.tombstones is not None
+    st = idx.stats()
+    assert st["tombstones_pending"] == 2 and st["data_files"] is not None
+
+    qvec = list(corpus.select("embedding").first()[0])
+    before = [
+        r["vec_id"] for r in idx.search(qvec, k=8, n_probe=4).collect()
+    ]
+    rep = idx.compact()
+    assert rep["files_after"] <= rep["files_before"]
+    assert idx.generation == 1 and idx.tombstones is None
+    reloaded = IVFIndex.load(spark, path)
+    assert [
+        r["vec_id"] for r in reloaded.search(qvec, k=8, n_probe=4).collect()
+    ] == before
+    # generation-0 cluster partitions deleted through the FS API
+    names = hfs.list_names(spark, path)
+    assert not any(n.startswith("cluster_id=") for n in names)
+    assert any(n.startswith("data_g1") for n in names)
+
+
+# ------------------------------------------------ ADVICE r9 regressions
+
+
+def test_write_clears_stale_tombstones_minhash(spark, sf_dir, tmp_path):
+    """ADVICE r9 #1: a new index written over a previous occupant's
+    path must not inherit its tombstones or generation dirs."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    path = _uri(tmp_path, "mh_reuse")
+    old = MinHashIndex(docs)
+    old.write(spark, path)
+    old.delete([r["doc_id"] for r in docs.limit(4).collect()])
+    old.compact()  # leaves generation-1 dirs behind
+    old.delete([r["doc_id"] for r in docs.limit(2).collect()])
+    assert hfs.exists(spark, path + "/tombstones")
+
+    fresh = MinHashIndex(docs)
+    fresh.write(spark, path)
+    got = MinHashIndex.load(spark, path)
+    assert got.tombstones is None  # nothing masked
+    assert got.generation == 0
+    assert got.sets.count() == docs.count()
+    names = hfs.list_names(spark, path)
+    assert "tombstones" not in names
+    assert not any(
+        n.startswith("postings_g") or n.startswith("sets_g") for n in names
+    )
+
+
+def test_write_clears_stale_tombstones_ivf(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    path = _uri(tmp_path, "ivf_reuse")
+    old = IVFIndex(emb, n_centroids=4, iters=1)
+    old.write(spark, path)
+    old.delete([r["vec_id"] for r in emb.limit(3).collect()])
+    assert hfs.exists(spark, path + "_tombstones")
+
+    fresh = IVFIndex(emb, n_centroids=4, iters=1)
+    fresh.write(spark, path)
+    got = IVFIndex.load(spark, path)
+    assert got.tombstones is None
+    assert not hfs.exists(spark, path + "_tombstones")
+    assert got.assigned.count() == emb.count()
+
+
+def test_tombstone_dtype_follows_index_id(spark, sf_dir, tmp_path):
+    """ADVICE r9 #3: tombstones carry the INDEX's id dtype — a
+    string-id index deletes string ids (the hardcoded-long schema
+    either raised or anti-joined nothing across the type mismatch)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(80)
+        .select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias(
+                "doc_id"
+            ),
+            "text",
+        )
+    )
+    path = _uri(tmp_path, "mh_str")
+    MinHashIndex(docs).write(spark, path)
+    idx = MinHashIndex.load(spark, path)
+    idx.delete(["d0", "d8"])
+    assert dict(idx.tombstones.dtypes)["_id"] == "string"
+    live = idx._live_postings().select("_id").distinct()
+    assert live.filter(F.col("_id").isin("d0", "d8")).count() == 0
+    assert idx.stats()["tombstones_pending"] == 2
+
+    # embeddings: int-typed id column keeps its narrower type too
+    emb = load_table(spark, sf_dir, "embeddings").limit(60).select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    ipath = _uri(tmp_path, "ivf_int")
+    IVFIndex(emb, n_centroids=2, iters=0).write(spark, ipath)
+    iidx = IVFIndex.load(spark, ipath)
+    iidx.delete([0, 3])
+    assert dict(iidx.tombstones.dtypes)["vec_id"] == "int"
+    assert (
+        iidx._live_assigned().filter(F.col("vec_id").isin(0, 3)).count() == 0
+    )
+
+
+# -------------------------------------------------------------- lease
+
+
+def test_admission_lease_enforced(spark, sf_dir, tmp_path):
+    """VERDICT r9 Next #5: a second admitter RAISES while the first
+    holds the lease, for both index families; release restores
+    admission; break_lease recovers from a dead holder."""
+    docs = load_table(spark, sf_dir, "documents").limit(90)
+    path = _uri(tmp_path, "mh_lease")
+    MinHashIndex(docs.filter(F.col("doc_id") % 2 == 0)).write(spark, path)
+    idx = MinHashIndex.load(spark, path)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    holder = IndexLease(spark, path).acquire()
+    with pytest.raises(LeaseHeld, match="held by"):
+        idx.admit(batch, verify_threshold=0.3)
+    # the caller-owns-the-lease escape hatch still admits
+    n0 = idx.sets.count()
+    idx.admit(batch.limit(2), verify_threshold=0.3, lease=False)
+    assert idx.sets.count() >= n0
+    holder.release()
+    idx.admit(batch.limit(0), verify_threshold=0.3)  # lease free again
+    assert not hfs.exists(spark, path + "/_admission_lease.json")
+
+    # dead-holder recovery
+    IndexLease(spark, path, owner="dead-process").acquire()
+    with pytest.raises(LeaseHeld):
+        idx.admit(batch.limit(1), verify_threshold=0.3)
+    assert IndexLease.break_lease(spark, path) is True
+    idx.admit(batch.limit(0), verify_threshold=0.3)
+
+
+def test_admission_lease_ivf_and_reentrancy(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    path = _uri(tmp_path, "ivf_lease")
+    IVFIndex(emb.filter(F.col("vec_id") % 2 == 0), n_centroids=2, iters=0).write(
+        spark, path
+    )
+    idx = IVFIndex.load(spark, path)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    with IndexLease(spark, path):
+        with pytest.raises(LeaseHeld):
+            idx.admit(batch, threshold=0.4)
+        idx.admit(batch.limit(1), threshold=0.4, lease=False)
+    # releasing someone else's lease is refused (fencing)
+    ours = IndexLease(spark, path).acquire()
+    imposter = IndexLease(spark, path, owner="imposter")
+    imposter._held = True  # simulate a racer that believes it won
+    imposter.release()
+    assert hfs.exists(spark, ours.path)  # our token survived
+    ours.release()
+
+
+# ------------------------------------------------- watermark scoping
+
+
+def test_admission_scope_mismatch_raises(spark, sf_dir, tmp_path):
+    """ADVICE r9 #2: a watermark left by a different checkpoint
+    lineage raises instead of silently skipping restarted batch ids;
+    reset_progress is the deliberate override; scope-less manual
+    composition keeps working against its own watermark."""
+    from qcache_spark.streaming import (
+        AdmissionScopeMismatch,
+        admit_foreach_batch,
+        reset_progress,
+        streaming_admit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    path = _uri(tmp_path, "mh_scope")
+    MinHashIndex(corpus).write(spark, path)
+    idx = MinHashIndex.load(spark, path)
+
+    land = tmp_path / "scope_landing"
+    b1.coalesce(1).write.parquet(str(land / "a"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{land}/*/")
+    )
+    q = streaming_admit(
+        stream, idx, checkpoint_dir=str(tmp_path / "ckpt1"),
+        verify_threshold=0.3,
+    )
+    q.awaitTermination()
+    admitted = idx.sets.count()
+
+    # same checkpoint: fine (drains nothing new)
+    q2 = streaming_admit(
+        stream, idx, checkpoint_dir=str(tmp_path / "ckpt1"),
+        verify_threshold=0.3,
+    )
+    q2.awaitTermination()
+    assert idx.sets.count() == admitted
+
+    # DIFFERENT checkpoint: batch ids would restart at 0 and be
+    # silently skipped by the old code — now it refuses up front
+    with pytest.raises(AdmissionScopeMismatch, match="checkpoint"):
+        streaming_admit(
+            stream, idx, checkpoint_dir=str(tmp_path / "ckpt2"),
+            verify_threshold=0.3,
+        )
+
+    # scope-less manual composition: watermark still honored
+    fn = admit_foreach_batch(idx, verify_threshold=0.3)
+    fn(b1, 0)  # replay of batch 0 -> no-op
+    assert idx.sets.count() == admitted
+    # ... and it did not erase the declared lineage
+    scope = json.loads(hfs.read_text(spark, path + "/_admission_progress.json"))[
+        "scope"
+    ]
+    assert scope == hfs.qualify(spark, str(tmp_path / "ckpt1"))
+
+    # deliberate reset: the new checkpoint is accepted (re-admission
+    # of available data is the documented cost)
+    assert reset_progress(spark, path) is True
+    q3 = streaming_admit(
+        stream, idx, checkpoint_dir=str(tmp_path / "ckpt2"),
+        verify_threshold=0.3,
+    )
+    q3.awaitTermination()
