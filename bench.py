@@ -261,6 +261,68 @@ def main() -> None:
     except Exception as e:  # the delta probe must never fail the bench
         extras["q22_window_rank_bucketed_error"] = str(e)[:200]
 
+    # Lifecycle phase split (VERDICT r9 Next #3): the gated lifecycle
+    # entries (q107/q116/q117) rebuild their index from scratch each
+    # run BY DESIGN (admit is not idempotent), so their headline
+    # seconds conflate one-time build+write with the operator's actual
+    # product — O(batch) steady-state probe/admit. Record the phases
+    # separately so the O(batch) claim is a tracked number: build_sec
+    # = construct + write + load; probe_sec = batch-vs-corpus pair
+    # materialization off the loaded index; admit_sec = probe + drop +
+    # append survivors.
+    try:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from qcache_spark.operators.dedup import MinHashIndex
+        from qcache_spark.operators.similarity import IVFIndex
+
+        lc_root = _tempfile.mkdtemp(prefix="qcache_bench_lifecycle_")
+        phases: dict[str, dict] = {}
+
+        docs = loader(spark, SF_DIR, "documents")
+        corpus = docs.filter("doc_id % 4 != 0")
+        batch = docs.filter("doc_id % 4 = 0").select("doc_id", "text")
+        t0 = time.perf_counter()
+        MinHashIndex(corpus).write(spark, lc_root + "/mh")
+        mh = MinHashIndex.load(spark, lc_root + "/mh")
+        build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mh.probe(batch, verify_threshold=0.5).count()  # q107's read path
+        probe = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mh.admit(batch, verify_threshold=0.5)  # q116's write path
+        admit = time.perf_counter() - t0
+        phases["minhash_q107_q116"] = {
+            "build_sec": round(build, 3),
+            "probe_sec": round(probe, 3),
+            "admit_sec": round(admit, 3),
+        }
+
+        emb = loader(spark, SF_DIR, "embeddings")
+        ecorp = emb.filter("vec_id % 4 != 0")
+        ebatch = emb.filter("vec_id % 4 = 0")
+        t0 = time.perf_counter()
+        IVFIndex(ecorp, n_centroids=8, iters=1).write(spark, lc_root + "/ivf")
+        ivf = IVFIndex.load(spark, lc_root + "/ivf")
+        build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf.dup_probe(ebatch, threshold=0.40, n_probe=1).count()
+        probe = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf.admit(ebatch, threshold=0.40, n_probe=1)  # q117's write path
+        admit = time.perf_counter() - t0
+        phases["ivf_q117"] = {
+            "build_sec": round(build, 3),
+            "probe_sec": round(probe, 3),
+            "admit_sec": round(admit, 3),
+        }
+        _shutil.rmtree(lc_root, ignore_errors=True)
+        opcache.release(spark)
+        extras["lifecycle_phases"] = phases
+    except Exception as e:  # the phase probe must never fail the bench
+        extras["lifecycle_phases_error"] = str(e)[:200]
+
     # Scale sweep (VERDICT r2 advice #7 / r4 item 7): the 5 heaviest
     # queries at sf0.01 vs the main SF, exponent = log10(t_big /
     # t_small) per decade of data. ~1.0 = linear scaling, <1 = fixed
