@@ -669,16 +669,19 @@ class MinHashIndex:
             return
         # Writing over a DIFFERENT index's remains: overwrite mode only
         # replaces the generation-0 postings/ + sets/ dirs — a previous
-        # occupant's tombstones/ and postings_g*/sets_g* generation dirs
-        # would survive OUTSIDE them and silently mask or shadow the new
-        # index's rows on the next _reload (ADVICE r9 #1). Clear them
+        # occupant's tombstones/, postings_g*/sets_g* generation dirs,
+        # admission watermark and lease would survive OUTSIDE them and
+        # silently mask rows / skip a new stream's batches / block
+        # admission on the next reload (ADVICE r9 #1). Clear them
         # FIRST, so a mid-write crash can never leave fresh data under
-        # stale tombstones.
+        # stale control state.
         for name in hfs.list_names(spark, path):
             if (
                 name == "tombstones"
                 or name.startswith("postings_g")
                 or name.startswith("sets_g")
+                or name == "_admission_progress.json"
+                or name == "_admission_lease.json"
             ):
                 hfs.delete(spark, path.rstrip("/") + "/" + name)
         # a re-homed index materializes its pending deletions
@@ -906,7 +909,7 @@ class MinHashIndex:
         only then best-effort-deletes the superseded generation — a
         reader planned against the old files is never yanked mid-scan
         by the write itself. Returns before/after file counts (None
-        on non-local stores). Probe results are unchanged (pytest
+        on never-persisted paths). Probe results are unchanged (pytest
         pins probe-parity across compact)."""
         if self.path is None:
             raise ValueError(

@@ -390,7 +390,7 @@ class IVFIndex:
         the meta pointer flips BEFORE the superseded generation is
         best-effort deleted, so concurrent readers planned against the
         old files are never yanked mid-scan. Returns before/after file
-        counts (None on non-local stores). Search results are
+        counts (None on never-persisted paths). Search results are
         unchanged (pytest + q119 gate pin it)."""
         if self.path is None:
             raise ValueError(

@@ -234,6 +234,14 @@ def test_write_clears_stale_tombstones_minhash(spark, sf_dir, tmp_path):
     old.delete([r["doc_id"] for r in docs.limit(2).collect()])
     assert hfs.exists(spark, path + "/tombstones")
 
+    # stale control files from the previous occupant's streaming life:
+    # an inherited watermark would silently skip a new stream's batch
+    # ids 0..N; an inherited lease would block admission forever
+    from qcache_spark.streaming.admission import _record_admitted
+
+    _record_admitted(spark, path, 7, "file:/ckpt/previous")
+    IndexLease(spark, path, owner="previous-occupant").acquire()
+
     fresh = MinHashIndex(docs)
     fresh.write(spark, path)
     got = MinHashIndex.load(spark, path)
@@ -245,6 +253,8 @@ def test_write_clears_stale_tombstones_minhash(spark, sf_dir, tmp_path):
     assert not any(
         n.startswith("postings_g") or n.startswith("sets_g") for n in names
     )
+    assert "_admission_progress.json" not in names
+    assert "_admission_lease.json" not in names
 
 
 def test_write_clears_stale_tombstones_ivf(spark, sf_dir, tmp_path):
