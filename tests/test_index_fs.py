@@ -432,3 +432,43 @@ def test_admission_scope_mismatch_raises(spark, sf_dir, tmp_path):
         verify_threshold=0.3,
     )
     q3.awaitTermination()
+
+
+def test_index_tool_verbs(spark, sf_dir, tmp_path):
+    """The maintenance CLI (qcache_spark/index_tool.py): family
+    auto-detection from the meta sidecar, stats/compact reports,
+    lease and watermark overrides — all against file:-scheme URIs."""
+    from qcache_spark import index_tool
+    from qcache_spark.streaming.admission import _read_progress, _record_admitted
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    mh_path = _uri(tmp_path, "tool_mh")
+    MinHashIndex(docs).write(spark, mh_path)
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    ivf_path = _uri(tmp_path, "tool_ivf")
+    IVFIndex(emb, n_centroids=4, iters=0).write(spark, ivf_path)
+
+    assert index_tool.detect_family(spark, mh_path) == "minhash"
+    assert index_tool.detect_family(spark, ivf_path) == "ivf"
+
+    st = index_tool.run(spark, "stats", mh_path)
+    assert st["family"] == "minhash" and st["docs_stored"] == docs.count()
+    st = index_tool.run(spark, "stats", ivf_path)
+    assert st["family"] == "ivf" and st["vectors_stored"] == emb.count()
+
+    # compact through the tool: file counts reported, probes unchanged
+    idx = MinHashIndex.load(spark, mh_path)
+    idx.append(docs.limit(20).select("doc_id", "text"))
+    rep = index_tool.run(spark, "compact", mh_path)
+    assert rep["postings_files_after"] <= rep["postings_files_before"]
+    assert MinHashIndex.load(spark, mh_path).generation == 1
+
+    # dead-holder lease override
+    IndexLease(spark, mh_path, owner="dead").acquire()
+    assert index_tool.run(spark, "break-lease", mh_path)["lease_removed"]
+    assert not index_tool.run(spark, "break-lease", mh_path)["lease_removed"]
+
+    # deliberate watermark reset
+    _record_admitted(spark, mh_path, 4, "file:/ckpt/x")
+    assert index_tool.run(spark, "reset-progress", mh_path)["progress_reset"]
+    assert _read_progress(spark, mh_path)["last_batch_id"] == -1
