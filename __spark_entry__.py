@@ -2676,6 +2676,47 @@ def q124_int8_rerank_search(spark, sf_dir):
     )
 
 
+def q125_ivf_refit_search(spark, sf_dir):
+    """Centroid-drift rebuild (operators/similarity.py:IVFIndex.refit
+    — the lifecycle verb append's contract defers to): build the index
+    on even vec_ids, append the odd half (assigned to the STALE
+    even-only centroids — the drift scenario), then REFIT: centroids
+    re-fit on the full live corpus, assignments rewritten under
+    generation 1, meta pointer flipped, superseded generation deleted.
+    Because the deterministic k-means (stride-seeded init by id order
+    + 1 Lloyd step) sees exactly the same rows a fresh build on ALL
+    vectors would, refit must reproduce the fresh build bit-for-bit —
+    so the oracle is q70's fresh-build SQL replay verbatim (init = 8
+    lowest vec_ids, one Lloyd step, 3 nearest clusters to the query,
+    exact top-10 cosine over their members)."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators.similarity import IVF_FORMAT_VERSION, IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    built = emb.filter(F.col("vec_id") % 2 == 0)
+    appended = emb.filter(F.col("vec_id") % 2 == 1)
+    params = {"n_centroids": 8, "iters": 1}
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_ivf_refit_{sf_tag}_v{IVF_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    IVFIndex(built, **params).write(spark, path)
+    idx = IVFIndex.load(spark, path, expect=params)
+    idx.append(appended)
+    idx.refit()
+    index = IVFIndex.load(spark, path, expect=params)
+    out = index.search(qvec, k=10, n_probe=3)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 def _cluster_safe_split_oracle_sql() -> str:
     """DuckDB replica of q113: the q71 clustering SQL (verbatim, one
     source of truth) as a derived table, then the q54 integer-
@@ -2698,9 +2739,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 10) ------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-10 ordering:
-    #   1-2   q123 (IVF streaming admission — q118's missing modality,
-    #         VERDICT r9 Next #4) and q124 (int8-quantized IVF storage
-    #         + exact float rerank — Next #7): new, never gated.
+    #   1-3   q123 (IVF streaming admission — q118's missing modality,
+    #         VERDICT r9 Next #4), q124 (int8-quantized IVF storage
+    #         + exact float rerank — Next #7) and q125 (centroid-drift
+    #         refit ≡ fresh build): new, never gated.
     #   3-5   q107/q116/q118: the lifecycle pins kept under continuous
     #         external gating (VERDICT r9 Next #2's explicit keeps).
     #   6-12  q110/q115/q117/q119-q122: every other index-lifecycle
@@ -2709,9 +2751,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         all of them re-enter the gate as changed code.
     #   13-16 q31/q42/q105/q114: same modules (dedup.py/similarity.py)
     #         changed this round.
-    #   17-19 q80 (its quantization formula is now composed into
-    #         IVFIndex storage), q90/q104 (re-measured this round —
-    #         VERDICT r9 Wrong #2/#3).
+    #   18-19 q90/q104 (re-measured this round — VERDICT r9 Wrong
+    #         #2/#3). q80's own code is unchanged (its formula is
+    #         COMPOSED into q124's storage, which is gated), so it
+    #         sits first below the cap.
     #   20-50 the 31 entries last driver-gated in round 7 (VERDICT r9
     #         Next #2's rotation list): q1/q5/q20/q21, q58-q65,
     #         q68/q69/q71, q73-q75, q77-q79, q92/q93, q95-q101, q103.
@@ -2720,6 +2763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_entry_oracle.py auto-parametrizes all entries).
     "q123_ivf_streaming_admit": q123_ivf_streaming_admit,
     "q124_int8_rerank_search": q124_int8_rerank_search,
+    "q125_ivf_refit_search": q125_ivf_refit_search,
     "q107_minhash_index_probe": q107_minhash_index_probe,
     "q116_minhash_admit": q116_minhash_admit,
     "q118_streaming_admit": q118_streaming_admit,
@@ -2734,7 +2778,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_ivf_search": q42_ivf_search,
     "q105_minhash_probe": q105_minhash_probe,
     "q114_semantic_dedup": q114_semantic_dedup,
-    "q80_embedding_quantize": q80_embedding_quantize,
     "q90_pagerank": q90_pagerank,
     "q104_skewed_join_composite": q104_skewed_join_composite,
     "q1_pricing_summary": q1_pricing_summary,
@@ -2769,6 +2812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_snapshot_diff": q101_snapshot_diff,
     "q103_salted_aggregate": q103_salted_aggregate,
     # ---- below the 50-slot gate cap --------------------------------
+    "q80_embedding_quantize": q80_embedding_quantize,
     "q108_token_mix_upsampled": q108_token_mix_upsampled,
     "q109_quantile_sketch_audit": q109_quantile_sketch_audit,
     "q111_distribution_match": q111_distribution_match,
@@ -5186,6 +5230,10 @@ def oracle_sql() -> dict[str, str]:
     # q119: identical oracle to q110 — the pruned probe off a
     # COMPACTED index must return exactly what build+append returns.
     out["q119_ivf_compacted_search"] = out["q110_ivf_append_search"]
+    # q125: identical oracle to q70 — refit(build(evens)+append(odds))
+    # must equal a FRESH deterministic build on ALL vectors (same
+    # stride-seeded init + Lloyd arithmetic over the same rows).
+    out["q125_ivf_refit_search"] = out["q70_ivf_pruned_search"]
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()

@@ -413,10 +413,17 @@ class IVFIndex:
         except Exception:
             self.generation = old_gen
             raise
-        # Hadoop FS deletes, not shutil: on an object store — the
-        # 100 TB home this compaction exists for (SCALING §17a) —
-        # shutil sees nothing and superseded generations + consumed
-        # tombstones would accumulate forever.
+        after = self._drop_superseded(spark, old_gen, old_dir)
+        return {"files_before": before, "files_after": after}
+
+    def _drop_superseded(self, spark, old_gen: int, old_dir: str) -> int | None:
+        """Post-flip cleanup shared by compact()/refit(): consume the
+        tombstones the rewrite materialized, reload off the new
+        generation, then delete the superseded one. Hadoop FS deletes,
+        not shutil: on an object store — the 100 TB home this rewrite
+        discipline exists for (SCALING §17a) — shutil sees nothing and
+        superseded generations + consumed tombstones would accumulate
+        forever. Returns the new generation's file count."""
         hfs.delete(spark, self._tombstones_dir())
         self._reload(spark)
         after = _count_parquet_files(spark, self._data_dir())
@@ -432,7 +439,73 @@ class IVFIndex:
                     hfs.delete(spark, full, recursive=False)
         else:
             hfs.delete(spark, old_dir)
-        return {"files_before": before, "files_after": after}
+        return after
+
+    def refit(self) -> dict:
+        """Re-fit the centroids on the current LIVE corpus and rewrite
+        the index — the centroid-drift rebuild ``append``'s contract
+        defers to. ``append``/``admit`` assign new vectors to the
+        EXISTING centroids (per-batch refitting would silently
+        invalidate every stored assignment), so a corpus that drifts
+        from the build-time geometry accumulates lopsided clusters —
+        ``stats()['cluster_sizes']`` is the signal, refit() is the
+        response. Runs the same deterministic k-means as ``__init__``
+        (stride-seeded init by id order + ``iters`` Lloyd steps) over
+        the live rows (pending tombstones materialized out), rewrites
+        one id-sorted file per cluster under generation N+1, flips the
+        meta pointer, and only then deletes the superseded generation
+        — compact()'s no-mid-scan-overwrite discipline, with int8
+        codes re-derived when ``store_int8`` is set.
+
+        Determinism: ``refit`` after ``build(A) + append(B)`` equals a
+        FRESH build on A∪B exactly — same init sample (first
+        n_centroids live ids), same Lloyd arithmetic, same assignment
+        — which is what lets the q125 driver gate replay it as the
+        fresh-build SQL oracle, and the pytest pin centroid equality.
+        Returns before/after file counts and the refit corpus size."""
+        if self.path is None:
+            raise ValueError(
+                "refit requires a persisted index — call write() first"
+            )
+        spark = self.assigned.sparkSession
+        old_gen = getattr(self, "generation", 0)
+        old_dir = self._data_dir()
+        old_centroids = self.centroids
+        before = _count_parquet_files(spark, old_dir)
+        base_cols = [
+            c
+            for c in self.assigned.columns
+            if c not in ("cluster_id", "_qvec", "_scale")
+        ]
+        live = self._live_assigned().select(*base_cols)
+        fresh = IVFIndex(
+            live,
+            n_centroids=self.n_centroids,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            iters=self.iters if isinstance(self.iters, int) else 2,
+            store_int8=getattr(self, "store_int8", False),
+        )
+        self.centroids = fresh.centroids
+        self.generation = old_gen + 1
+        try:
+            fresh.assigned.repartition(
+                self.n_centroids, "cluster_id"
+            ).sortWithinPartitions(self.id_col).write.mode(
+                "overwrite"
+            ).partitionBy("cluster_id").parquet(self._data_dir())
+            self._write_meta(spark, self.path)
+        except Exception:
+            # live pointer still names the old dirs and geometry
+            self.generation = old_gen
+            self.centroids = old_centroids
+            raise
+        after = self._drop_superseded(spark, old_gen, old_dir)
+        return {
+            "files_before": before,
+            "files_after": after,
+            "vectors": self.assigned.count(),
+        }
 
     def _write_meta(self, spark, path: str) -> None:
         import json as _json

@@ -3193,3 +3193,58 @@ def test_ivf_store_int8_recall_and_plan(spark, embeddings, tmp_path):
     assert dict(aidx.assigned.dtypes)["_qvec"] == "array<tinyint>"
     full = aidx.search(qvec, k=10, n_probe=8, rerank=n_all)
     assert [(r[0], round(r[1], 6)) for r in full.collect()] == exact
+
+
+def test_ivf_refit_equals_fresh_build(spark, embeddings, tmp_path):
+    """refit() (the centroid-drift rebuild): after build(evens) +
+    append(odds), refitting must reproduce a FRESH build on all
+    vectors exactly — same centroids, same pruned search — and
+    materialize pending tombstones; store_int8 codes survive."""
+    params = dict(n_centroids=8, iters=1)
+    path = str(tmp_path / "ivf_refit")
+    similarity.IVFIndex(
+        embeddings.filter(F.col("vec_id") % 2 == 0), **params
+    ).write(spark, path)
+    idx = similarity.IVFIndex.load(spark, path)
+    idx.append(embeddings.filter(F.col("vec_id") % 2 == 1))
+    stale = idx.centroids
+    rep = idx.refit()
+    assert rep["vectors"] == embeddings.count()
+    assert idx.generation == 1
+
+    fresh = similarity.IVFIndex(embeddings, **params)
+    assert idx.centroids == fresh.centroids  # bit-for-bit determinism
+    assert idx.centroids != stale            # and it actually refit
+
+    qvec = list(embeddings.select("embedding").first()[0])
+    reloaded = similarity.IVFIndex.load(spark, path)
+    assert reloaded.centroids == fresh.centroids
+    got = [(r[0], round(r[1], 6)) for r in reloaded.search(qvec, 10, 3).collect()]
+    fpath = str(tmp_path / "ivf_refit_fresh")
+    fresh.write(spark, fpath)
+    want = [
+        (r[0], round(r[1], 6))
+        for r in similarity.IVFIndex.load(spark, fpath).search(qvec, 10, 3).collect()
+    ]
+    assert got == want
+
+    # refit materializes pending tombstones (rebuild-without semantics)
+    victims = [r["vec_id"] for r in embeddings.limit(3).collect()]
+    reloaded.delete(victims)
+    reloaded.refit()
+    assert reloaded.tombstones is None
+    assert reloaded.assigned.count() == embeddings.count() - 3
+    assert (
+        reloaded.assigned.filter(F.col("vec_id").isin(victims)).count() == 0
+    )
+
+    # store_int8 survives the rewrite (codes re-derived)
+    qpath = str(tmp_path / "ivf_refit_sq8")
+    similarity.IVFIndex(
+        embeddings.filter(F.col("vec_id") % 2 == 0), store_int8=True, **params
+    ).write(spark, qpath)
+    qidx = similarity.IVFIndex.load(spark, qpath)
+    qidx.append(embeddings.filter(F.col("vec_id") % 2 == 1))
+    qidx.refit()
+    assert "_qvec" in qidx.assigned.columns
+    assert qidx.store_int8 and qidx.centroids == fresh.centroids
