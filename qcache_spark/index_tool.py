@@ -8,6 +8,7 @@ is that operator surface, one command per maintenance verb:
 
     python -m qcache_spark.index_tool stats          /path/to/index
     python -m qcache_spark.index_tool compact        /path/to/index
+    python -m qcache_spark.index_tool refit          /path/to/index
     python -m qcache_spark.index_tool break-lease    /path/to/index
     python -m qcache_spark.index_tool reset-progress /path/to/index
 
@@ -59,7 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "command",
-        choices=["stats", "compact", "break-lease", "reset-progress"],
+        choices=["stats", "compact", "refit", "break-lease",
+                 "reset-progress"],
     )
     p.add_argument("path", help="index root (any Hadoop-FS URI)")
     p.add_argument("--cpus", type=int, default=None,
@@ -88,6 +90,13 @@ def run(spark, command: str, path: str) -> dict:
     family, idx = load_index(spark, path)
     if command == "stats":
         return {"index": path, "family": family, **idx.stats()}
+    if command == "refit":
+        if family != "ivf":
+            raise ValueError(
+                "refit applies to IVF indexes only (a MinHash index "
+                "has no fitted geometry — rebuild it instead)"
+            )
+        return {"index": path, "family": family, **idx.refit()}
     # compact
     report = idx.compact()
     return {"index": path, "family": family, **report}

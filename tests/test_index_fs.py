@@ -472,3 +472,28 @@ def test_index_tool_verbs(spark, sf_dir, tmp_path):
     _record_admitted(spark, mh_path, 4, "file:/ckpt/x")
     assert index_tool.run(spark, "reset-progress", mh_path)["progress_reset"]
     assert _read_progress(spark, mh_path)["last_batch_id"] == -1
+
+
+def test_index_tool_refit(spark, sf_dir, tmp_path):
+    """refit through the tool: IVF only (MinHash has no fitted
+    geometry), report carries the rewrite stats."""
+    from qcache_spark import index_tool
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    path = _uri(tmp_path, "tool_refit")
+    IVFIndex(
+        emb.filter(F.col("vec_id") % 2 == 0), n_centroids=4, iters=1
+    ).write(spark, path)
+    idx = IVFIndex.load(spark, path)
+    idx.append(emb.filter(F.col("vec_id") % 2 == 1))
+    rep = index_tool.run(spark, "refit", path)
+    assert rep["family"] == "ivf" and rep["vectors"] == emb.count()
+    reloaded = IVFIndex.load(spark, path)
+    assert reloaded.generation == 1
+    assert reloaded.centroids == IVFIndex(emb, n_centroids=4, iters=1).centroids
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    mh_path = _uri(tmp_path, "tool_refit_mh")
+    MinHashIndex(docs).write(spark, mh_path)
+    with pytest.raises(ValueError, match="IVF"):
+        index_tool.run(spark, "refit", mh_path)
