@@ -2717,6 +2717,99 @@ def q125_ivf_refit_search(spark, sf_dir):
     )
 
 
+def q126_crossmodal_curation(spark, sf_dir):
+    """Cross-modal curation funnel — the q67 flagship's missing
+    modality composed in: exact TEXT dedup (q26's min-id
+    representatives over the normalized-text fingerprint) selects the
+    kept documents, SemDeDup then prunes semantic near-duplicates over
+    the SURVIVORS' embeddings (doc_id == vec_id in the testdata;
+    q114's within-cluster dominated policy with the k-means fit on the
+    kept subset — the realistic order: cheap exact dedup first shrinks
+    the corpus the quadratic-within-cluster stage sees), and q35's
+    composite quality gate (>= 0.5) keeps the trainable remainder.
+    Returns (doc_id, cluster_id, quality_score).
+
+    The oracle composes the three individually-gated SQL formulations
+    — the q26 GROUP BY fingerprint as the kept set, the q114 k-means +
+    NOT EXISTS chain with its corpus CTE restricted to kept ids, and
+    the q35 composite — so both engines execute the whole cross-modal
+    funnel, not just the pieces. Scale shape: the text-dedup shuffle
+    carries (8-byte hash, id); the embeddings side joins by id
+    (left_semi) before any vector work; SemDeDup's quadratic stage is
+    cluster-confined; quality is one codegen scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_key = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    reps = _dedup.exact_dedup_representatives(docs, norm_key)
+    kept_emb = emb.join(
+        reps.select(F.col("keep_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sd = _similarity.semantic_dedup(
+        kept_emb, n_centroids=8, iters=1, threshold=0.40
+    )
+    qual = _text.quality_score(docs).select("doc_id", "quality_score")
+    return (
+        sd.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+        .join(qual, "doc_id")
+        .filter(F.col("quality_score") >= 0.76)
+        .select("doc_id", "cluster_id", "quality_score")
+    )
+
+
+def _crossmodal_oracle_sql(semantic_dedup_sql: str) -> str:
+    """DuckDB replica of q126, composed from the gated q26/q114/q35
+    formulations (one source of truth: the q114 chain is passed in and
+    rewritten to scope its corpus CTE to the kept documents)."""
+    sd_inner = semantic_dedup_sql.replace(
+        "FROM embeddings",
+        "FROM embeddings WHERE vec_id IN (SELECT keep_id FROM kept_docs)",
+        1,
+    )
+    return (
+        r"""
+        WITH kept_docs AS (
+            SELECT MIN(doc_id) AS keep_id
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        ), qfeat AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[\.,;:!\?"''\(\)\[\]\{}]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS n_stop
+            FROM documents
+        ), qratios AS (
+            SELECT doc_id,
+                   n_punct / GREATEST(n_chars, 1)::DOUBLE AS raw_punct,
+                   n_digits / GREATEST(n_chars, 1)::DOUBLE AS raw_digit,
+                   n_stop / GREATEST(n_tokens, 1)::DOUBLE AS raw_stop,
+                   (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1)::DOUBLE AS raw_mtl
+            FROM qfeat
+        ), qscore AS (
+            SELECT doc_id,
+                   ROUND(
+                       0.25 * LEAST(raw_stop * 2, 1.0)
+                     + 0.25 * (1 - LEAST(raw_digit * 5, 1.0))
+                     + 0.25 * (1 - LEAST(raw_punct * 5, 1.0))
+                     + 0.25 * (CASE WHEN raw_mtl >= 3 AND raw_mtl <= 10
+                               THEN 1.0 ELSE 0.0 END),
+                   6) AS quality_score
+            FROM qratios
+        )
+        SELECT sd.vec_id AS doc_id, sd.cluster_id, qs.quality_score
+        FROM ("""
+        + sd_inner
+        + r""") sd
+        JOIN qscore qs ON qs.doc_id = sd.vec_id
+        WHERE qs.quality_score >= 0.76
+    """
+    )
+
+
 def _cluster_safe_split_oracle_sql() -> str:
     """DuckDB replica of q113: the q71 clustering SQL (verbatim, one
     source of truth) as a derived table, then the q54 integer-
@@ -2739,10 +2832,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 10) ------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
     # order keys (see README "Correctness gating").  Round-10 ordering:
-    #   1-3   q123 (IVF streaming admission — q118's missing modality,
+    #   1-4   q123 (IVF streaming admission — q118's missing modality,
     #         VERDICT r9 Next #4), q124 (int8-quantized IVF storage
-    #         + exact float rerank — Next #7) and q125 (centroid-drift
-    #         refit ≡ fresh build): new, never gated.
+    #         + exact float rerank — Next #7), q125 (centroid-drift
+    #         refit ≡ fresh build) and q126 (cross-modal curation
+    #         funnel: text dedup → SemDeDup → quality): new, never
+    #         gated.
     #   3-5   q107/q116/q118: the lifecycle pins kept under continuous
     #         external gating (VERDICT r9 Next #2's explicit keeps).
     #   6-12  q110/q115/q117/q119-q122: every other index-lifecycle
@@ -2751,10 +2846,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         all of them re-enter the gate as changed code.
     #   13-16 q31/q42/q105/q114: same modules (dedup.py/similarity.py)
     #         changed this round.
-    #   18-19 q90/q104 (re-measured this round — VERDICT r9 Wrong
-    #         #2/#3). q80's own code is unchanged (its formula is
-    #         COMPOSED into q124's storage, which is gated), so it
-    #         sits first below the cap.
+    #   19    q90 (re-measured this round — VERDICT r9 Wrong #2).
+    #         q80 (code unchanged; its formula is COMPOSED into
+    #         q124's gated storage) and q104 (re-measured, r8-gated,
+    #         settled as noise) sit first below the cap.
     #   20-50 the 31 entries last driver-gated in round 7 (VERDICT r9
     #         Next #2's rotation list): q1/q5/q20/q21, q58-q65,
     #         q68/q69/q71, q73-q75, q77-q79, q92/q93, q95-q101, q103.
@@ -2764,6 +2859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_ivf_streaming_admit": q123_ivf_streaming_admit,
     "q124_int8_rerank_search": q124_int8_rerank_search,
     "q125_ivf_refit_search": q125_ivf_refit_search,
+    "q126_crossmodal_curation": q126_crossmodal_curation,
     "q107_minhash_index_probe": q107_minhash_index_probe,
     "q116_minhash_admit": q116_minhash_admit,
     "q118_streaming_admit": q118_streaming_admit,
@@ -2779,7 +2875,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_minhash_probe": q105_minhash_probe,
     "q114_semantic_dedup": q114_semantic_dedup,
     "q90_pagerank": q90_pagerank,
-    "q104_skewed_join_composite": q104_skewed_join_composite,
     "q1_pricing_summary": q1_pricing_summary,
     "q5_filter_like": q5_filter_like,
     "q20_join_broadcast": q20_join_broadcast,
@@ -2813,6 +2908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_salted_aggregate": q103_salted_aggregate,
     # ---- below the 50-slot gate cap --------------------------------
     "q80_embedding_quantize": q80_embedding_quantize,
+    "q104_skewed_join_composite": q104_skewed_join_composite,
     "q108_token_mix_upsampled": q108_token_mix_upsampled,
     "q109_quantile_sketch_audit": q109_quantile_sketch_audit,
     "q111_distribution_match": q111_distribution_match,
@@ -5234,6 +5330,11 @@ def oracle_sql() -> dict[str, str]:
     # must equal a FRESH deterministic build on ALL vectors (same
     # stride-seeded init + Lloyd arithmetic over the same rows).
     out["q125_ivf_refit_search"] = out["q70_ivf_pruned_search"]
+    # q126: the q26/q114/q35 formulations composed into one funnel
+    # (the q114 chain's corpus CTE scoped to the kept documents).
+    out["q126_crossmodal_curation"] = _crossmodal_oracle_sql(
+        out["q114_semantic_dedup"]
+    )
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()
