@@ -95,6 +95,8 @@ HEADLINE = [
     "q114_semantic_dedup",
     "q116_minhash_admit",
     "q117_ivf_admit",
+    "q124_int8_rerank_search",
+    "q126_crossmodal_curation",
 ]
 
 
