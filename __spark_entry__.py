@@ -2685,8 +2685,9 @@ def q125_ivf_refit_search(spark, sf_dir):
     generation 1, meta pointer flipped, superseded generation deleted.
     Because the deterministic k-means (stride-seeded init by id order
     + 1 Lloyd step) sees exactly the same rows a fresh build on ALL
-    vectors would, refit must reproduce the fresh build bit-for-bit —
-    so the oracle is q70's fresh-build SQL replay verbatim (init = 8
+    vectors would, refit reproduces the fresh build's assignments and
+    search results exactly (centroids to ~1e-12 — FP summation order)
+    — so the oracle is q70's fresh-build SQL replay verbatim (init = 8
     lowest vec_ids, one Lloyd step, 3 nearest clusters to the query,
     exact top-10 cosine over their members)."""
     import shutil
@@ -2726,7 +2727,7 @@ def q126_crossmodal_curation(spark, sf_dir):
     q114's within-cluster dominated policy with the k-means fit on the
     kept subset — the realistic order: cheap exact dedup first shrinks
     the corpus the quadratic-within-cluster stage sees), and q35's
-    composite quality gate (>= 0.5) keeps the trainable remainder.
+    composite quality gate (>= 0.76) keeps the trainable remainder.
     Returns (doc_id, cluster_id, quality_score).
 
     The oracle composes the three individually-gated SQL formulations

@@ -140,17 +140,55 @@ def write_text(spark, path: str, text: str) -> None:
         raise IOError(f"rename {tmp!r} -> {path!r} failed")
 
 
+# Java exception classes that mean "create(overwrite=false) lost to an
+# existing file" — matched by CLASS, not by stringified message (ADVICE
+# r10 #3: substring matching misreports any unrelated error whose
+# message mentions "already exists" as lease contention, and a
+# connector with different wording leaked a raw Py4JJavaError).
+_ALREADY_EXISTS_CLASSES = frozenset(
+    {
+        "org.apache.hadoop.fs.FileAlreadyExistsException",
+        "org.apache.hadoop.fs.PathExistsException",
+        "java.nio.file.FileAlreadyExistsException",
+        # HDFS create-race surfaced through the NameNode RPC layer
+        "org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException",
+    }
+)
+
+
+def _is_already_exists(exc) -> bool:
+    """True when a Py4J exception's Java cause chain contains one of
+    the file-already-exists classes. RemoteException (HDFS RPC) is
+    unwrapped via its declared remote class name."""
+    je = getattr(exc, "java_exception", None)
+    hops = 0
+    while je is not None and hops < 16:  # cause chains can self-loop
+        cls = je.getClass().getName()
+        if cls in _ALREADY_EXISTS_CLASSES:
+            return True
+        if cls == "org.apache.hadoop.ipc.RemoteException":
+            try:
+                if je.getClassName() in _ALREADY_EXISTS_CLASSES:
+                    return True
+            except Exception:
+                pass
+        je = je.getCause()
+        hops += 1
+    return False
+
+
 def create_exclusive(spark, path: str, text: str) -> bool:
     """Create ``path`` with ``text`` only if it does not already
     exist; False when it does. Atomic on HDFS and local filesystems
     (create with overwrite=false); best-effort on object stores
     without atomic create — which is why lease acquisition reads the
-    file back and verifies its own token (qcache_spark/lease.py)."""
+    file back and verifies its own token (qcache_spark/lease.py).
+    Only the exists-collision is classified as False — any other
+    failure (permissions, quota, connectivity) propagates."""
     try:
         _write_file(spark, path, text, overwrite=False)
-    except Exception as e:  # Py4JJavaError wrapping FileAlreadyExists
-        msg = str(e)
-        if "AlreadyExists" in msg or "already exists" in msg:
+    except Exception as e:
+        if _is_already_exists(e):
             return False
         raise
     return True

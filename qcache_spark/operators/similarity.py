@@ -458,11 +458,15 @@ class IVFIndex:
         codes re-derived when ``store_int8`` is set.
 
         Determinism: ``refit`` after ``build(A) + append(B)`` equals a
-        FRESH build on A∪B exactly — same init sample (first
-        n_centroids live ids), same Lloyd arithmetic, same assignment
-        — which is what lets the q125 driver gate replay it as the
-        fresh-build SQL oracle, and the pytest pin centroid equality.
-        Returns before/after file counts and the refit corpus size."""
+        FRESH build on A∪B — same init sample (first n_centroids live
+        ids), same Lloyd arithmetic, same assignment rule — up to FP
+        summation order in the distributed per-dimension sums (Spark
+        does not pin a reduction order across different input
+        partitionings, so centroids agree to ~1e-12, not bit-for-bit;
+        ADVICE r10 #5). Assignment and search results are pinned
+        EXACTLY (6-dp cosines), which is the contract the q125 driver
+        gate replays as the fresh-build SQL oracle. Returns
+        before/after file counts and the refit corpus size."""
         if self.path is None:
             raise ValueError(
                 "refit requires a persisted index — call write() first"

@@ -106,17 +106,28 @@ def reset_progress(spark, index_path: str) -> bool:
     return hfs.delete(spark, _progress_path(index_path), recursive=False)
 
 
-def _check_scope(persisted_scope, scope, index_path: str) -> None:
-    # Two DECLARED scopes must match exactly. None on either side is a
-    # wildcard: persisted None covers markers written before scope
-    # tracking; caller None covers manual admit_foreach_batch
-    # composition, where the caller owns batch-id continuity
-    # (streaming_admit always declares the checkpoint URI).
-    if (
-        persisted_scope is not None
-        and scope is not None
-        and persisted_scope != scope
-    ):
+def _check_scope(progress: dict, scope, index_path: str) -> None:
+    # Two DECLARED scopes must match exactly. Caller None stays a
+    # wildcard: manual admit_foreach_batch composition, where the
+    # caller owns batch-id continuity (streaming_admit always declares
+    # the checkpoint URI). A persisted None is a wildcard ONLY while it
+    # carries no progress: a legacy pre-scope-tracking marker with real
+    # batch ids belongs to an UNKNOWN lineage, so honoring it against a
+    # scoped stream is exactly the silent-skip ADVICE r9 #2 targeted
+    # (ADVICE r10 #2) — it now requires an explicit reset_progress.
+    persisted_scope = progress["scope"]
+    if persisted_scope is None:
+        if scope is not None and progress["last_batch_id"] >= 0:
+            raise AdmissionScopeMismatch(
+                f"admission watermark at {index_path!r} (last_batch_id="
+                f"{progress['last_batch_id']}) predates scope tracking — "
+                "its batch ids belong to an unknown checkpoint lineage "
+                f"and are not comparable to {scope!r}; accept a full "
+                "re-admission with reset_progress(spark, index_path) "
+                "before starting the scoped stream"
+            )
+        return
+    if scope is not None and persisted_scope != scope:
         raise AdmissionScopeMismatch(
             f"admission watermark at {index_path!r} belongs to checkpoint "
             f"{persisted_scope!r}, this stream uses {scope!r}"
@@ -159,15 +170,13 @@ def admit_foreach_batch(
         )
     # Fail a scope mismatch at wiring time, not first-batch time.
     _check_scope(
-        _read_progress(_index_spark(index), index.path)["scope"],
-        scope,
-        index.path,
+        _read_progress(_index_spark(index), index.path), scope, index.path
     )
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         progress = _read_progress(spark, index.path)
-        _check_scope(progress["scope"], scope, index.path)
+        _check_scope(progress, scope, index.path)
         if batch_id <= progress["last_batch_id"]:
             return  # replayed after restart: already admitted
         survivors = index.admit(batch_df, **admit_kwargs)

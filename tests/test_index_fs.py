@@ -435,6 +435,65 @@ def test_admission_scope_mismatch_raises(spark, sf_dir, tmp_path):
     q3.awaitTermination()
 
 
+def test_legacy_unscoped_watermark_requires_reset(spark, sf_dir, tmp_path):
+    """ADVICE r10 #2: a pre-scope-tracking watermark (scope=None but
+    real batch ids) belongs to an UNKNOWN checkpoint lineage — a scoped
+    stream must refuse it (its restarted ids 0..N would be silently
+    skipped) instead of treating None as a wildcard. reset_progress is
+    the deliberate override; a marker-less index stays accepted; the
+    caller-owns-continuity wildcard (scope=None) still honors it."""
+    from qcache_spark.streaming import (
+        AdmissionScopeMismatch,
+        admit_foreach_batch,
+        reset_progress,
+        streaming_admit,
+    )
+    from qcache_spark.streaming.admission import _read_progress
+
+    docs = load_table(spark, sf_dir, "documents").limit(90)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    path = _uri(tmp_path, "mh_legacy")
+    MinHashIndex(corpus).write(spark, path)
+    idx = MinHashIndex.load(spark, path)
+
+    # legacy marker: batch ids recorded before scope tracking existed
+    hfs.write_text(
+        spark,
+        path + "/_admission_progress.json",
+        json.dumps({"last_batch_id": 3}),
+    )
+    land = tmp_path / "legacy_landing"
+    b1.coalesce(1).write.parquet(str(land / "a"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{land}/*/")
+    )
+    with pytest.raises(AdmissionScopeMismatch, match="predates scope"):
+        streaming_admit(
+            stream, idx, checkpoint_dir=str(tmp_path / "lckpt"),
+            verify_threshold=0.3,
+        )
+
+    # the manual (scope-less) composition still honors the legacy
+    # watermark — the caller owns batch-id continuity there
+    n0 = idx.sets.count()
+    fn = admit_foreach_batch(idx, verify_threshold=0.3)
+    fn(b1, 3)  # <= legacy watermark: skipped
+    assert idx.sets.count() == n0
+
+    # deliberate reset unblocks the scoped stream
+    assert reset_progress(spark, path) is True
+    q = streaming_admit(
+        stream, idx, checkpoint_dir=str(tmp_path / "lckpt"),
+        verify_threshold=0.3,
+    )
+    q.awaitTermination()
+    assert _read_progress(spark, path)["scope"] == hfs.qualify(
+        spark, str(tmp_path / "lckpt")
+    )
+
+
 def test_index_tool_verbs(spark, sf_dir, tmp_path):
     """The maintenance CLI (qcache_spark/index_tool.py): family
     auto-detection from the meta sidecar, stats/compact reports,
@@ -491,7 +550,16 @@ def test_index_tool_refit(spark, sf_dir, tmp_path):
     assert rep["family"] == "ivf" and rep["vectors"] == emb.count()
     reloaded = IVFIndex.load(spark, path)
     assert reloaded.generation == 1
-    assert reloaded.centroids == IVFIndex(emb, n_centroids=4, iters=1).centroids
+    # ~1e-12 rel tol, not bit-equality: FP summation order across the
+    # two builds' different partitionings is not pinned by Spark
+    import math
+
+    want = IVFIndex(emb, n_centroids=4, iters=1).centroids
+    assert all(
+        math.isclose(p, q, rel_tol=1e-12, abs_tol=1e-12)
+        for x, y in zip(reloaded.centroids, want)
+        for p, q in zip(x, y)
+    )
 
     docs = load_table(spark, sf_dir, "documents").limit(60)
     mh_path = _uri(tmp_path, "tool_refit_mh")

@@ -3195,11 +3195,31 @@ def test_ivf_store_int8_recall_and_plan(spark, embeddings, tmp_path):
     assert [(r[0], round(r[1], 6)) for r in full.collect()] == exact
 
 
+def _centroids_close(a, b, rel_tol=1e-12):
+    """Per-coordinate closeness at ~1e-12 rel tol (ADVICE r10 #5):
+    refit re-reads live rows from parquet with a different partitioning
+    than the fresh build's input frame, and Spark's F.sum over doubles
+    does not guarantee a reduction order, so EXACT centroid equality is
+    not promised by Spark semantics — assignment and search parity stay
+    pinned exactly (rounded cosines), which is the contract q125 gates."""
+    import math
+
+    return len(a) == len(b) and all(
+        len(x) == len(y)
+        and all(
+            math.isclose(p, q, rel_tol=rel_tol, abs_tol=1e-12)
+            for p, q in zip(x, y)
+        )
+        for x, y in zip(a, b)
+    )
+
+
 def test_ivf_refit_equals_fresh_build(spark, embeddings, tmp_path):
     """refit() (the centroid-drift rebuild): after build(evens) +
     append(odds), refitting must reproduce a FRESH build on all
-    vectors exactly — same centroids, same pruned search — and
-    materialize pending tombstones; store_int8 codes survive."""
+    vectors — centroids equal to ~1e-12 (FP summation order is the
+    only latitude), pruned search exactly — and materialize pending
+    tombstones; store_int8 codes survive."""
     params = dict(n_centroids=8, iters=1)
     path = str(tmp_path / "ivf_refit")
     similarity.IVFIndex(
@@ -3213,12 +3233,12 @@ def test_ivf_refit_equals_fresh_build(spark, embeddings, tmp_path):
     assert idx.generation == 1
 
     fresh = similarity.IVFIndex(embeddings, **params)
-    assert idx.centroids == fresh.centroids  # bit-for-bit determinism
-    assert idx.centroids != stale            # and it actually refit
+    assert _centroids_close(idx.centroids, fresh.centroids)
+    assert not _centroids_close(idx.centroids, stale)  # it actually refit
 
     qvec = list(embeddings.select("embedding").first()[0])
     reloaded = similarity.IVFIndex.load(spark, path)
-    assert reloaded.centroids == fresh.centroids
+    assert _centroids_close(reloaded.centroids, fresh.centroids)
     got = [(r[0], round(r[1], 6)) for r in reloaded.search(qvec, 10, 3).collect()]
     fpath = str(tmp_path / "ivf_refit_fresh")
     fresh.write(spark, fpath)
@@ -3247,4 +3267,4 @@ def test_ivf_refit_equals_fresh_build(spark, embeddings, tmp_path):
     qidx.append(embeddings.filter(F.col("vec_id") % 2 == 1))
     qidx.refit()
     assert "_qvec" in qidx.assigned.columns
-    assert qidx.store_int8 and qidx.centroids == fresh.centroids
+    assert qidx.store_int8 and _centroids_close(qidx.centroids, fresh.centroids)
