@@ -320,11 +320,27 @@ class IVFIndex:
             "vectors_live": n_vecs - n_tomb,
             "tombstones_pending": n_tomb,
             "generation": getattr(self, "generation", 0),
+            "superseded_generations": (
+                [
+                    g
+                    for g in self._persisted_generations(
+                        self.assigned.sparkSession
+                    )
+                    if g < getattr(self, "generation", 0)
+                ]
+                if self.path is not None
+                else []
+            ),
             "data_files": files,
             "cluster_sizes": per_cluster,
         }
 
-    def delete(self, ids) -> None:
+    def _writer_lease(self):
+        from qcache_spark.lease import IndexLease
+
+        return IndexLease(self.assigned.sparkSession, self.path)
+
+    def delete(self, ids, lease: bool = True) -> None:
         """Retract vectors from the index (MinHashIndex.delete's
         analogue): ``ids`` — a DataFrame carrying the id column, or an
         iterable — are tombstoned with one O(|ids|) parquet append;
@@ -333,11 +349,16 @@ class IVFIndex:
         vectors; the next ``compact()`` materializes the deletions
         into the rewritten files and clears the tombstones. Tombstones
         mask by ID (re-append a deleted id only after compact, or
-        under a fresh id — see MinHashIndex.delete)."""
+        under a fresh id — see MinHashIndex.delete). ``lease``: every
+        index writer holds the single-writer lease (VERDICT r10
+        Wrong #1); pass False only when the caller already holds it."""
         if self.path is None:
             raise ValueError(
                 "delete requires a persisted index — call write() first"
             )
+        if lease:
+            with self._writer_lease():
+                return self.delete(ids, lease=False)
         spark = self.assigned.sparkSession
         # Tombstones carry the INDEX's id dtype, derived from the
         # assigned table (ADVICE r9 #3: a hardcoded long schema made
@@ -379,27 +400,92 @@ class IVFIndex:
         self.path = path
         self._reload(spark)
 
-    def compact(self) -> dict:
+    def _persisted_generations(self, spark) -> list:
+        """Generations whose data dirs exist on disk, ascending
+        (generation 0 lives as cluster_id= partitions at the path
+        root; later ones under data_g{N})."""
+        gens = set()
+        for name in hfs.list_names(spark, self.path):
+            if name.startswith("cluster_id="):
+                gens.add(0)
+            elif name.startswith("data_g"):
+                try:
+                    gens.add(int(name[len("data_g"):]))
+                except ValueError:
+                    pass
+        return sorted(gens)
+
+    def _delete_generation(self, spark, g: int) -> None:
+        # Hadoop FS deletes, not shutil: on an object store — the
+        # 100 TB home this rewrite discipline exists for (SCALING
+        # §17a) — shutil sees nothing and superseded generations
+        # would accumulate forever.
+        if g == 0:
+            # generation 0 lives at the path ROOT: remove only its
+            # cluster partitions (+ the write markers), never the new
+            # data_g dirs, the meta sidecar, or the writer lease
+            for name in hfs.list_names(spark, self.path):
+                full = self.path.rstrip("/") + "/" + name
+                if name.startswith("cluster_id="):
+                    hfs.delete(spark, full)
+                elif name == "_SUCCESS" or name.startswith("_committed"):
+                    hfs.delete(spark, full, recursive=False)
+        else:
+            hfs.delete(spark, self.path.rstrip("/") + f"/data_g{g}")
+
+    def _finish_rewrite(self, spark, retain: int) -> tuple:
+        """Post-flip cleanup shared by compact()/refit(): remove the
+        consumed tombstones, reload off the new generation, then age
+        out superseded generations beyond the newest ``retain`` (those
+        stay on disk for in-flight readers — ``vacuum()`` does the
+        final delete). Returns (file count, kept gens, removed gens)."""
+        hfs.delete(spark, self._tombstones_dir())
+        self._reload(spark)
+        superseded = [
+            g for g in self._persisted_generations(spark)
+            if g < self.generation
+        ]
+        kept = superseded[len(superseded) - retain:] if retain > 0 else []
+        removed = [g for g in superseded if g not in kept]
+        for g in removed:
+            self._delete_generation(spark, g)
+        after = _count_parquet_files(spark, self._data_dir())
+        return after, kept, removed
+
+    def compact(self, retain: int = 1, lease: bool = True) -> dict:
         """Rewrite the assigned table into one id-sorted file per
         cluster partition. Every ``append``/``admit`` lands a new file
         set inside the ``cluster_id=`` partitions, so daily admission
         accumulates per-partition small files — each probe then pays
         per-file footer opens and loses row-group pruning. The rewrite
         (one shuffle: ``repartition(n_centroids, cluster_id)`` +
-        ``sortWithinPartitions(id)``) lands under generation-N+1 dirs;
-        the meta pointer flips BEFORE the superseded generation is
-        best-effort deleted, so concurrent readers planned against the
-        old files are never yanked mid-scan. Returns before/after file
-        counts (None on never-persisted paths). Search results are
-        unchanged (pytest + q119 gate pin it)."""
+        ``sortWithinPartitions(id)``) lands under generation-N+1 dirs
+        and the meta pointer flips only after it succeeds.
+
+        Reader safety: live files are never overwritten, and the
+        newest ``retain`` superseded generations are KEPT on disk
+        (default: 1 flip) so a search planned against the old files
+        completes after the flip — ``vacuum()`` (or a later compact
+        aging them out) does the actual delete. Consumed tombstone
+        control files are removed at the flip (O(KB), broadcast at
+        job launch — re-plan a not-yet-launched probe). ``lease=True``
+        holds the single-writer lease across plan→rewrite→flip→cleanup
+        (VERDICT r10 Wrong #1: an unguarded compact racing a
+        concurrent admit deletes the admit's freshly appended files).
+
+        Returns before/after file counts (None on never-persisted
+        paths) plus kept/removed superseded generations. Search
+        results are unchanged (pytest + q119 gate pin it)."""
         if self.path is None:
             raise ValueError(
                 "compact requires a persisted index — call write() first"
             )
+        if lease:
+            with self._writer_lease():
+                return self.compact(retain=retain, lease=False)
         spark = self.assigned.sparkSession
         old_gen = getattr(self, "generation", 0)
-        old_dir = self._data_dir()
-        before = _count_parquet_files(spark, old_dir)
+        before = _count_parquet_files(spark, self._data_dir())
         # materialize pending deletions into the rewrite
         data = self._live_assigned()
         self.generation = old_gen + 1
@@ -413,35 +499,40 @@ class IVFIndex:
         except Exception:
             self.generation = old_gen
             raise
-        after = self._drop_superseded(spark, old_gen, old_dir)
-        return {"files_before": before, "files_after": after}
+        after, kept, removed = self._finish_rewrite(spark, retain)
+        return {
+            "files_before": before,
+            "files_after": after,
+            "retained_generations": kept,
+            "removed_generations": removed,
+        }
 
-    def _drop_superseded(self, spark, old_gen: int, old_dir: str) -> int | None:
-        """Post-flip cleanup shared by compact()/refit(): consume the
-        tombstones the rewrite materialized, reload off the new
-        generation, then delete the superseded one. Hadoop FS deletes,
-        not shutil: on an object store — the 100 TB home this rewrite
-        discipline exists for (SCALING §17a) — shutil sees nothing and
-        superseded generations + consumed tombstones would accumulate
-        forever. Returns the new generation's file count."""
-        hfs.delete(spark, self._tombstones_dir())
-        self._reload(spark)
-        after = _count_parquet_files(spark, self._data_dir())
-        if old_gen == 0:
-            # generation 0 lives at the path ROOT: remove only its
-            # cluster partitions (+ the write markers), never the new
-            # data_g dirs, the meta sidecar, or an admission lease
-            for name in hfs.list_names(spark, self.path):
-                full = self.path.rstrip("/") + "/" + name
-                if name.startswith("cluster_id="):
-                    hfs.delete(spark, full)
-                elif name == "_SUCCESS" or name.startswith("_committed"):
-                    hfs.delete(spark, full, recursive=False)
-        else:
-            hfs.delete(spark, old_dir)
-        return after
+    def vacuum(self, lease: bool = True) -> dict:
+        """Delete ALL superseded generations now (the retention
+        window's terminal delete — run once no reader planned before
+        the last flip can still be in flight). Takes the single-writer
+        lease; pending tombstones belong to the LIVE generation and
+        are untouched."""
+        if self.path is None:
+            raise ValueError(
+                "vacuum requires a persisted index — call write() first"
+            )
+        if lease:
+            with self._writer_lease():
+                return self.vacuum(lease=False)
+        spark = self.assigned.sparkSession
+        removed = [
+            g for g in self._persisted_generations(spark)
+            if g < getattr(self, "generation", 0)
+        ]
+        for g in removed:
+            self._delete_generation(spark, g)
+        return {
+            "removed_generations": removed,
+            "live_generation": getattr(self, "generation", 0),
+        }
 
-    def refit(self) -> dict:
+    def refit(self, retain: int = 1, lease: bool = True) -> dict:
         """Re-fit the centroids on the current LIVE corpus and rewrite
         the index — the centroid-drift rebuild ``append``'s contract
         defers to. ``append``/``admit`` assign new vectors to the
@@ -453,9 +544,10 @@ class IVFIndex:
         (stride-seeded init by id order + ``iters`` Lloyd steps) over
         the live rows (pending tombstones materialized out), rewrites
         one id-sorted file per cluster under generation N+1, flips the
-        meta pointer, and only then deletes the superseded generation
-        — compact()'s no-mid-scan-overwrite discipline, with int8
-        codes re-derived when ``store_int8`` is set.
+        meta pointer, and ages superseded generations past the
+        ``retain`` window — compact()'s reader-safe rewrite/retention
+        discipline (and its single-writer ``lease``), with int8 codes
+        re-derived when ``store_int8`` is set.
 
         Determinism: ``refit`` after ``build(A) + append(B)`` equals a
         FRESH build on A∪B — same init sample (first n_centroids live
@@ -471,11 +563,13 @@ class IVFIndex:
             raise ValueError(
                 "refit requires a persisted index — call write() first"
             )
+        if lease:
+            with self._writer_lease():
+                return self.refit(retain=retain, lease=False)
         spark = self.assigned.sparkSession
         old_gen = getattr(self, "generation", 0)
-        old_dir = self._data_dir()
         old_centroids = self.centroids
-        before = _count_parquet_files(spark, old_dir)
+        before = _count_parquet_files(spark, self._data_dir())
         base_cols = [
             c
             for c in self.assigned.columns
@@ -504,10 +598,12 @@ class IVFIndex:
             self.generation = old_gen
             self.centroids = old_centroids
             raise
-        after = self._drop_superseded(spark, old_gen, old_dir)
+        after, kept, removed = self._finish_rewrite(spark, retain)
         return {
             "files_before": before,
             "files_after": after,
+            "retained_generations": kept,
+            "removed_generations": removed,
             "vectors": self.assigned.count(),
         }
 
@@ -532,7 +628,7 @@ class IVFIndex:
             [(_json.dumps(meta),)], "meta string"
         ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
 
-    def append(self, batch: DataFrame) -> None:
+    def append(self, batch: DataFrame, lease: bool = True) -> None:
         """Admit a batch of new vectors (VERDICT r8's ingestion-loop
         discipline, the MinHashIndex.append analogue for embeddings):
         assign each batch vector to its nearest EXISTING centroid —
@@ -543,11 +639,18 @@ class IVFIndex:
         would silently invalidate every previously-assigned vector —
         rebuild when drift warrants it, the meta sidecar's version
         check makes stale mixes impossible to serve by accident).
-        Caller owns id uniqueness, as with MinHashIndex.append."""
+        Caller owns id uniqueness, as with MinHashIndex.append.
+        ``lease``: every index writer holds the single-writer lease
+        (an append racing a compact lands files the compact's
+        pre-planned rewrite never saw); pass False only when the
+        caller already holds it (``admit()`` does)."""
         if self.path is None:
             raise ValueError(
                 "append requires a persisted index — call write() first"
             )
+        if lease:
+            with self._writer_lease():
+                return self.append(batch, lease=False)
         spark = batch.sparkSession
         assigned = batch.withColumn(
             "cluster_id",
@@ -700,7 +803,8 @@ class IVFIndex:
             self.id_col,
             "left_anti",
         )
-        self.append(survivors)
+        # lease=False: admit already holds the writer lease
+        self.append(survivors, lease=False)
         return survivors
 
     @classmethod

@@ -155,10 +155,17 @@ def test_minhash_full_lifecycle_file_scheme(spark, sf_dir, tmp_path):
         r["_id"]
         for r in reloaded._live_postings().select("_id").distinct().collect()
     ) == live_before
-    # superseded generation-0 dirs actually deleted through the FS API
+    # consumed tombstones removed at the flip; superseded generation-0
+    # dirs RETAINED for in-flight readers until vacuum — then actually
+    # deleted through the FS API
+    names = hfs.list_names(spark, path)
+    assert "tombstones" not in names
+    assert "postings" in names and "sets" in names
+    assert rep["retained_generations"] == [0]
+    vrep = reloaded.vacuum()
+    assert vrep["removed_generations"] == [0]
     names = hfs.list_names(spark, path)
     assert "postings" not in names and "sets" not in names
-    assert "tombstones" not in names
 
     # merge a shard built independently
     shard = MinHashIndex(b3)
@@ -214,10 +221,19 @@ def test_ivf_full_lifecycle_file_scheme(spark, sf_dir, tmp_path):
     assert [
         r["vec_id"] for r in reloaded.search(qvec, k=8, n_probe=4).collect()
     ] == before
-    # generation-0 cluster partitions deleted through the FS API
+    # generation-0 cluster partitions retained for in-flight readers,
+    # then deleted through the FS API by vacuum
+    names = hfs.list_names(spark, path)
+    assert any(n.startswith("cluster_id=") for n in names)
+    assert any(n.startswith("data_g1") for n in names)
+    assert rep["retained_generations"] == [0]
+    assert reloaded.vacuum()["removed_generations"] == [0]
     names = hfs.list_names(spark, path)
     assert not any(n.startswith("cluster_id=") for n in names)
     assert any(n.startswith("data_g1") for n in names)
+    assert [
+        r["vec_id"] for r in reloaded.search(qvec, k=8, n_probe=4).collect()
+    ] == before
 
 
 # ------------------------------------------------ ADVICE r9 regressions
@@ -362,6 +378,217 @@ def test_admission_lease_ivf_and_reentrancy(spark, sf_dir, tmp_path):
     imposter.release()
     assert hfs.exists(spark, ours.path)  # our token survived
     ours.release()
+
+
+def test_writer_lease_enforced_all_verbs(spark, sf_dir, tmp_path):
+    """VERDICT r10 Wrong #1 / Next #1: EVERY index writer takes the
+    single-writer lease — compact/refit/append/delete/merge/vacuum
+    raise LeaseHeld while another writer holds it (the unguarded
+    compact-vs-admit race silently deleted the admit's appended
+    files); lease=False stays the caller-already-holds-it hatch."""
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    mh_path = _uri(tmp_path, "mh_wlease")
+    MinHashIndex(docs.filter(F.col("doc_id") % 2 == 0)).write(spark, mh_path)
+    mh = MinHashIndex.load(spark, mh_path)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    shard = MinHashIndex(batch)
+
+    holder = IndexLease(spark, mh_path).acquire()
+    for op in (
+        lambda: mh.append(batch),
+        lambda: mh.delete([1]),
+        lambda: mh.merge(shard),
+        lambda: mh.compact(),
+        lambda: mh.vacuum(),
+    ):
+        with pytest.raises(LeaseHeld):
+            op()
+    # caller-holds-it hatch still works under the held lease
+    n0 = mh.sets.count()
+    mh.append(batch.limit(2), lease=False)
+    assert mh.sets.count() == n0 + 2
+    holder.release()
+    mh.compact()  # lease free again; verb acquires and releases it
+    assert not hfs.exists(spark, mh_path + "/_admission_lease.json")
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    ivf_path = _uri(tmp_path, "ivf_wlease")
+    IVFIndex(
+        emb.filter(F.col("vec_id") % 2 == 0), n_centroids=2, iters=0
+    ).write(spark, ivf_path)
+    ivf = IVFIndex.load(spark, ivf_path)
+    ebatch = emb.filter(F.col("vec_id") % 2 == 1)
+    with IndexLease(spark, ivf_path):
+        for op in (
+            lambda: ivf.append(ebatch),
+            lambda: ivf.delete([1]),
+            lambda: ivf.compact(),
+            lambda: ivf.refit(),
+            lambda: ivf.vacuum(),
+        ):
+            with pytest.raises(LeaseHeld):
+                op()
+        ivf.append(ebatch.limit(1), lease=False)
+    ivf.refit()
+    assert not hfs.exists(spark, ivf_path + "/_admission_lease.json")
+
+
+def test_compact_holds_lease_so_admit_cannot_interleave(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The other direction of Wrong #1: while compact()'s rewrite is
+    in flight the lease file EXISTS, so a concurrent admit would raise
+    instead of appending into the generation the compact is about to
+    supersede. Pinned by observing the lease from inside the rewrite
+    (at the meta flip) for both families, plus an in-flight admit
+    attempt raising."""
+    from qcache_spark.operators import dedup as dedup_mod
+    from qcache_spark.operators import similarity as sim_mod
+    from qcache_spark.lease import LeaseHeld as LH
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    mh_path = _uri(tmp_path, "mh_midc")
+    MinHashIndex(docs).write(spark, mh_path)
+    mh = MinHashIndex.load(spark, mh_path)
+    batch = docs.limit(5).select("doc_id", "text")
+
+    seen = {}
+    orig_mh_meta = dedup_mod.MinHashIndex._write_meta
+
+    def spy_mh(self, spark_, path):
+        seen["mh_lease_during_compact"] = hfs.exists(
+            spark_, path.rstrip("/") + "/_admission_lease.json"
+        )
+        with pytest.raises(LH):  # an admit NOW fails loudly
+            mh.admit(batch, verify_threshold=0.3)
+        return orig_mh_meta(self, spark_, path)
+
+    monkeypatch.setattr(dedup_mod.MinHashIndex, "_write_meta", spy_mh)
+    mh.compact()
+    monkeypatch.setattr(dedup_mod.MinHashIndex, "_write_meta", orig_mh_meta)
+    assert seen["mh_lease_during_compact"] is True
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    ivf_path = _uri(tmp_path, "ivf_midc")
+    IVFIndex(emb, n_centroids=2, iters=0).write(spark, ivf_path)
+    ivf = IVFIndex.load(spark, ivf_path)
+    orig_ivf_meta = sim_mod.IVFIndex._write_meta
+
+    def spy_ivf(self, spark_, path):
+        seen["ivf_lease_during_compact"] = hfs.exists(
+            spark_, path.rstrip("/") + "/_admission_lease.json"
+        )
+        return orig_ivf_meta(self, spark_, path)
+
+    monkeypatch.setattr(sim_mod.IVFIndex, "_write_meta", spy_ivf)
+    ivf.compact()
+    assert seen["ivf_lease_during_compact"] is True
+
+
+def test_retention_reader_survives_compact(spark, sf_dir, tmp_path):
+    """VERDICT r10 Missing #2 / Next #3: a reader PLANNED against the
+    live generation before the flip completes after compact() — the
+    superseded generation stays on disk inside the retention window;
+    only vacuum() finally removes it."""
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    path = _uri(tmp_path, "mh_retain")
+    MinHashIndex(docs).write(spark, path)
+    idx = MinHashIndex.load(spark, path)
+    idx.append(docs.limit(30).select("doc_id", "text"))
+
+    # plan (and partially bind) a reader against generation 0
+    reader = spark.read.parquet(path + "/postings").select("_id").distinct()
+    pre_flip_rows = reader.count()
+
+    other = MinHashIndex.load(spark, path)
+    other.compact()
+
+    # the pre-flip plan still executes to completion post-compact
+    assert reader.count() == pre_flip_rows
+
+    # IVF: a pre-flip pruned search completes post-compact too
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    ipath = _uri(tmp_path, "ivf_retain")
+    IVFIndex(emb, n_centroids=2, iters=0).write(spark, ipath)
+    ivf = IVFIndex.load(spark, ipath)
+    qvec = list(emb.select("embedding").first()[0])
+    pre = ivf.search(qvec, k=5, n_probe=2)  # planned against gen 0
+    IVFIndex.load(spark, ipath).compact()
+    assert len(pre.collect()) == 5
+
+    # vacuum is the terminal delete: the old plan now loses its files
+    reloaded = MinHashIndex.load(spark, path)
+    assert reloaded.vacuum()["removed_generations"] == [0]
+    assert not hfs.exists(spark, path + "/postings")
+
+
+def test_index_tool_fsck(spark, sf_dir, tmp_path):
+    """VERDICT r10 Missing #3: fsck detects each violated invariant —
+    duplicate ids (append contract), postings⇄sets orphans, a meta
+    pointer with no data dirs, orphan tombstones, stranded lease/tmp
+    control files — and reports clean indexes as ok."""
+    from qcache_spark import index_tool
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    path = _uri(tmp_path, "fsck_mh")
+    MinHashIndex(docs).write(spark, path)
+
+    rep = index_tool.run(spark, "fsck", path)
+    assert rep["ok"] and rep["errors"] == [] and rep["family"] == "minhash"
+    assert rep["info"]["live_generation"] == 0
+
+    # duplicate ids: append the same batch twice (contract violation)
+    idx = MinHashIndex.load(spark, path)
+    dup = docs.limit(4).select("doc_id", "text")
+    idx.append(dup)
+    rep = index_tool.run(spark, "fsck", path)
+    assert not rep["ok"]
+    assert any(e["check"] == "duplicate_ids" for e in rep["errors"])
+
+    # postings⇄sets orphan: a sets row with no postings
+    clean = _uri(tmp_path, "fsck_mh2")
+    MinHashIndex(docs).write(spark, clean)
+    cidx = MinHashIndex.load(spark, clean)
+    cidx.sets.limit(1).select(
+        (F.col("_id") + 1_000_000).alias("_id"), "_shingles"
+    ).write.mode("append").parquet(clean + "/sets")
+    rep = index_tool.run(spark, "fsck", clean)
+    assert any(e["check"] == "orphans" for e in rep["errors"])
+
+    # orphan tombstone: delete an id that is not stored -> warning
+    tidx = MinHashIndex.load(spark, clean)
+    tidx.delete([999_999_999])
+    rep = index_tool.run(spark, "fsck", clean)
+    assert any(w["check"] == "tombstones" for w in rep["warnings"])
+
+    # stranded lease + tmp file -> warnings, still loadable
+    IndexLease(spark, clean, owner="maybe-dead").acquire()
+    hfs.write_text(spark, clean + "/_admission_progress.json.tmp", "{")
+    rep = index_tool.run(spark, "fsck", clean)
+    assert any(w["check"] == "lease" for w in rep["warnings"])
+    assert any(w["check"] == "tmp" for w in rep["warnings"])
+    IndexLease.break_lease(spark, clean)
+
+    # meta pointer names a generation with no dirs -> error, no load
+    broken = _uri(tmp_path, "fsck_broken")
+    MinHashIndex(docs).write(spark, broken)
+    bidx = MinHashIndex.load(spark, broken)
+    bidx.generation = 7  # simulate a meta flip whose rewrite vanished
+    bidx._write_meta(spark, broken)
+    rep = index_tool.run(spark, "fsck", broken)
+    assert not rep["ok"]
+    assert any(e["check"] == "generation" for e in rep["errors"])
+
+    # IVF: clean, then int8-schema and duplicate-id violations
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    ipath = _uri(tmp_path, "fsck_ivf")
+    IVFIndex(emb, n_centroids=2, iters=0).write(spark, ipath)
+    rep = index_tool.run(spark, "fsck", ipath)
+    assert rep["ok"] and rep["family"] == "ivf"
+    iidx = IVFIndex.load(spark, ipath)
+    iidx.append(emb.limit(3))
+    rep = index_tool.run(spark, "fsck", ipath)
+    assert any(e["check"] == "duplicate_ids" for e in rep["errors"])
 
 
 # ------------------------------------------------- watermark scoping

@@ -453,7 +453,9 @@ def test_minhash_index_compact(spark, sf_dir, tmp_path):
     assert stats["postings_files_after"] == idx.bands
     assert idx.generation == 1
     assert os.path.isdir(os.path.join(path, "postings_g1"))
-    assert not os.path.isdir(os.path.join(path, "postings"))
+    # superseded generation 0 retained for in-flight readers (retain=1)
+    assert stats["retained_generations"] == [0]
+    assert os.path.isdir(os.path.join(path, "postings"))
 
     # probe parity across compaction, both in-hand and freshly loaded
     assert key(idx.probe(batch, verify_threshold=0.3).collect()) == before
@@ -467,11 +469,21 @@ def test_minhash_index_compact(spark, sf_dir, tmp_path):
         before
     )
 
-    # second compact flips to g2 and removes g1
-    loaded.compact()
+    # second compact flips to g2, keeps g1 in the retention window,
+    # ages out g0; vacuum then drops g1 too
+    rep2 = loaded.compact()
     assert loaded.generation == 2
+    assert rep2["retained_generations"] == [1]
+    assert rep2["removed_generations"] == [0]
     assert os.path.isdir(os.path.join(path, "postings_g2"))
+    assert os.path.isdir(os.path.join(path, "postings_g1"))
+    assert not os.path.isdir(os.path.join(path, "postings"))
+    vrep = loaded.vacuum()
+    assert vrep["removed_generations"] == [1]
     assert not os.path.isdir(os.path.join(path, "postings_g1"))
+    assert len(loaded.probe(batch, verify_threshold=0.3).collect()) >= len(
+        before
+    )
 
     # un-persisted index refuses
     with pytest.raises(ValueError, match="write"):
@@ -2383,10 +2395,11 @@ def test_ivf_compact(spark, embeddings, tmp_path):
     assert stats["files_after"] == idx.n_centroids
     assert idx.generation == 1
     assert os.path.isdir(os.path.join(path, "data_g1"))
-    # generation-0 partitions are gone from the root
-    assert not any(
-        n.startswith("cluster_id=") for n in os.listdir(path)
-    )
+    # generation-0 partitions stay at the root: the retention window
+    # (retain=1) keeps the superseded generation for in-flight readers
+    # until vacuum() or a later compact ages it out
+    assert stats["retained_generations"] == [0]
+    assert any(n.startswith("cluster_id=") for n in os.listdir(path))
     got = [
         (r["vec_id"], round(r["cosine"], 9))
         for r in idx.search(qvec, k=10, n_probe=4).collect()
@@ -2402,18 +2415,26 @@ def test_ivf_compact(spark, embeddings, tmp_path):
     assert got2 == want
 
     # admission continues against the compacted generation; a second
-    # compact flips to g2 and removes g1
+    # compact flips to g2, keeps g1 in the retention window and ages
+    # out g0; vacuum() then drops everything superseded
     n_before = loaded.assigned.count()
     extra = emb.filter(F.col("vec_id") < 5).withColumn(
         "vec_id", F.col("vec_id") + 10_000
     )
     loaded.append(extra)
     assert loaded.assigned.count() == n_before + 5
-    loaded.compact()
+    rep2 = loaded.compact()
     assert loaded.generation == 2
+    assert rep2["retained_generations"] == [1]
+    assert rep2["removed_generations"] == [0]
     assert os.path.isdir(os.path.join(path, "data_g2"))
-    assert not os.path.isdir(os.path.join(path, "data_g1"))
+    assert os.path.isdir(os.path.join(path, "data_g1"))
+    assert not any(n.startswith("cluster_id=") for n in os.listdir(path))
     assert loaded.assigned.count() == n_before + 5
+    vrep = loaded.vacuum()
+    assert vrep["removed_generations"] == [1]
+    assert not os.path.isdir(os.path.join(path, "data_g1"))
+    assert loaded.assigned.count() == n_before + 5  # live gen untouched
 
     with pytest.raises(ValueError, match="write"):
         similarity.IVFIndex(emb, n_centroids=4, iters=1).compact()
