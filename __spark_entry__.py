@@ -2760,6 +2760,56 @@ def q126_crossmodal_curation(spark, sf_dir):
     )
 
 
+def q127_index_tool_lifecycle(spark, sf_dir):
+    """The maintenance-CLI lifecycle end-to-end (qcache_spark/
+    index_tool.py — VERDICT r10 Next #5: the tool was pytest-only;
+    this gates its operator surface against an external oracle):
+    build the IVF index on even vec_ids, append the odd half (drift),
+    then run every maintenance verb THROUGH ``index_tool.run`` — the
+    dispatch a scheduler/cron job uses — in the order an operator
+    would: ``fsck`` (must be ok), ``compact`` (small-file rewrite,
+    generation flip, superseded gen retained), ``refit`` (centroid-
+    drift rebuild on the live corpus), ``vacuum`` (terminal delete of
+    the retention window), ``fsck`` again (must still be ok), then
+    load and run the pruned 3-of-8 search. Each writer verb acquires
+    the index's single-writer lease internally (round-11 Wrong #1
+    closure), so this also proves the lease acquire/release cycle
+    across verbs. Because refit's deterministic k-means sees exactly
+    the rows a fresh build on ALL vectors sees, the oracle is q70's
+    fresh-build SQL replay (same as q125) — compact and vacuum must
+    be result-invisible through the whole chain."""
+    import shutil
+    import tempfile
+
+    from qcache_spark import index_tool
+    from qcache_spark.operators.similarity import IVF_FORMAT_VERSION, IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    built = emb.filter(F.col("vec_id") % 2 == 0)
+    appended = emb.filter(F.col("vec_id") % 2 == 1)
+    params = {"n_centroids": 8, "iters": 1}
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_ivftool_{sf_tag}_v{IVF_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    shutil.rmtree(path + "_tombstones", ignore_errors=True)
+    IVFIndex(built, **params).write(spark, path)
+    IVFIndex.load(spark, path, expect=params).append(appended)
+    for verb in ("fsck", "compact", "refit", "vacuum", "fsck"):
+        report = index_tool.run(spark, verb, path)
+        if verb == "fsck" and not report["ok"]:
+            raise AssertionError(f"index_tool fsck failed: {report}")
+    index = IVFIndex.load(spark, path, expect=params)
+    out = index.search(qvec, k=10, n_probe=3)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 def _crossmodal_oracle_sql(semantic_dedup_sql: str) -> str:
     """DuckDB replica of q126, composed from the gated q26/q114/q35
     formulations (one source of truth: the q114 chain is passed in and
@@ -2830,124 +2880,35 @@ def _cluster_safe_split_oracle_sql() -> str:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- Gate-slot rotation (round 10) ------------------------------
+    # --- Gate-slot rotation (round 11) ------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
-    # order keys (see README "Correctness gating").  Round-10 ordering:
-    #   1-4   q123 (IVF streaming admission — q118's missing modality,
-    #         VERDICT r9 Next #4), q124 (int8-quantized IVF storage
-    #         + exact float rerank — Next #7), q125 (centroid-drift
-    #         refit ≡ fresh build) and q126 (cross-modal curation
-    #         funnel: text dedup → SemDeDup → quality): new, never
-    #         gated.
-    #   3-5   q107/q116/q118: the lifecycle pins kept under continuous
-    #         external gating (VERDICT r9 Next #2's explicit keeps).
-    #   6-12  q110/q115/q117/q119-q122: every other index-lifecycle
-    #         entry — the round ported their maintenance paths to the
-    #         Hadoop FileSystem API and added lease enforcement, so
-    #         all of them re-enter the gate as changed code.
-    #   13-16 q31/q42/q105/q114: same modules (dedup.py/similarity.py)
-    #         changed this round.
-    #   19    q90 (re-measured this round — VERDICT r9 Wrong #2).
-    #         q80 (code unchanged; its formula is COMPOSED into
-    #         q124's gated storage) and q104 (re-measured, r8-gated,
-    #         settled as noise) sit first below the cap.
-    #   20-50 the 31 entries last driver-gated in round 7 (VERDICT r9
-    #         Next #2's rotation list): q1/q5/q20/q21, q58-q65,
-    #         q68/q69/q71, q73-q75, q77-q79, q92/q93, q95-q101, q103.
-    # Everything below slot 50 (last driver-gated r8/r9) stays
-    # value-checked every run by the local DuckDB replica
-    # (tests/test_entry_oracle.py auto-parametrizes all entries).
+    # order keys (see README "Correctness gating").  Round-11 ordering:
+    #   1     q127 (the maintenance-CLI lifecycle through
+    #         index_tool.run — fsck/compact/refit/vacuum chained, new
+    #         this round, never gated; VERDICT r10 Next #5).
+    #   2-5   q123-q126: VERDICT r10 Next #6's explicit new-lifecycle
+    #         keeps under continuous external gating.
+    #   6-9   q115/q119 (compact gained the retention window + writer
+    #         lease) and q116/q117 (admit sits on the re-worked lease
+    #         path) — the most-changed lifecycle code this round.
+    #   10-50 the 41 entries last driver-gated in round 8 (VERDICT r10
+    #         Next #6's rotation list): q2-q4, q6-q19, q22-q30, q32,
+    #         q34, q70, q80-q89, q91, q104 — after this gate no
+    #         entry's driver evidence is older than round 9.
+    # Everything below slot 50 (last driver-gated r9/r10 — including
+    # the other index-lifecycle entries whose lease path changed this
+    # round: q107/q110/q120-q122) stays value-checked every run by the
+    # local DuckDB replica (tests/test_entry_oracle.py
+    # auto-parametrizes all entries).
+    "q127_index_tool_lifecycle": q127_index_tool_lifecycle,
     "q123_ivf_streaming_admit": q123_ivf_streaming_admit,
     "q124_int8_rerank_search": q124_int8_rerank_search,
     "q125_ivf_refit_search": q125_ivf_refit_search,
     "q126_crossmodal_curation": q126_crossmodal_curation,
-    "q107_minhash_index_probe": q107_minhash_index_probe,
-    "q116_minhash_admit": q116_minhash_admit,
-    "q118_streaming_admit": q118_streaming_admit,
-    "q110_ivf_append_search": q110_ivf_append_search,
     "q115_minhash_compacted_probe": q115_minhash_compacted_probe,
-    "q117_ivf_admit": q117_ivf_admit,
     "q119_ivf_compacted_search": q119_ivf_compacted_search,
-    "q120_minhash_delete_probe": q120_minhash_delete_probe,
-    "q121_ivf_delete_search": q121_ivf_delete_search,
-    "q122_minhash_merge_probe": q122_minhash_merge_probe,
-    "q31_minhash_lsh_pairs": q31_minhash_lsh_pairs,
-    "q42_ivf_search": q42_ivf_search,
-    "q105_minhash_probe": q105_minhash_probe,
-    "q114_semantic_dedup": q114_semantic_dedup,
-    "q90_pagerank": q90_pagerank,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q5_filter_like": q5_filter_like,
-    "q20_join_broadcast": q20_join_broadcast,
-    "q21_join_multi": q21_join_multi,
-    "q58_stream_dedup": q58_stream_dedup,
-    "q59_unigram_surprise": q59_unigram_surprise,
-    "q60_decontamination": q60_decontamination,
-    "q61_asof_tolerance": q61_asof_tolerance,
-    "q62_chunk_documents": q62_chunk_documents,
-    "q63_top_terms_by_lang": q63_top_terms_by_lang,
-    "q64_stratified_sample": q64_stratified_sample,
-    "q65_stream_enrich": q65_stream_enrich,
-    "q68_sequence_packing": q68_sequence_packing,
-    "q69_rollup_qgrammar": q69_rollup_qgrammar,
-    "q71_dedup_clusters": q71_dedup_clusters,
-    "q73_asof_forward": q73_asof_forward,
-    "q74_event_gaps": q74_event_gaps,
-    "q75_negative_sampling": q75_negative_sampling,
-    "q77_group_centroids": q77_group_centroids,
-    "q78_chunk_dup_stats": q78_chunk_dup_stats,
-    "q79_contrastive_dataset": q79_contrastive_dataset,
-    "q92_event_transitions": q92_event_transitions,
-    "q93_time_bucket_ohlc": q93_time_bucket_ohlc,
-    "q95_prefix_jaccard_join": q95_prefix_jaccard_join,
-    "q96_knn_label_consistency": q96_knn_label_consistency,
-    "q97_token_pmi": q97_token_pmi,
-    "q98_cohort_retention": q98_cohort_retention,
-    "q99_neardup_clusters": q99_neardup_clusters,
-    "q100_top_revenue_orders": q100_top_revenue_orders,
-    "q101_snapshot_diff": q101_snapshot_diff,
-    "q103_salted_aggregate": q103_salted_aggregate,
-    # ---- below the 50-slot gate cap --------------------------------
-    "q80_embedding_quantize": q80_embedding_quantize,
-    "q104_skewed_join_composite": q104_skewed_join_composite,
-    "q108_token_mix_upsampled": q108_token_mix_upsampled,
-    "q109_quantile_sketch_audit": q109_quantile_sketch_audit,
-    "q111_distribution_match": q111_distribution_match,
-    "q112_balanced_shards": q112_balanced_shards,
-    "q113_cluster_safe_split": q113_cluster_safe_split,
-    "q72_cardinality_sketch": q72_cardinality_sketch,
-    "q106_token_budget_mix": q106_token_budget_mix,
-    "q76_curriculum_buckets": q76_curriculum_buckets,
-    "q94_percentile_outliers": q94_percentile_outliers,
-    "q102_pagerank_dangling": q102_pagerank_dangling,
-    "q33_simhash": q33_simhash,
-    "q35_quality_score": q35_quality_score,
-    "q36_sessionize": q36_sessionize,
-    "q37_sliding_windows": q37_sliding_windows,
-    "q38_media_features": q38_media_features,
-    "q39_baseline_workload": q39_baseline_workload,
-    "q40_update_in_where": q40_update_in_where,
-    "q41_cube": q41_cube,
-    "q43_json_extract": q43_json_extract,
-    "q44_contains": q44_contains,
-    "q45_median_agg": q45_median_agg,
-    "q46_stateful_stream": q46_stateful_stream,
-    "q67_training_pipeline": q67_training_pipeline,
-    "q57_asof_join": q57_asof_join,
-    "q66_shared_spans": q66_shared_spans,
-    "q47_union": q47_union,
-    "q48_intersect": q48_intersect,
-    "q49_except": q49_except,
-    "q50_argmin_argmax": q50_argmin_argmax,
-    "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
-    "q52_repetition_stats": q52_repetition_stats,
-    "q53_pii_scrub": q53_pii_scrub,
-    "q54_hash_split": q54_hash_split,
-    "q55_canonical_selection": q55_canonical_selection,
-    "q56_bm25_top_terms": q56_bm25_top_terms,
-    "q70_ivf_pruned_search": q70_ivf_pruned_search,
-    "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
-    "q91_triangle_count": q91_triangle_count,
+    "q116_minhash_admit": q116_minhash_admit,
+    "q117_ivf_admit": q117_ivf_admit,
     "q2_filter_comparisons": q2_filter_comparisons,
     "q3_filter_disjunction_not": q3_filter_disjunction_not,
     "q4_filter_in_list": q4_filter_in_list,
@@ -2975,6 +2936,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_lang_id": q29_lang_id,
     "q30_cosine_topk": q30_cosine_topk,
     "q32_ngram_jaccard": q32_ngram_jaccard,
+    "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
+    "q70_ivf_pruned_search": q70_ivf_pruned_search,
+    "q80_embedding_quantize": q80_embedding_quantize,
     "q81_weighted_sample": q81_weighted_sample,
     "q82_user_funnel": q82_user_funnel,
     "q83_ngram_novelty": q83_ngram_novelty,
@@ -2984,6 +2948,87 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_skewed_join": q88_skewed_join,
     "q89_interval_join": q89_interval_join,
+    "q91_triangle_count": q91_triangle_count,
+    "q104_skewed_join_composite": q104_skewed_join_composite,
+    # ---- below the 50-slot gate cap --------------------------------
+    "q33_simhash": q33_simhash,
+    "q35_quality_score": q35_quality_score,
+    "q36_sessionize": q36_sessionize,
+    "q37_sliding_windows": q37_sliding_windows,
+    "q38_media_features": q38_media_features,
+    "q39_baseline_workload": q39_baseline_workload,
+    "q40_update_in_where": q40_update_in_where,
+    "q41_cube": q41_cube,
+    "q43_json_extract": q43_json_extract,
+    "q44_contains": q44_contains,
+    "q45_median_agg": q45_median_agg,
+    "q46_stateful_stream": q46_stateful_stream,
+    "q47_union": q47_union,
+    "q48_intersect": q48_intersect,
+    "q49_except": q49_except,
+    "q50_argmin_argmax": q50_argmin_argmax,
+    "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
+    "q52_repetition_stats": q52_repetition_stats,
+    "q53_pii_scrub": q53_pii_scrub,
+    "q54_hash_split": q54_hash_split,
+    "q55_canonical_selection": q55_canonical_selection,
+    "q56_bm25_top_terms": q56_bm25_top_terms,
+    "q57_asof_join": q57_asof_join,
+    "q66_shared_spans": q66_shared_spans,
+    "q67_training_pipeline": q67_training_pipeline,
+    "q72_cardinality_sketch": q72_cardinality_sketch,
+    "q76_curriculum_buckets": q76_curriculum_buckets,
+    "q94_percentile_outliers": q94_percentile_outliers,
+    "q102_pagerank_dangling": q102_pagerank_dangling,
+    "q106_token_budget_mix": q106_token_budget_mix,
+    "q108_token_mix_upsampled": q108_token_mix_upsampled,
+    "q109_quantile_sketch_audit": q109_quantile_sketch_audit,
+    "q111_distribution_match": q111_distribution_match,
+    "q112_balanced_shards": q112_balanced_shards,
+    "q113_cluster_safe_split": q113_cluster_safe_split,
+    # (r10-gated lifecycle + headline entries)
+    "q1_pricing_summary": q1_pricing_summary,
+    "q5_filter_like": q5_filter_like,
+    "q20_join_broadcast": q20_join_broadcast,
+    "q21_join_multi": q21_join_multi,
+    "q31_minhash_lsh_pairs": q31_minhash_lsh_pairs,
+    "q42_ivf_search": q42_ivf_search,
+    "q58_stream_dedup": q58_stream_dedup,
+    "q59_unigram_surprise": q59_unigram_surprise,
+    "q60_decontamination": q60_decontamination,
+    "q61_asof_tolerance": q61_asof_tolerance,
+    "q62_chunk_documents": q62_chunk_documents,
+    "q63_top_terms_by_lang": q63_top_terms_by_lang,
+    "q64_stratified_sample": q64_stratified_sample,
+    "q65_stream_enrich": q65_stream_enrich,
+    "q68_sequence_packing": q68_sequence_packing,
+    "q69_rollup_qgrammar": q69_rollup_qgrammar,
+    "q71_dedup_clusters": q71_dedup_clusters,
+    "q73_asof_forward": q73_asof_forward,
+    "q74_event_gaps": q74_event_gaps,
+    "q75_negative_sampling": q75_negative_sampling,
+    "q77_group_centroids": q77_group_centroids,
+    "q78_chunk_dup_stats": q78_chunk_dup_stats,
+    "q79_contrastive_dataset": q79_contrastive_dataset,
+    "q90_pagerank": q90_pagerank,
+    "q92_event_transitions": q92_event_transitions,
+    "q93_time_bucket_ohlc": q93_time_bucket_ohlc,
+    "q95_prefix_jaccard_join": q95_prefix_jaccard_join,
+    "q96_knn_label_consistency": q96_knn_label_consistency,
+    "q97_token_pmi": q97_token_pmi,
+    "q98_cohort_retention": q98_cohort_retention,
+    "q99_neardup_clusters": q99_neardup_clusters,
+    "q100_top_revenue_orders": q100_top_revenue_orders,
+    "q101_snapshot_diff": q101_snapshot_diff,
+    "q103_salted_aggregate": q103_salted_aggregate,
+    "q105_minhash_probe": q105_minhash_probe,
+    "q107_minhash_index_probe": q107_minhash_index_probe,
+    "q110_ivf_append_search": q110_ivf_append_search,
+    "q114_semantic_dedup": q114_semantic_dedup,
+    "q118_streaming_admit": q118_streaming_admit,
+    "q120_minhash_delete_probe": q120_minhash_delete_probe,
+    "q121_ivf_delete_search": q121_ivf_delete_search,
+    "q122_minhash_merge_probe": q122_minhash_merge_probe,
 }
 
 
@@ -5331,6 +5376,10 @@ def oracle_sql() -> dict[str, str]:
     # must equal a FRESH deterministic build on ALL vectors (same
     # stride-seeded init + Lloyd arithmetic over the same rows).
     out["q125_ivf_refit_search"] = out["q70_ivf_pruned_search"]
+    # q127: the same fresh-build replay — the whole maintenance-CLI
+    # chain (fsck/compact/refit/vacuum through index_tool.run) must be
+    # result-invisible relative to the refit semantics q125 pins.
+    out["q127_index_tool_lifecycle"] = out["q70_ivf_pruned_search"]
     # q126: the q26/q114/q35 formulations composed into one funnel
     # (the q114 chain's corpus CTE scoped to the kept documents).
     out["q126_crossmodal_curation"] = _crossmodal_oracle_sql(

@@ -61,6 +61,17 @@ FRESH = [
     "q95_prefix_jaccard_join",
     "q99_neardup_clusters",
 ]
+# Fixed CONTROL point, measured in the same sweep session (VERDICT r10
+# Next #2): q57_asof_join at sf1 — untouched since r5, one key
+# shuffle, no iterative state. The shared VM's throughput drifts
+# tens-of-percent WITHIN a day (SCALING §18d: the same measurement
+# read 88.7 s at one hour and 115-165 s later, same code, idle), so
+# raw seconds are not comparable across rounds; every sweep entry also
+# carries t_norm = t_sec / control_sec, and cross-round comparisons
+# should use the normalized columns (or the ratio of controls), never
+# raw seconds. Falls back to sf0.1 when the synthesized sf1 is absent.
+CONTROL_QUERY = "q57_asof_join"
+CONTROL_SFS = [1.0, 0.1]
 FRESH_OUT = os.path.join(REPO, ".scaledata", "sweep_fresh.json")
 # heap for each fresh worker JVM: sf10's cached tables + shuffle state
 # need far more than bench's 8g default (q90's localCheckpoint died
@@ -121,48 +132,92 @@ def worker(q: str, d: str, runs: int) -> None:
     print(json.dumps({"query": q, "dir": d, "t_sec": round(t, 4)}))
 
 
-def main_fresh(runs: int) -> None:
-    results: dict[str, dict[float, float]] = {q: {} for q in FRESH}
-    for q in FRESH:
+def _run_fresh_worker(q: str, d: str, runs: int):
+    """One fresh-JVM (query, point) measurement via subprocess;
+    None on failure (logged to stderr)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--worker", q, d, str(runs)],
+        capture_output=True,
+        text=True,
+        timeout=7200,
+        cwd=REPO,
+        env={**os.environ,
+             "SPARK_DRIVER_MEMORY": SWEEP_DRIVER_MEMORY},
+    )
+    line = next(
+        (l for l in reversed(proc.stdout.splitlines())
+         if l.startswith("{")),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        print(
+            f"[sweep] {q} @ {d}: worker failed rc={proc.returncode}\n"
+            + proc.stderr[-2000:],
+            file=sys.stderr,
+        )
+        return None
+    return json.loads(line)["t_sec"]
+
+
+def _measure_control(runs: int):
+    """The fixed control point, same protocol as the sweep queries —
+    its seconds calibrate the box for this session's sweep."""
+    for want_sf in CONTROL_SFS:
         for sf, d in POINTS:
-            if not os.path.isdir(d):
-                continue
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--worker", q, d, str(runs)],
-                capture_output=True,
-                text=True,
-                timeout=7200,
-                cwd=REPO,
-                env={**os.environ,
-                     "SPARK_DRIVER_MEMORY": SWEEP_DRIVER_MEMORY},
-            )
-            line = next(
-                (l for l in reversed(proc.stdout.splitlines())
-                 if l.startswith("{")),
-                None,
-            )
-            if proc.returncode != 0 or line is None:
-                print(
-                    f"[sweep] {q} @ {d}: worker failed rc={proc.returncode}\n"
-                    + proc.stderr[-2000:],
-                    file=sys.stderr,
-                )
-                continue
-            results[q][sf] = json.loads(line)["t_sec"]
-            print(f"[sweep] {q} sf{sf:g}: {results[q][sf]} s", file=sys.stderr)
-    out = {
+            if sf == want_sf and os.path.isdir(d):
+                t = _run_fresh_worker(CONTROL_QUERY, d, runs)
+                if t is not None:
+                    print(
+                        f"[sweep] control {CONTROL_QUERY} sf{sf:g}: {t} s",
+                        file=sys.stderr,
+                    )
+                    return {"query": CONTROL_QUERY, "sf": sf, "t_sec": t}
+    return None
+
+
+def _sweep_block(results, runs, control):
+    """Assemble the sweep JSON: raw seconds + exponents, plus
+    control-normalized t_norm columns when a control was measured."""
+    c = control["t_sec"] if control else None
+    return {
         "protocol": "fresh-jvm-per-query-point",
         "runs": runs,
+        "control": control,
         "sweep": {
             q: {
                 "t_sec": {f"{s:g}": pts[s] for s in sorted(pts)},
+                **(
+                    {
+                        "t_norm": {
+                            f"{s:g}": round(pts[s] / c, 3)
+                            for s in sorted(pts)
+                        }
+                    }
+                    if c
+                    else {}
+                ),
                 "exponent": _exponents(pts),
             }
             for q, pts in results.items()
             if pts
         },
     }
+
+
+def main_fresh(runs: int) -> None:
+    control = _measure_control(runs)
+    results: dict[str, dict[float, float]] = {q: {} for q in FRESH}
+    for q in FRESH:
+        for sf, d in POINTS:
+            if not os.path.isdir(d):
+                continue
+            t = _run_fresh_worker(q, d, runs)
+            if t is None:
+                continue
+            results[q][sf] = t
+            print(f"[sweep] {q} sf{sf:g}: {t} s", file=sys.stderr)
+    out = _sweep_block(results, runs, control)
     os.makedirs(os.path.dirname(FRESH_OUT), exist_ok=True)
     with open(FRESH_OUT, "w") as f:
         json.dump(out, f)
@@ -205,31 +260,29 @@ def main_merge(paths: list[str]) -> None:
     """Merge N sweep_fresh.json passes into one block: min per
     (query, point) across passes, exponents recomputed — the r7
     protocol ("min per point across two full fresh-JVM sweeps").
-    Writes the merged block to FRESH_OUT and prints it."""
+    The control point min-merges the same way and t_norm is
+    recomputed against it. Writes the merged block to FRESH_OUT and
+    prints it."""
     merged: dict[str, dict[float, float]] = {}
     runs = 0
+    control = None
     for p in paths:
         with open(p) as f:
             blk = json.load(f)
         runs = max(runs, blk.get("runs", 0))
+        c = blk.get("control")
+        if c and (control is None or c["t_sec"] < control["t_sec"]):
+            control = c
         for q, d in blk["sweep"].items():
             pts = merged.setdefault(q, {})
             for sf_s, t in d["t_sec"].items():
                 sf = float(sf_s)
                 pts[sf] = min(pts[sf], t) if sf in pts else t
-    out = {
-        "protocol": "fresh-jvm-per-query-point",
-        "runs": runs,
-        "note": f"min per point across {len(paths)} full fresh-JVM "
-                f"sweep passes ({runs} timed runs each)",
-        "sweep": {
-            q: {
-                "t_sec": {f"{s:g}": pts[s] for s in sorted(pts)},
-                "exponent": _exponents(pts),
-            }
-            for q, pts in merged.items()
-        },
-    }
+    out = _sweep_block(merged, runs, control)
+    out["note"] = (
+        f"min per point across {len(paths)} full fresh-JVM "
+        f"sweep passes ({runs} timed runs each)"
+    )
     with open(FRESH_OUT, "w") as f:
         json.dump(out, f)
     print(json.dumps(out))
