@@ -2810,6 +2810,176 @@ def q127_index_tool_lifecycle(spark, sf_dir):
     )
 
 
+def q128_zorder_layout_scan(spark, sf_dir):
+    """Write-time multi-dimensional clustering (operators/layout.py:
+    zorder_write — the Delta ``OPTIMIZE ZORDER BY`` / Iceberg
+    sort-order discipline as a plain DataFrame transform): events is
+    rewritten clustered on the bit-interleaved (user_id, value)
+    Morton key — a static shift/and/or JVM expression (whole-stage
+    codegen, no UDF), one repartitionByRange exchange plus a
+    partition-local sort — and the gated query is a selective BOX
+    aggregate over the rewritten copy. The layout must be
+    result-invisible, so the oracle is the same box aggregate on the
+    SOURCE table; what the layout BUYS (file min/max envelopes tight
+    on both columns at once, so stats pruning skips most files for
+    the box — vs zero skipped on arrival order) is pinned in
+    tests/test_layout.py, the same gate-vs-plan division as the IVF
+    partition-prune asserts. The value sum is micro-unit integer so
+    the hash gate is FP-exact cross-engine."""
+    import tempfile
+
+    from qcache_spark.operators import layout as _layout
+
+    e = load_table(spark, sf_dir, "events")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_zorder_{sf_tag}_v{_layout.LAYOUT_FORMAT_VERSION}",
+    )
+    _layout.zorder_write(e, ["user_id", "value"], path, bits=10, partitions=16)
+    back = spark.read.parquet(path)
+    # Box chosen non-empty at every sf (user_id tops out at 14/149/
+    # 1499 for sf0.001/0.01/0.1 — the box gets MORE selective as the
+    # table grows, the realistic shape for a point-ish lookup).
+    box = back.filter(
+        F.col("user_id").between(4, 9) & F.col("value").between(50.0, 250.0)
+    )
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.round(F.col("value").cast("double") * 1e6).cast("bigint")
+        ).alias("sum_value_micro"),
+    )
+
+
+def q129_pq_adc_search(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance ranking
+    (operators/similarity.py:pq_train/pq_encode/pq_search — Jégou et
+    al. 2011, the FAISS PQ shape; the vector-codebook counterpart of
+    q124's scalar SQ8): deterministic per-subspace k-means (m=4
+    subspaces x 16 codes, the IVF init/refine discipline applied to
+    each list_slice'd subvector), the corpus stored as 4 code ids +
+    the exact norm (~16-60x smaller than the float column), ranking
+    via the broadcast LUT — a chain of m element_at lookups summed,
+    pure JVM codegen; the ranking scan never touches the float
+    column — then the top-40 shortlist (ties -> lower vec_id) is
+    re-scored EXACTLY through a pushed-down id IN-filter. The oracle
+    replays ALL of it: the 4 subspace k-means, the argmin encode, the
+    LUT ADC scores, the shortlist window and the exact rerank
+    (assignment margins verified tie-free at sf0.001/0.01/0.1:
+    smallest argmin gap 8.8e-7 vs ~1e-13 cross-engine FP noise)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    books = _similarity.pq_train(emb, m=4, n_codes=16, iters=1)
+    codes = _similarity.pq_encode(emb, books)
+    out = _similarity.pq_search(codes, emb, books, qvec, k=10, rerank=40)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+def _pq_oracle_sql(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+    """DuckDB replay of the FULL q129 PQ pipeline, generated from the
+    same (m, n_codes) parameterization the entry uses so the two
+    cannot drift: per subspace — init = the subvectors of the n_codes
+    lowest vec_ids, one Lloyd step (argmin by the c.c - 2 x.c algebra
+    with first-wins tiebreak, per-dim mean refine, empty-cluster
+    carryover), final argmin encode, LUT = dot(query subvector,
+    codebook row) — then the ADC score sum, the top-40 shortlist
+    window (ties -> lower vec_id) and the exact cosine rerank top-10
+    (q124's two-stage formulation)."""
+    dsub = dim // m
+    parts = [
+        """e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"""
+    ]
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""
+        sub{s} AS (SELECT vec_id, list_slice(v, {a}, {b}) AS vs FROM e),
+        init{s} AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, vs AS cv
+          FROM sub{s} ORDER BY vec_id LIMIT {n_codes}
+        ),
+        asg{s} AS (
+          SELECT vec_id, vs, ci FROM (
+            SELECT t.vec_id, t.vs, i.ci,
+                   row_number() OVER (
+                     PARTITION BY t.vec_id
+                     ORDER BY list_dot_product(i.cv, i.cv)
+                              - 2 * list_dot_product(t.vs, i.cv), i.ci
+                   ) AS rn
+            FROM sub{s} t CROSS JOIN init{s} i
+          ) WHERE rn = 1
+        ),
+        dims{s} AS (
+          SELECT ci, generate_subscripts(vs, 1) AS pos, unnest(vs) AS val
+          FROM asg{s}
+        ),
+        mean{s} AS (
+          SELECT ci, pos, SUM(val) / COUNT(*) AS cv FROM dims{s} GROUP BY ci, pos
+        ),
+        cb{s} AS (
+          SELECT i.ci, COALESCE(mm.mv, i.cv) AS cv
+          FROM init{s} i LEFT JOIN (
+            SELECT ci, list(cv ORDER BY pos) AS mv FROM mean{s} GROUP BY ci
+          ) mm USING (ci)
+        ),
+        code{s} AS (
+          SELECT vec_id, ci FROM (
+            SELECT t.vec_id, c.ci,
+                   row_number() OVER (
+                     PARTITION BY t.vec_id
+                     ORDER BY list_dot_product(c.cv, c.cv)
+                              - 2 * list_dot_product(t.vs, c.cv), c.ci
+                   ) AS rn
+            FROM sub{s} t CROSS JOIN cb{s} c
+          ) WHERE rn = 1
+        ),
+        lut{s} AS (
+          SELECT c.ci, list_dot_product(list_slice(q.qv, {a}, {b}), c.cv) AS ip
+          FROM cb{s} c CROSS JOIN q
+        )""")
+    joins = " ".join(
+        f"JOIN code{s} ON code{s}.vec_id = e.vec_id "
+        f"JOIN lut{s} ON lut{s}.ci = code{s}.ci"
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"lut{s}.ip" for s in range(m))
+    tail = f""",
+        adc AS (
+          SELECT e.vec_id,
+                 ({adc_sum})
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS ac
+          FROM e {joins} CROSS JOIN q
+        ),
+        short AS (
+          SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY ac DESC, vec_id) AS rn
+            FROM adc
+          ) WHERE rn <= 40
+        )
+        SELECT vec_id, ROUND(c, 6) AS cosine FROM (
+          SELECT e.vec_id,
+                 list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS c,
+                 row_number() OVER (
+                   ORDER BY list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     e.vec_id
+                 ) AS rn
+          FROM e JOIN short USING (vec_id) CROSS JOIN q
+        ) WHERE rn <= 10"""
+    return "WITH " + ",".join(parts) + tail
+
+
 def _crossmodal_oracle_sql(semantic_dedup_sql: str) -> str:
     """DuckDB replica of q126, composed from the gated q26/q114/q35
     formulations (one source of truth: the q114 chain is passed in and
@@ -2888,17 +3058,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         this round, never gated; VERDICT r10 Next #5).
     #   2-5   q123-q126: VERDICT r10 Next #6's explicit new-lifecycle
     #         keeps under continuous external gating.
-    #   6-9   q115/q119 (compact gained the retention window + writer
-    #         lease) and q116/q117 (admit sits on the re-worked lease
-    #         path) — the most-changed lifecycle code this round.
+    #   6-7   q115/q116 (MinHash compact gained the retention window,
+    #         admit sits on the re-worked writer-lease path — the
+    #         most-changed MinHash lifecycle code this round; the IVF
+    #         counterparts' new code is already in-gate through q123's
+    #         leased streaming admission and q127's compact/refit/
+    #         vacuum verbs, so q117/q119 rotate below the cap with
+    #         their r10 evidence standing).
+    #   8-9   q128/q129 — the two NEW round-11 operators (z-order
+    #         layout write, PQ/ADC search), which need first driver
+    #         evidence.
     #   10-50 the 41 entries last driver-gated in round 8 (VERDICT r10
     #         Next #6's rotation list): q2-q4, q6-q19, q22-q30, q32,
     #         q34, q70, q80-q89, q91, q104 — after this gate no
     #         entry's driver evidence is older than round 9.
     # Everything below slot 50 (last driver-gated r9/r10 — including
     # the other index-lifecycle entries whose lease path changed this
-    # round: q107/q110/q120-q122) stays value-checked every run by the
-    # local DuckDB replica (tests/test_entry_oracle.py
+    # round: q107/q110/q117/q119/q120-q122) stays value-checked every
+    # run by the local DuckDB replica (tests/test_entry_oracle.py
     # auto-parametrizes all entries).
     "q127_index_tool_lifecycle": q127_index_tool_lifecycle,
     "q123_ivf_streaming_admit": q123_ivf_streaming_admit,
@@ -2906,9 +3083,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_ivf_refit_search": q125_ivf_refit_search,
     "q126_crossmodal_curation": q126_crossmodal_curation,
     "q115_minhash_compacted_probe": q115_minhash_compacted_probe,
-    "q119_ivf_compacted_search": q119_ivf_compacted_search,
     "q116_minhash_admit": q116_minhash_admit,
-    "q117_ivf_admit": q117_ivf_admit,
+    "q128_zorder_layout_scan": q128_zorder_layout_scan,
+    "q129_pq_adc_search": q129_pq_adc_search,
     "q2_filter_comparisons": q2_filter_comparisons,
     "q3_filter_disjunction_not": q3_filter_disjunction_not,
     "q4_filter_in_list": q4_filter_in_list,
@@ -2951,6 +3128,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_triangle_count": q91_triangle_count,
     "q104_skewed_join_composite": q104_skewed_join_composite,
     # ---- below the 50-slot gate cap --------------------------------
+    "q117_ivf_admit": q117_ivf_admit,
+    "q119_ivf_compacted_search": q119_ivf_compacted_search,
     "q33_simhash": q33_simhash,
     "q35_quality_score": q35_quality_score,
     "q36_sessionize": q36_sessionize,
@@ -5385,6 +5564,22 @@ def oracle_sql() -> dict[str, str]:
     out["q126_crossmodal_curation"] = _crossmodal_oracle_sql(
         out["q114_semantic_dedup"]
     )
+    # q128: the z-order rewrite must be result-invisible — the oracle
+    # runs the same box aggregate directly on the source table.
+    out["q128_zorder_layout_scan"] = """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT))
+                    AS BIGINT) AS sum_value_micro
+        FROM events
+        WHERE user_id BETWEEN 4 AND 9
+          AND value BETWEEN 50.0 AND 250.0
+        GROUP BY event_type
+    """
+    # q129: full PQ pipeline replay, generated from the entry's own
+    # (m, n_codes) parameterization.
+    out["q129_pq_adc_search"] = _pq_oracle_sql(m=4, n_codes=16, dim=64)
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()

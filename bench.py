@@ -97,6 +97,8 @@ HEADLINE = [
     "q117_ivf_admit",
     "q124_int8_rerank_search",
     "q126_crossmodal_curation",
+    "q128_zorder_layout_scan",
+    "q129_pq_adc_search",
 ]
 
 
