@@ -150,11 +150,22 @@ class IVFIndex:
         vec_col: str = "embedding",
         iters: int = 2,
         store_int8: bool = False,
+        store_pq: bool = False,
+        pq_m: int = 4,
+        pq_codes: int = 16,
     ):
+        if store_int8 and store_pq:
+            raise ValueError(
+                "store_int8 and store_pq are alternative compressed-"
+                "ranking storages — pick one per index"
+            )
         self.id_col, self.vec_col = id_col, vec_col
         self.n_centroids = n_centroids
         self.iters = iters
         self.store_int8 = store_int8
+        self.store_pq = store_pq
+        self.pq_m, self.pq_codes = pq_m, pq_codes
+        self.pq_codebooks: list | None = None
         src = df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
 
         sample = (
@@ -191,6 +202,18 @@ class IVFIndex:
         )
         if store_int8:
             self.assigned = self._with_quant(self.assigned)
+        if store_pq:
+            # IVF + PQ (the FAISS IVFPQ composition): per-subspace
+            # codebooks trained once on the build corpus with the same
+            # deterministic discipline as the coarse centroids, then
+            # every stored row carries its m codes + exact norm so the
+            # in-cluster candidate ranking reads neither the float
+            # vector nor any per-row Python.
+            self.pq_codebooks = pq_train(
+                df, m=pq_m, n_codes=pq_codes,
+                id_col=id_col, vec_col=vec_col, iters=1,
+            )
+            self.assigned = self._with_pq(self.assigned)
         # At scale: .repartition("cluster_id") + write partitioned-by
         # cluster_id so probing is a partition prune on the file index.
 
@@ -212,6 +235,18 @@ class IVFIndex:
             vec, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint")
         )
         return df.withColumn("_qvec", qvec).withColumn("_scale", scale)
+
+    def _with_pq(self, df: DataFrame) -> DataFrame:
+        """Add the stored PQ columns: ``_pcodes`` (m code ids against
+        the index's persisted codebooks — appends encode with the SAME
+        books the build trained, so ranking stays consistent across
+        the lifecycle) and ``_pnorm`` (the exact L2 norm the ADC
+        cosine divides by). Derived identically at build and append
+        time so every stored file shares the schema."""
+        vec = F.col(self.vec_col).cast("array<double>")
+        return df.withColumn(
+            "_pcodes", _pq_assign_udf(self.pq_codebooks)(vec)
+        ).withColumn("_pnorm", l2_norm(vec))
 
     def search(
         self,
@@ -242,6 +277,24 @@ class IVFIndex:
         ]
         probes = [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
         pruned = self._live_assigned().filter(F.col("cluster_id").isin(probes))
+        if getattr(self, "store_pq", False):
+            # IVFPQ: rank the probed clusters' candidates from the m
+            # stored codes via the broadcast LUT (pure JVM; neither
+            # the float column nor any Python touches the ranking
+            # scan), then exact-rerank the shortlist through the same
+            # pushed-down id IN-filter discipline as SQ8.
+            n_short = rerank or max(4 * k, k + 16)
+            approx = (
+                pq_adc_scores(
+                    pruned, self.pq_codebooks, q, self.id_col,
+                    codes_col="_pcodes", norm_col="_pnorm",
+                )
+                .orderBy(F.col("_ac").desc(), F.col(self.id_col).asc())
+                .limit(n_short)
+            )
+            short_ids = [r[0] for r in approx.select(self.id_col).collect()]
+            exact = pruned.filter(F.col(self.id_col).isin(short_ids))
+            return cosine_topk(exact, q, k, self.id_col, self.vec_col)
         if not getattr(self, "store_int8", False):
             return cosine_topk(pruned, q, k, self.id_col, self.vec_col)
         n_short = rerank or max(4 * k, k + 16)
@@ -573,7 +626,7 @@ class IVFIndex:
         base_cols = [
             c
             for c in self.assigned.columns
-            if c not in ("cluster_id", "_qvec", "_scale")
+            if c not in ("cluster_id", "_qvec", "_scale", "_pcodes", "_pnorm")
         ]
         live = self._live_assigned().select(*base_cols)
         fresh = IVFIndex(
@@ -583,8 +636,13 @@ class IVFIndex:
             vec_col=self.vec_col,
             iters=self.iters if isinstance(self.iters, int) else 2,
             store_int8=getattr(self, "store_int8", False),
+            store_pq=getattr(self, "store_pq", False),
+            pq_m=getattr(self, "pq_m", 4),
+            pq_codes=getattr(self, "pq_codes", 16),
         )
+        old_books = getattr(self, "pq_codebooks", None)
         self.centroids = fresh.centroids
+        self.pq_codebooks = fresh.pq_codebooks
         self.generation = old_gen + 1
         try:
             fresh.assigned.repartition(
@@ -597,6 +655,7 @@ class IVFIndex:
             # live pointer still names the old dirs and geometry
             self.generation = old_gen
             self.centroids = old_centroids
+            self.pq_codebooks = old_books
             raise
         after, kept, removed = self._finish_rewrite(spark, retain)
         return {
@@ -619,6 +678,12 @@ class IVFIndex:
             "n_centroids": self.n_centroids,
             "iters": getattr(self, "iters", None),
             "store_int8": getattr(self, "store_int8", False),
+            "store_pq": getattr(self, "store_pq", False),
+            "pq_m": getattr(self, "pq_m", 4),
+            "pq_codes": getattr(self, "pq_codes", 16),
+            # m*n_codes*dsub floats (KBs) — persisted so appends encode
+            # with the books the build trained
+            "pq_codebooks": getattr(self, "pq_codebooks", None),
         }
         # Single-row DataFrame write (not saveAsTextFile) so rewriting
         # an index to the same path is idempotent: mode("overwrite")
@@ -660,6 +725,8 @@ class IVFIndex:
         )
         if getattr(self, "store_int8", False):
             assigned = self._with_quant(assigned)
+        if getattr(self, "store_pq", False):
+            assigned = self._with_pq(assigned)
         assigned.write.mode("append").partitionBy("cluster_id").parquet(
             self._data_dir()
         )
@@ -839,6 +906,10 @@ class IVFIndex:
         index.n_centroids = meta["n_centroids"]
         index.iters = meta.get("iters")
         index.store_int8 = meta.get("store_int8", False)
+        index.store_pq = meta.get("store_pq", False)
+        index.pq_m = meta.get("pq_m", 4)
+        index.pq_codes = meta.get("pq_codes", 16)
+        index.pq_codebooks = meta.get("pq_codebooks")
         index.path = path
         index.generation = meta.get("data_generation", 0)
         index._reload(spark)
@@ -1407,6 +1478,8 @@ def pq_adc_scores(
     codebooks: list[list[list[float]]],
     query: Sequence[float],
     id_col: str = "vec_id",
+    codes_col: str = "codes",
+    norm_col: str = "norm",
 ) -> DataFrame:
     """The ADC ranking stage alone: ``(id, _ac)`` where ``_ac`` is the
     LUT-approximated cosine — a chain of ``m`` ``element_at`` lookups
@@ -1422,9 +1495,9 @@ def pq_adc_scores(
         qs = q[s * dsub : (s + 1) * dsub]
         lut = [sum(a * b for a, b in zip(qs, c)) for c in book]
         lut_arr = F.array(*[F.lit(float(v)) for v in lut])
-        adc = adc + F.element_at(lut_arr, F.element_at("codes", s + 1) + 1)
+        adc = adc + F.element_at(lut_arr, F.element_at(codes_col, s + 1) + 1)
     return codes_df.select(
-        F.col(id_col), (adc / (F.col("norm") * F.lit(qnorm))).alias("_ac")
+        F.col(id_col), (adc / (F.col(norm_col) * F.lit(qnorm))).alias("_ac")
     )
 
 

@@ -96,3 +96,86 @@ def test_pq_search_recall_vs_exact(emb, books):
     }
     for row in ann.collect():
         assert row["cosine"] == pytest.approx(exact_all[row["vec_id"]], abs=1e-12)
+
+
+def test_ivfpq_rejects_both_storages(emb):
+    with pytest.raises(ValueError):
+        sim.IVFIndex(emb, n_centroids=8, iters=1, store_int8=True, store_pq=True)
+
+
+def test_ivfpq_search_lifecycle(spark, emb, tmp_path):
+    """store_pq=True (IVF + PQ, the FAISS IVFPQ composition): the
+    index persists m code ids + the exact norm beside the float
+    vectors; search ranks the probed clusters' candidates from the
+    CODES ONLY via the broadcast LUT, then exact-reranks the
+    shortlist. Full-width rerank must equal the float index's top-k;
+    appends encode with the PERSISTED codebooks; refit re-trains
+    them."""
+    fpath = str(tmp_path / "ivf_f32")
+    ppath = str(tmp_path / "ivf_pq")
+    params = dict(n_centroids=8, iters=1)
+    sim.IVFIndex(emb, **params).write(spark, fpath)
+    sim.IVFIndex(emb, store_pq=True, **params).write(spark, ppath)
+    fidx = sim.IVFIndex.load(spark, fpath)
+    pidx = sim.IVFIndex.load(spark, ppath)
+    assert pidx.store_pq is True
+    assert len(pidx.pq_codebooks) == 4 and len(pidx.pq_codebooks[0]) == 16
+    qvec = list(emb.select("embedding").first()[0])
+    n_all = emb.count()
+
+    exact = [
+        (r[0], round(r[1], 6))
+        for r in fidx.search(qvec, k=10, n_probe=8).collect()
+    ]
+    # full-width rerank == exact
+    assert [
+        (r[0], round(r[1], 6))
+        for r in pidx.search(qvec, k=10, n_probe=8, rerank=n_all).collect()
+    ] == exact
+    # default shortlist width: m=4 x 16-code books are a much coarser
+    # approximation than SQ8's per-value codes, so the default-width
+    # recall bar sits lower (7/10 measured for this query; widening
+    # `rerank` is the recall knob, full width is exact per above)
+    got = {r[0] for r in pidx.search(qvec, k=10, n_probe=8).collect()}
+    assert len(got & {i for i, _ in exact}) >= 6
+
+    # ranking scan reads codes + norm, never the float column
+    plan = (
+        pidx._live_assigned()
+        .select("vec_id", "_pcodes", "_pnorm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "embedding" not in m.group(0), m.group(0)
+
+    # append: batch encoded with the persisted codebooks; search parity
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    apath = str(tmp_path / "ivf_pq_app")
+    sim.IVFIndex(half, store_pq=True, **params).write(spark, apath)
+    aidx = sim.IVFIndex.load(spark, apath)
+    aidx.append(emb.filter(F.col("vec_id") % 2 == 1))
+    assert "_pcodes" in aidx.assigned.columns
+    full = aidx.search(qvec, k=10, n_probe=8, rerank=n_all)
+    assert [(r[0], round(r[1], 6)) for r in full.collect()] == exact
+
+    # refit: codebooks re-trained on the live corpus; search parity
+    # with a fresh all-vector build (6-dp cosines, the q125 contract)
+    report = aidx.refit()
+    assert report["vectors"] == n_all
+    assert aidx.pq_codebooks is not None
+    assert [
+        (r[0], round(r[1], 6))
+        for r in aidx.search(qvec, k=10, n_probe=8, rerank=n_all).collect()
+    ] == exact
+
+
+def test_ivfpq_load_expect_mismatch(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf_pq_expect")
+    sim.IVFIndex(emb, n_centroids=8, iters=1, store_pq=True).write(spark, path)
+    with pytest.raises(sim.IVFIndexMismatch):
+        sim.IVFIndex.load(spark, path, expect={"store_pq": False})
+    idx = sim.IVFIndex.load(spark, path, expect={"store_pq": True, "pq_m": 4})
+    assert idx.pq_m == 4 and idx.pq_codes == 16
