@@ -254,6 +254,16 @@ def fsck(spark, path: str) -> dict:
                 "int8_schema",
                 "meta says store_int8 but stored rows lack _qvec/_scale",
             )
+        if getattr(idx, "store_pq", False) and (
+            "_pcodes" not in idx.assigned.columns
+            or "_pnorm" not in idx.assigned.columns
+            or not getattr(idx, "pq_codebooks", None)
+        ):
+            err(
+                "pq_schema",
+                "meta says store_pq but stored rows lack _pcodes/_pnorm "
+                "or the sidecar carries no codebooks",
+            )
     if idx.tombstones is not None:
         tcol = "_id" if family == "minhash" else idx.id_col
         orphan_tombs = (

@@ -793,3 +793,48 @@ def test_index_tool_refit(spark, sf_dir, tmp_path):
     MinHashIndex(docs).write(spark, mh_path)
     with pytest.raises(ValueError, match="IVF"):
         index_tool.run(spark, "refit", mh_path)
+
+
+def test_index_tool_lifecycle_over_store_pq(spark, sf_dir, tmp_path):
+    """The maintenance verbs run unchanged over an IVFPQ index
+    (store_pq=True): fsck validates the pq schema contract, compact/
+    refit/vacuum keep search parity (codes re-derived at refit), and
+    a pq-schema violation is reported as an fsck error."""
+    from qcache_spark import index_tool
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.select("embedding").first()[0])
+    path = _uri(tmp_path, "tool_ivfpq")
+    IVFIndex(emb, n_centroids=4, iters=1, store_pq=True).write(spark, path)
+    idx = IVFIndex.load(spark, path)
+    before = [
+        (r[0], round(r[1], 6))
+        for r in idx.search(qvec, k=5, n_probe=4, rerank=emb.count()).collect()
+    ]
+    for verb in ("fsck", "compact", "refit", "vacuum", "fsck"):
+        rep = index_tool.run(spark, verb, path)
+        if verb == "fsck":
+            assert rep["ok"], rep
+    idx = IVFIndex.load(spark, path)
+    assert idx.store_pq and idx.pq_codebooks
+    after = [
+        (r[0], round(r[1], 6))
+        for r in idx.search(qvec, k=5, n_probe=4, rerank=emb.count()).collect()
+    ]
+    assert after == before
+
+    # violated pq contract: meta claims store_pq but the codes column
+    # is missing from the stored rows -> fsck error, not silence
+    broken = _uri(tmp_path, "tool_ivfpq_broken")
+    IVFIndex(emb, n_centroids=4, iters=1, store_pq=True).write(spark, broken)
+    stripped = spark.read.parquet(broken).drop("_pcodes")
+    stripped.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        _uri(tmp_path, "tool_ivfpq_tmp")
+    )
+    hfs.delete(spark, broken)
+    spark.read.parquet(_uri(tmp_path, "tool_ivfpq_tmp")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(broken)
+    rep = index_tool.run(spark, "fsck", broken)
+    assert not rep["ok"]
+    assert any(e["check"] == "pq_schema" for e in rep["errors"]), rep
