@@ -3049,6 +3049,295 @@ def _cluster_safe_split_oracle_sql() -> str:
     """
 
 
+def q130_distribution_drift(spark, sf_dir):
+    """Snapshot drift audit (operators/drift.py:population_stability —
+    per-bucket PSI between two corpus snapshots): yesterday = even
+    doc_ids, today = odd doc_ids; tracked columns are categorical
+    `lang`/`source` and `n_chars` under the FROZEN integer binning
+    the operator requires (drift must be measured against fixed bins
+    or the bins absorb the drift). Each snapshot is scanned once and
+    partial-aggregated to O(buckets) counter rows before any
+    exchange; psi_e6 is snapped per bucket with one fixed
+    parenthesization so the oracle replays it bit-for-bit."""
+    from qcache_spark.operators import drift as _drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    curr = docs.filter(F.col("doc_id") % 2 == 1)
+    out = _drift.population_stability(
+        base, curr, ["lang", "source"], {"n_chars": _Q130_EDGES}
+    )
+    return out.orderBy("column", "bucket")
+
+
+_Q130_EDGES = [100, 200, 300, 400]
+
+
+def _distribution_drift_oracle_sql() -> str:
+    """DuckDB replica of q130, generated from the SAME edge list and
+    null-bucket label as the operator: melt both snapshots to
+    (column, bucket), count, full-outer align, then the identical
+    smoothed-PSI double expression snapped at 1e6."""
+    from qcache_spark.operators.drift import NULL_BUCKET, numeric_bucket_label
+
+    edges = _Q130_EDGES
+    labels = numeric_bucket_label(edges)
+    nbranch = f"WHEN n_chars IS NULL THEN '{NULL_BUCKET}' " + " ".join(
+        f"WHEN n_chars < {hi} THEN '{lab}'"
+        for hi, lab in zip(edges, labels[:-1])
+    )
+    melt = f"""
+            SELECT 'lang' AS "column",
+                   COALESCE(CAST(lang AS VARCHAR), '{NULL_BUCKET}') AS bucket
+            FROM {{snap}}
+            UNION ALL
+            SELECT 'source',
+                   COALESCE(CAST(source AS VARCHAR), '{NULL_BUCKET}')
+            FROM {{snap}}
+            UNION ALL
+            SELECT 'n_chars',
+                   CASE {nbranch} ELSE '{labels[-1]}' END
+            FROM {{snap}}"""
+    return f"""
+        WITH snap_b AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        snap_c AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        bc AS (
+            SELECT "column", bucket, COUNT(*) AS base_n
+            FROM ({melt.format(snap="snap_b")}) m GROUP BY 1, 2
+        ),
+        cc AS (
+            SELECT "column", bucket, COUNT(*) AS curr_n
+            FROM ({melt.format(snap="snap_c")}) m GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT COALESCE(bc."column", cc."column") AS "column",
+                   COALESCE(bc.bucket, cc.bucket) AS bucket,
+                   COALESCE(base_n, 0) AS base_n,
+                   COALESCE(curr_n, 0) AS curr_n
+            FROM bc FULL OUTER JOIN cc
+              ON bc."column" = cc."column" AND bc.bucket = cc.bucket
+        ),
+        t AS (
+            SELECT "column", SUM(base_n) AS base_total,
+                   SUM(curr_n) AS curr_total, COUNT(*) AS k
+            FROM j GROUP BY 1
+        ),
+        pq AS (
+            SELECT j."column", j.bucket, j.base_n, j.curr_n,
+                   (CAST(j.base_n AS DOUBLE) + 0.5)
+                     / (CAST(t.base_total AS DOUBLE) + 0.5 * t.k) AS p,
+                   (CAST(j.curr_n AS DOUBLE) + 0.5)
+                     / (CAST(t.curr_total AS DOUBLE) + 0.5 * t.k) AS q
+            FROM j JOIN t ON j."column" = t."column"
+        )
+        SELECT "column", bucket, base_n, curr_n,
+               CAST(ROUND((q - p) * ln(q / p) * 1e6) AS BIGINT) AS psi_e6
+        FROM pq
+        ORDER BY "column", bucket
+    """
+
+
+def q131_dsir_selection(spark, sf_dir):
+    """DSIR data selection (operators/selection.py:importance_select —
+    Xie et al. 2023's hashed-n-gram importance resampling): target =
+    the English docs of src0/src1/src2 (the corpus-by-example to get
+    more of), raw = the whole corpus; every raw doc scored by the sum
+    of its unigram+bigram buckets' add-1-smoothed log(p_tgt/p_raw),
+    snapped per bucket to e6 units so the doc score is an exact long
+    sum; top-100 kept (score desc, doc_id tiebreak). The bucket
+    log-ratio table (1024 rows) is broadcast onto the exploded
+    features; the only data-sized shuffle is the doc_id sum."""
+    from qcache_spark.operators import selection as _selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(
+        (F.col("lang") == "en") & F.col("source").isin(list(_Q131_TARGET_SRC))
+    )
+    out = _selection.importance_select(
+        docs, target, k=100, n_buckets=_Q131_BUCKETS
+    )
+    return out.select(
+        "doc_id",
+        "n_features",
+        "score_units",
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+    )
+
+
+_Q131_TARGET_SRC = ("src0", "src1", "src2")
+_Q131_BUCKETS = 1024
+
+
+def _dsir_oracle_sql() -> str:
+    """DuckDB replica of q131, generated from the same target slice,
+    bucket count, tokenizer regex, md5 bucket hash and ln
+    parenthesization as the operator (lower + split on non-letter/
+    digit runs, empties dropped, adjacent-pair bigrams over the
+    FILTERED token list)."""
+    from qcache_spark.operators.text import WORD_SPLIT_REGEX
+
+    B = _Q131_BUCKETS
+    src = ", ".join(f"'{s}'" for s in _Q131_TARGET_SRC)
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(text), "
+        f"'{WORD_SPLIT_REGEX}'), t -> t <> '')"
+    )
+    feats = (
+        "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(generate_series(2, len(toks)), "
+        "i -> toks[i - 1] || ' ' || toks[i]) "
+        "ELSE [] END)"
+    )
+    bucket = f"(('0x' || substr(md5(f), 1, 15))::BIGINT % {B})"
+    return f"""
+        WITH rtoks AS (
+            SELECT doc_id, {toks} AS toks FROM documents
+            WHERE text IS NOT NULL
+        ),
+        rbuckets AS (
+            SELECT doc_id, {bucket} AS bucket
+            FROM rtoks, UNNEST({feats}) AS u(f)
+        ),
+        ttoks AS (
+            SELECT {toks} AS toks FROM documents
+            WHERE text IS NOT NULL
+              AND lang = 'en' AND source IN ({src})
+        ),
+        tbuckets AS (
+            SELECT {bucket} AS bucket
+            FROM ttoks, UNNEST({feats}) AS u(f)
+        ),
+        rb AS (SELECT bucket, COUNT(*) AS raw_n FROM rbuckets GROUP BY 1),
+        tb AS (SELECT bucket, COUNT(*) AS tgt_n FROM tbuckets GROUP BY 1),
+        tot AS (
+            SELECT (SELECT SUM(raw_n) FROM rb) AS raw_total,
+                   (SELECT COALESCE(SUM(tgt_n), 0) FROM tb) AS tgt_total
+        ),
+        units AS (
+            SELECT rb.bucket,
+                   CAST(ROUND(
+                       ((ln(COALESCE(tb.tgt_n, 0) + 1.0)
+                           - ln(tot.tgt_total + {float(B)}))
+                        - (ln(rb.raw_n + 1.0)
+                           - ln(tot.raw_total + {float(B)}))) * 1e6
+                   ) AS BIGINT) AS unit_e6
+            FROM rb LEFT JOIN tb ON rb.bucket = tb.bucket, tot
+        ),
+        scores AS (
+            SELECT r.doc_id, COUNT(*) AS n_features,
+                   CAST(SUM(u.unit_e6) AS BIGINT) AS score_units
+            FROM rbuckets r JOIN units u ON r.bucket = u.bucket
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT doc_id, n_features, score_units,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY score_units DESC, doc_id
+                   ) AS BIGINT) AS sel_rank
+            FROM scores
+        )
+        SELECT doc_id, n_features, score_units, sel_rank
+        FROM ranked WHERE sel_rank <= 100 ORDER BY sel_rank
+    """
+
+
+def q132_quality_constraints(spark, sf_dir):
+    """Deequ-style constraint suite (operators/quality.py:
+    check_constraints — the declarative batch gate between "crawled"
+    and "trainable"): eight constraints over `documents` evaluated in
+    ONE aggregation pass (single scan, one counter row over the
+    wire, static explode unpivot). The suite deliberately mixes
+    passing and failing checks (n_chars_max and lang_known fail on
+    this corpus) so both verdict paths are gated. All arithmetic is
+    exact fixed-point e6 integer division — bit-equal in DuckDB."""
+    from qcache_spark.operators import quality as _quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _quality.check_constraints(docs, _Q132_CONSTRAINTS)
+    return out.orderBy("check_name")
+
+
+_Q132_CONSTRAINTS = [
+    {"name": "doc_id_complete", "kind": "completeness", "col": "doc_id",
+     "min_rate": 1.0},
+    {"name": "doc_id_unique", "kind": "uniqueness", "col": "doc_id",
+     "min_rate": 1.0},
+    {"name": "text_complete", "kind": "completeness", "col": "text",
+     "min_rate": 0.99},
+    {"name": "n_chars_min", "kind": "min", "col": "n_chars", "bound": 10},
+    {"name": "n_chars_max", "kind": "max", "col": "n_chars", "bound": 400},
+    {"name": "lang_known", "kind": "in_set", "col": "lang",
+     "values": ["en", "de", "es", "fr"], "min_rate": 0.95},
+    {"name": "text_wordy", "kind": "matches", "col": "text",
+     "pattern": r"\p{L}{3}", "min_rate": 0.9},
+    {"name": "corpus_size", "kind": "row_count", "op": ">=", "bound": 100},
+]
+
+
+def _quality_constraints_oracle_sql() -> str:
+    """DuckDB replica of q132, generated from the SAME constraint
+    list as the entry: one aggregate CTE of raw counts/extrema, then
+    one UNION ALL verdict select per constraint replaying the exact
+    integer fixed-point arithmetic ((cnt * 1e6) // total)."""
+    from qcache_spark.operators.quality import E6
+
+    aggs = ["COUNT(*) AS n_total"]
+    selects = []
+    for i, spec in enumerate(_Q132_CONSTRAINTS):
+        kind, a = spec["kind"], f"m{i}"
+        col = spec.get("col", "*")
+        if kind == "completeness":
+            aggs.append(f"COUNT({col}) AS {a}")
+            metric, op = (f"CASE WHEN n_total = 0 THEN CAST(NULL AS BIGINT) "
+                          f"ELSE ({a} * {E6}) // n_total END"), ">="
+            thr = int(round(spec["min_rate"] * E6))
+        elif kind == "uniqueness":
+            aggs.append(f"COUNT(DISTINCT {col}) AS {a}")
+            aggs.append(f"COUNT({col}) AS {a}d")
+            metric, op = (f"CASE WHEN {a}d = 0 THEN CAST(NULL AS BIGINT) "
+                          f"ELSE ({a} * {E6}) // {a}d END"), ">="
+            thr = int(round(spec["min_rate"] * E6))
+        elif kind in ("min", "max"):
+            fn = kind.upper()
+            aggs.append(f"{fn}({col}) AS {a}")
+            metric = f"{a} * {E6}"
+            op = ">=" if kind == "min" else "<="
+            thr = int(spec["bound"]) * E6
+        elif kind == "in_set":
+            vals = ", ".join(f"'{v}'" for v in spec["values"])
+            aggs.append(
+                f"COALESCE(SUM(CASE WHEN {col} IN ({vals}) "
+                f"THEN 1 ELSE 0 END), 0) AS {a}"
+            )
+            metric, op = (f"CASE WHEN n_total = 0 THEN CAST(NULL AS BIGINT) "
+                          f"ELSE ({a} * {E6}) // n_total END"), ">="
+            thr = int(round(spec["min_rate"] * E6))
+        elif kind == "matches":
+            aggs.append(
+                f"COALESCE(SUM(CASE WHEN regexp_matches({col}, "
+                f"'{spec['pattern']}') THEN 1 ELSE 0 END), 0) AS {a}"
+            )
+            metric, op = (f"CASE WHEN n_total = 0 THEN CAST(NULL AS BIGINT) "
+                          f"ELSE ({a} * {E6}) // n_total END"), ">="
+            thr = int(round(spec["min_rate"] * E6))
+        elif kind == "row_count":
+            metric, op = f"n_total * {E6}", spec["op"]
+            thr = int(spec["bound"]) * E6
+        selects.append(f"""
+            SELECT '{spec["name"]}' AS check_name, '{col}' AS "column",
+                   '{op}' AS op, CAST({metric} AS BIGINT) AS metric_e6,
+                   CAST({thr} AS BIGINT) AS threshold_e6,
+                   CASE WHEN CAST({metric} AS BIGINT) IS NULL THEN 1
+                        WHEN CAST({metric} AS BIGINT) {op} {thr}
+                        THEN 1 ELSE 0 END AS passed
+            FROM m""")
+    union = "\n            UNION ALL".join(selects)
+    return f"""
+        WITH m AS (SELECT {", ".join(aggs)} FROM documents)
+        SELECT * FROM ({union}) v ORDER BY check_name
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 11) ------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
@@ -3068,10 +3357,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   8-9   q128/q129 — the two NEW round-11 operators (z-order
     #         layout write, PQ/ADC search), which need first driver
     #         evidence.
-    #   10-50 the 41 entries last driver-gated in round 8 (VERDICT r10
-    #         Next #6's rotation list): q2-q4, q6-q19, q22-q30, q32,
-    #         q34, q70, q80-q89, q91, q104 — after this gate no
-    #         entry's driver evidence is older than round 9.
+    #   10-12 q130-q132 — the round-11 session-2 operators (see note
+    #         at their slots below).
+    #   13-50 38 of the 41 entries last driver-gated in round 8
+    #         (VERDICT r10 Next #6's rotation list): q2-q4, q6-q19,
+    #         q22-q30, q32, q34, q70, q80-q88 — q89/q91/q104 slide
+    #         below the cap to make room for q130-q132 (their
+    #         operator families keep in-gate representatives; their
+    #         own r8 evidence stands plus every-run local oracles).
     # Everything below slot 50 (last driver-gated r9/r10 — including
     # the other index-lifecycle entries whose lease path changed this
     # round: q107/q110/q117/q119/q120-q122) stays value-checked every
@@ -3086,6 +3379,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_minhash_admit": q116_minhash_admit,
     "q128_zorder_layout_scan": q128_zorder_layout_scan,
     "q129_pq_adc_search": q129_pq_adc_search,
+    #   10-12 q130-q132 — the round-11 session-2 operators (PSI
+    #         drift audit, DSIR importance selection, Deequ-style
+    #         constraint suite), which need first driver evidence.
+    #         To fit them under the cap, q89/q91/q104 slide below it
+    #         on their r8 evidence — each family keeps an in-gate
+    #         representative (q61-family interval/as-of r10, q90/q102
+    #         graph r10, q88+q103 skew r8-in-gate/r10).
+    "q130_distribution_drift": q130_distribution_drift,
+    "q131_dsir_selection": q131_dsir_selection,
+    "q132_quality_constraints": q132_quality_constraints,
     "q2_filter_comparisons": q2_filter_comparisons,
     "q3_filter_disjunction_not": q3_filter_disjunction_not,
     "q4_filter_in_list": q4_filter_in_list,
@@ -3124,10 +3427,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_table_profile": q86_table_profile,
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_skewed_join": q88_skewed_join,
+    # ---- below the 50-slot gate cap --------------------------------
     "q89_interval_join": q89_interval_join,
     "q91_triangle_count": q91_triangle_count,
     "q104_skewed_join_composite": q104_skewed_join_composite,
-    # ---- below the 50-slot gate cap --------------------------------
     "q117_ivf_admit": q117_ivf_admit,
     "q119_ivf_compacted_search": q119_ivf_compacted_search,
     "q33_simhash": q33_simhash,
@@ -5541,6 +5844,9 @@ def oracle_sql() -> dict[str, str]:
     out["q106_token_budget_mix"] = _token_budget_mix_oracle_sql()
     out["q108_token_mix_upsampled"] = _token_mix_upsampled_oracle_sql()
     out["q111_distribution_match"] = _distribution_match_oracle_sql()
+    out["q130_distribution_drift"] = _distribution_drift_oracle_sql()
+    out["q131_dsir_selection"] = _dsir_oracle_sql()
+    out["q132_quality_constraints"] = _quality_constraints_oracle_sql()
     out["q112_balanced_shards"] = _balanced_shards_oracle_sql()
     out["q113_cluster_safe_split"] = _cluster_safe_split_oracle_sql()
     # q115: identical oracle to q105/q107 — probing off a COMPACTED
