@@ -3073,34 +3073,49 @@ def q130_distribution_drift(spark, sf_dir):
 _Q130_EDGES = [100, 200, 300, 400]
 
 
-def _distribution_drift_oracle_sql() -> str:
-    """DuckDB replica of q130, generated from the SAME edge list and
-    null-bucket label as the operator: melt both snapshots to
-    (column, bucket), count, full-outer align, then the identical
-    smoothed-PSI double expression snapped at 1e6."""
+def _psi_pair_sql(
+    base_where: str,
+    curr_where: str,
+    cats: list[str],
+    num_edges: dict[str, list[int]],
+    batch_lit: int | None = None,
+    source: str = "documents",
+) -> str:
+    """Shared DuckDB replica of operators/drift.py's PSI pipeline,
+    generated from the SAME edge lists and null-bucket label as the
+    operator: melt both snapshots to (column, bucket), count,
+    full-outer align, then the identical smoothed-PSI double
+    expression snapped at 1e6. `batch_lit` prepends a literal
+    batch_id column (the streaming monitor's output shape)."""
     from qcache_spark.operators.drift import NULL_BUCKET, numeric_bucket_label
 
-    edges = _Q130_EDGES
-    labels = numeric_bucket_label(edges)
-    nbranch = f"WHEN n_chars IS NULL THEN '{NULL_BUCKET}' " + " ".join(
-        f"WHEN n_chars < {hi} THEN '{lab}'"
-        for hi, lab in zip(edges, labels[:-1])
-    )
-    melt = f"""
-            SELECT 'lang' AS "column",
-                   COALESCE(CAST(lang AS VARCHAR), '{NULL_BUCKET}') AS bucket
-            FROM {{snap}}
-            UNION ALL
-            SELECT 'source',
-                   COALESCE(CAST(source AS VARCHAR), '{NULL_BUCKET}')
-            FROM {{snap}}
-            UNION ALL
-            SELECT 'n_chars',
+    melts = []
+    for c in cats:
+        melts.append(
+            f"""SELECT '{c}' AS "column",
+                   COALESCE(CAST({c} AS VARCHAR), '{NULL_BUCKET}') AS bucket
+            FROM {{snap}}"""
+        )
+    for c, edges in num_edges.items():
+        labels = numeric_bucket_label(edges)
+        nbranch = f"WHEN {c} IS NULL THEN '{NULL_BUCKET}' " + " ".join(
+            f"WHEN {c} < {hi} THEN '{lab}'"
+            for hi, lab in zip(edges, labels[:-1])
+        )
+        melts.append(
+            f"""SELECT '{c}',
                    CASE {nbranch} ELSE '{labels[-1]}' END
             FROM {{snap}}"""
+        )
+    melt = "\n            UNION ALL\n            ".join(melts)
+    prefix = (
+        f"CAST({batch_lit} AS BIGINT) AS batch_id, "
+        if batch_lit is not None
+        else ""
+    )
     return f"""
-        WITH snap_b AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-        snap_c AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        WITH snap_b AS (SELECT * FROM {source} WHERE {base_where}),
+        snap_c AS (SELECT * FROM {source} WHERE {curr_where}),
         bc AS (
             SELECT "column", bucket, COUNT(*) AS base_n
             FROM ({melt.format(snap="snap_b")}) m GROUP BY 1, 2
@@ -3130,11 +3145,23 @@ def _distribution_drift_oracle_sql() -> str:
                      / (CAST(t.curr_total AS DOUBLE) + 0.5 * t.k) AS q
             FROM j JOIN t ON j."column" = t."column"
         )
-        SELECT "column", bucket, base_n, curr_n,
+        SELECT {prefix}"column", bucket, base_n, curr_n,
                CAST(ROUND((q - p) * ln(q / p) * 1e6) AS BIGINT) AS psi_e6
         FROM pq
-        ORDER BY "column", bucket
     """
+
+
+def _distribution_drift_oracle_sql() -> str:
+    """q130: the shared PSI replica over the parity snapshots."""
+    return (
+        _psi_pair_sql(
+            "doc_id % 2 = 0",
+            "doc_id % 2 = 1",
+            ["lang", "source"],
+            {"n_chars": _Q130_EDGES},
+        )
+        + ' ORDER BY "column", bucket'
+    )
 
 
 def q131_dsir_selection(spark, sf_dir):
@@ -3338,6 +3365,78 @@ def _quality_constraints_oracle_sql() -> str:
     """
 
 
+def q133_streaming_drift(spark, sf_dir):
+    """Streaming drift monitor (streaming/drift_monitor.py — q130's
+    PSI audit attached to a live ingestion stream): the reference
+    histogram (doc_id %3 == 0) is frozen ONCE as bounded driver rows;
+    batches %3 == 1 and %3 == 2 land as two files drained one
+    micro-batch each (maxFilesPerTrigger=1, availableNow, the q118
+    deterministic-order device) through foreachBatch, each scored
+    against the frozen reference WITHOUT rescanning it; metric rows
+    append to a parquet metrics dir keyed by batch_id. The oracle
+    replays both micro-batches with the q130 SQL formula — stream ≡
+    batch by construction."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.streaming import drift_monitor, reference_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    cols = ["doc_id", "lang", "n_chars"]
+    b1 = docs.filter(F.col("doc_id") % 3 == 1).select(*cols)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2).select(*cols)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(
+        tempfile.gettempdir(), f"qcache_spark_stream_drift_{sf_tag}_v1"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    land = os.path.join(root, "landing")
+    # distinct dirs written in order: both mtime and path order agree,
+    # so the file source drains a before b deterministically
+    b1.coalesce(1).write.parquet(os.path.join(land, "a"))
+    b2.coalesce(1).write.parquet(os.path.join(land, "b"))
+    ref_hist = reference_histogram(ref, ["lang"], {"n_chars": _Q130_EDGES})
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/*/")
+    )
+    q = drift_monitor(
+        stream,
+        ref_hist,
+        metrics_path=os.path.join(root, "metrics"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        categorical_cols=["lang"],
+        numeric_bins={"n_chars": _Q130_EDGES},
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(root, "metrics"))
+        .orderBy("batch_id", "column", "bucket")
+    )
+
+
+def _streaming_drift_oracle_sql() -> str:
+    """q133: the two micro-batches replayed with the shared q130 PSI
+    SQL — batch 0 = %3==1 vs the %3==0 reference, batch 1 = %3==2 vs
+    the same reference, unioned with literal batch ids."""
+    pair0 = _psi_pair_sql(
+        "doc_id % 3 = 0", "doc_id % 3 = 1",
+        ["lang"], {"n_chars": _Q130_EDGES}, batch_lit=0,
+    )
+    pair1 = _psi_pair_sql(
+        "doc_id % 3 = 0", "doc_id % 3 = 2",
+        ["lang"], {"n_chars": _Q130_EDGES}, batch_lit=1,
+    )
+    return f"""
+        SELECT * FROM ({pair0}) b0
+        UNION ALL
+        SELECT * FROM ({pair1}) b1
+        ORDER BY batch_id, "column", bucket
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 11) ------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
@@ -3357,12 +3456,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   8-9   q128/q129 — the two NEW round-11 operators (z-order
     #         layout write, PQ/ADC search), which need first driver
     #         evidence.
-    #   10-12 q130-q132 — the round-11 session-2 operators (see note
+    #   10-13 q130-q133 — the round-11 session-2 operators (see notes
     #         at their slots below).
-    #   13-50 38 of the 41 entries last driver-gated in round 8
+    #   14-50 37 of the 41 entries last driver-gated in round 8
     #         (VERDICT r10 Next #6's rotation list): q2-q4, q6-q19,
-    #         q22-q30, q32, q34, q70, q80-q88 — q89/q91/q104 slide
-    #         below the cap to make room for q130-q132 (their
+    #         q22-q30, q32, q34, q70, q81-q88 — q80/q89/q91/q104
+    #         slide below the cap to make room for q130-q133 (their
     #         operator families keep in-gate representatives; their
     #         own r8 evidence stands plus every-run local oracles).
     # Everything below slot 50 (last driver-gated r9/r10 — including
@@ -3382,13 +3481,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   10-12 q130-q132 — the round-11 session-2 operators (PSI
     #         drift audit, DSIR importance selection, Deequ-style
     #         constraint suite), which need first driver evidence.
-    #         To fit them under the cap, q89/q91/q104 slide below it
+    #         To fit them under the cap, q89/q91/q104 (and q80, see
+    #         q133's note) slide below it
     #         on their r8 evidence — each family keeps an in-gate
     #         representative (q61-family interval/as-of r10, q90/q102
     #         graph r10, q88+q103 skew r8-in-gate/r10).
     "q130_distribution_drift": q130_distribution_drift,
     "q131_dsir_selection": q131_dsir_selection,
     "q132_quality_constraints": q132_quality_constraints,
+    #   13    q133 — streaming PSI monitor (q130 composed with
+    #         foreachBatch; first driver evidence). q80 slides below
+    #         the cap: its quantization arithmetic is replayed inside
+    #         in-gate q124's oracle every gate run.
+    "q133_streaming_drift": q133_streaming_drift,
     "q2_filter_comparisons": q2_filter_comparisons,
     "q3_filter_disjunction_not": q3_filter_disjunction_not,
     "q4_filter_in_list": q4_filter_in_list,
@@ -3418,7 +3523,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_ngram_jaccard": q32_ngram_jaccard,
     "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
-    "q80_embedding_quantize": q80_embedding_quantize,
     "q81_weighted_sample": q81_weighted_sample,
     "q82_user_funnel": q82_user_funnel,
     "q83_ngram_novelty": q83_ngram_novelty,
@@ -3428,6 +3532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_skewed_join": q88_skewed_join,
     # ---- below the 50-slot gate cap --------------------------------
+    "q80_embedding_quantize": q80_embedding_quantize,
     "q89_interval_join": q89_interval_join,
     "q91_triangle_count": q91_triangle_count,
     "q104_skewed_join_composite": q104_skewed_join_composite,
@@ -5845,6 +5950,7 @@ def oracle_sql() -> dict[str, str]:
     out["q108_token_mix_upsampled"] = _token_mix_upsampled_oracle_sql()
     out["q111_distribution_match"] = _distribution_match_oracle_sql()
     out["q130_distribution_drift"] = _distribution_drift_oracle_sql()
+    out["q133_streaming_drift"] = _streaming_drift_oracle_sql()
     out["q131_dsir_selection"] = _dsir_oracle_sql()
     out["q132_quality_constraints"] = _quality_constraints_oracle_sql()
     out["q112_balanced_shards"] = _balanced_shards_oracle_sql()

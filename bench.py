@@ -99,6 +99,9 @@ HEADLINE = [
     "q126_crossmodal_curation",
     "q128_zorder_layout_scan",
     "q129_pq_adc_search",
+    "q130_distribution_drift",
+    "q131_dsir_selection",
+    "q132_quality_constraints",
 ]
 
 

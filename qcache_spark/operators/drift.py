@@ -97,33 +97,17 @@ def _bucketize(
     )
 
 
-def population_stability(
-    base: DataFrame,
-    curr: DataFrame,
-    categorical_cols: Sequence[str] = (),
-    numeric_bins: Mapping[str, Sequence[int]] | None = None,
-) -> DataFrame:
-    """Per-bucket PSI contributions between two snapshots.
-
-    Returns one row per (column, bucket) observed in EITHER snapshot:
-    (column, bucket, base_n, curr_n, psi_e6) where psi_e6 =
-    round(1e6 * (q - p) * ln(q / p)) with Laplace-smoothed shares
-    p = (base_n + 0.5) / (base_N + 0.5 k), q likewise for curr, and
-    k the column's observed bucket count (so empty-on-one-side
-    buckets contribute a finite, bounded term instead of ±inf). The
-    column's PSI is the exact integer sum of its psi_e6 rows.
-
-    `categorical_cols` bucket by value (nulls to '<null>');
-    `numeric_bins[col]` is a sorted list of INT edges defining
-    (-inf,e1), [e1,e2), ..., [ek,inf) — pass a frozen binning
-    (e.g. the base snapshot's historical percentiles).
-    """
-    numeric_bins = dict(numeric_bins or {})
+def validate_tracking(
+    categorical_cols: Sequence[str],
+    numeric_bins: Mapping[str, Sequence[int]] | None,
+) -> tuple[list[str], dict[str, list[int]]]:
+    """Shared spec validation for batch PSI and the streaming
+    monitor; returns the normalized (cats, bins) pair."""
+    numeric_bins = {c: list(e) for c, e in (numeric_bins or {}).items()}
     cats = list(categorical_cols)
     if not cats and not numeric_bins:
         raise ValueError("nothing to track: no columns given")
     for c, edges in numeric_bins.items():
-        edges = list(edges)
         if not edges or sorted(edges) != edges or len(set(edges)) != len(edges):
             raise ValueError(f"numeric_bins[{c!r}] must be sorted distinct edges")
         if any(not isinstance(e, int) for e in edges):
@@ -131,11 +115,29 @@ def population_stability(
     seen = cats + list(numeric_bins)
     if len(set(seen)) != len(seen):
         raise ValueError("a column appears in both categorical and numeric")
+    return cats, numeric_bins
 
-    b = _bucketize(base, cats, numeric_bins, "base_n")
-    c = _bucketize(curr, cats, numeric_bins, "curr_n")
+
+def bucket_counts(
+    snap: DataFrame,
+    categorical_cols: Sequence[str] = (),
+    numeric_bins: Mapping[str, Sequence[int]] | None = None,
+    n_alias: str = "n",
+) -> DataFrame:
+    """One snapshot's (column, bucket, count) histogram under the
+    tracking spec — the frozen-reference half of the streaming
+    monitor (compute once, reuse per micro-batch)."""
+    cats, bins = validate_tracking(categorical_cols, numeric_bins)
+    return _bucketize(snap, cats, bins, n_alias)
+
+
+def psi_from_counts(base_counts: DataFrame, curr_counts: DataFrame) -> DataFrame:
+    """PSI rows from two pre-computed histograms (schemas
+    (column, bucket, base_n) / (column, bucket, curr_n)): the
+    full-outer bucket alignment, per-column totals broadcast back,
+    and the snapped smoothed-PSI formula."""
     counts = (
-        b.join(c, ["column", "bucket"], "full_outer")
+        base_counts.join(curr_counts, ["column", "bucket"], "full_outer")
         .select(
             "column",
             "bucket",
@@ -166,6 +168,34 @@ def population_stability(
         "base_n",
         "curr_n",
         psi.alias("psi_e6"),
+    )
+
+
+def population_stability(
+    base: DataFrame,
+    curr: DataFrame,
+    categorical_cols: Sequence[str] = (),
+    numeric_bins: Mapping[str, Sequence[int]] | None = None,
+) -> DataFrame:
+    """Per-bucket PSI contributions between two snapshots.
+
+    Returns one row per (column, bucket) observed in EITHER snapshot:
+    (column, bucket, base_n, curr_n, psi_e6) where psi_e6 =
+    round(1e6 * (q - p) * ln(q / p)) with Laplace-smoothed shares
+    p = (base_n + 0.5) / (base_N + 0.5 k), q likewise for curr, and
+    k the column's observed bucket count (so empty-on-one-side
+    buckets contribute a finite, bounded term instead of ±inf). The
+    column's PSI is the exact integer sum of its psi_e6 rows.
+
+    `categorical_cols` bucket by value (nulls to '<null>');
+    `numeric_bins[col]` is a sorted list of INT edges defining
+    (-inf,e1), [e1,e2), ..., [ek,inf) — pass a frozen binning
+    (e.g. the base snapshot's historical percentiles).
+    """
+    cats, bins = validate_tracking(categorical_cols, numeric_bins)
+    return psi_from_counts(
+        _bucketize(base, cats, bins, "base_n"),
+        _bucketize(curr, cats, bins, "curr_n"),
     )
 
 

@@ -9,6 +9,7 @@ from .dedupe import (
     dedup_stream_by_content,
     dedup_within_watermark,
 )
+from .drift_monitor import drift_monitor, reference_histogram
 from .joins import enrich_with_dimension, interval_join
 from .kafka import (
     KAFKA_WIRE_SCHEMA,
@@ -35,6 +36,8 @@ __all__ = [
     "content_fingerprint",
     "dedup_stream_by_content",
     "dedup_within_watermark",
+    "drift_monitor",
+    "reference_histogram",
     "enrich_with_dimension",
     "interval_join",
     "KAFKA_WIRE_SCHEMA",

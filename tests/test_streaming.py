@@ -560,3 +560,59 @@ def test_streaming_admit_ivf(spark, sf_dir, tmp_path):
     got = ids(s_path)
     assert got == ids(str(tmp_path / "ivf_stream_ref"))
     assert len(got) > corpus.count()  # survivors were admitted
+
+
+# ------------------------------------------------------- drift monitor
+
+def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Each micro-batch's metric rows equal the batch PSI audit of
+    the same slice — stream ≡ batch by construction."""
+    from qcache_spark.operators.drift import population_stability
+    from qcache_spark.streaming import drift_monitor, reference_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    cols = ["doc_id", "lang", "n_chars"]
+    b1 = docs.filter(F.col("doc_id") % 3 == 1).select(*cols)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2).select(*cols)
+    land = tmp_path / "landing"
+    b1.coalesce(1).write.parquet(str(land / "a"))
+    b2.coalesce(1).write.parquet(str(land / "b"))
+    bins = {"n_chars": [150, 300]}
+    hist = reference_histogram(ref, ["lang"], bins)
+    assert all(len(t) == 3 for t in hist) and len(hist) > 0
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/*/")
+    )
+    q = drift_monitor(
+        stream, hist,
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        categorical_cols=["lang"], numeric_bins=bins,
+    )
+    q.awaitTermination()
+    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    assert metrics.select("batch_id").distinct().count() == 2
+    for bid, frame in ((0, b1), (1, b2)):
+        got = sorted(
+            tuple(r) for r in metrics.filter(F.col("batch_id") == bid)
+            .select("column", "bucket", "base_n", "curr_n", "psi_e6")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in population_stability(ref, frame, ["lang"], bins).collect()
+        )
+        assert got == want
+
+
+def test_drift_monitor_validation(spark):
+    from qcache_spark.streaming import drift_monitor
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="empty reference histogram"):
+        drift_monitor(stream, [], "/tmp/x", "/tmp/y", ["value"])
+    with pytest.raises(ValueError, match="nothing to track"):
+        drift_monitor(stream, [("c", "b", 1)], "/tmp/x", "/tmp/y")
