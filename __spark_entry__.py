@@ -2879,6 +2879,13 @@ def q129_pq_adc_search(spark, sf_dir):
     )
 
 
+_PQ_E_Q_PART = """e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"""
+
+
 def _pq_oracle_sql(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
     """DuckDB replay of the FULL q129 PQ pipeline, generated from the
     same (m, n_codes) parameterization the entry uses so the two
@@ -2889,14 +2896,48 @@ def _pq_oracle_sql(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
     codebook row) — then the ADC score sum, the top-40 shortlist
     window (ties -> lower vec_id) and the exact cosine rerank top-10
     (q124's two-stage formulation)."""
-    dsub = dim // m
-    parts = [
-        """e AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings
+    parts, joins, adc_sum = _pq_subspace_parts(m, n_codes, dim)
+    parts = [_PQ_E_Q_PART] + parts
+    tail = f""",
+        adc AS (
+          SELECT e.vec_id,
+                 ({adc_sum})
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS ac
+          FROM e {joins} CROSS JOIN q
         ),
-        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"""
-    ]
+        short AS (
+          SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY ac DESC, vec_id) AS rn
+            FROM adc
+          ) WHERE rn <= 40
+        )
+        SELECT vec_id, ROUND(c, 6) AS cosine FROM (
+          SELECT e.vec_id,
+                 list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS c,
+                 row_number() OVER (
+                   ORDER BY list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     e.vec_id
+                 ) AS rn
+          FROM e JOIN short USING (vec_id) CROSS JOIN q
+        ) WHERE rn <= 10"""
+    return "WITH " + ",".join(parts) + tail
+
+
+def _pq_subspace_parts(
+    m: int, n_codes: int, dim: int
+) -> tuple[list[str], str, str]:
+    """The per-subspace PQ CTE chain shared by the q129 (standalone
+    PQ) and q134 (IVF+PQ composition) oracles: codebook training,
+    argmin encode and the query LUT per subspace — returns
+    (cte_parts, code/lut join clause, ADC sum expression). Assumes
+    `e`/`q` CTEs are already in scope."""
+    dsub = dim // m
+    parts = []
     for s in range(m):
         a, b = s * dsub + 1, (s + 1) * dsub
         parts.append(f"""
@@ -2950,19 +2991,97 @@ def _pq_oracle_sql(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
         for s in range(m)
     )
     adc_sum = " + ".join(f"lut{s}.ip" for s in range(m))
+    return parts, joins, adc_sum
+
+
+# q70's deterministic coarse-k-means CTE chain (init = n_centroids
+# lowest vec_ids, argmin by c.c - 2 x.c with first-wins tiebreak,
+# per-dim mean refine with empty-cluster carryover, probe selection,
+# re-assign) — the building block the q134 IVFPQ oracle composes with
+# the PQ subspace chain. Assumes `e`/`q` CTEs are in scope.
+_IVF_COARSE_PARTS = """init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+          FROM e ORDER BY vec_id LIMIT {n_centroids}
+        ),
+        a0 AS (
+          SELECT vec_id, v, ci FROM (
+            SELECT e.vec_id, e.v, i.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(i.v, i.v)
+                              - 2 * list_dot_product(e.v, i.v), i.ci
+                   ) AS rn
+            FROM e CROSS JOIN init i
+          ) WHERE rn = 1
+        ),
+        cdims AS (
+          SELECT ci, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM a0
+        ),
+        cmeans AS (
+          SELECT ci, pos, SUM(val) / COUNT(*) AS cv FROM cdims GROUP BY ci, pos
+        ),
+        c1 AS (
+          SELECT i.ci, COALESCE(mm.mv, i.v) AS v
+          FROM init i LEFT JOIN (
+            SELECT ci, list(cv ORDER BY pos) AS mv FROM cmeans GROUP BY ci
+          ) mm USING (ci)
+        ),
+        probes AS (
+          SELECT ci FROM c1, q
+          ORDER BY list_dot_product(c1.v, c1.v)
+                   - 2 * list_dot_product(c1.v, q.qv), ci
+          LIMIT {n_probe}
+        ),
+        a1 AS (
+          SELECT vec_id, ci FROM (
+            SELECT e.vec_id, c.ci,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(c.v, c.v)
+                              - 2 * list_dot_product(e.v, c.v), c.ci
+                   ) AS rn
+            FROM e CROSS JOIN c1 c
+          ) WHERE rn = 1
+        )"""
+
+
+def _ivfpq_oracle_sql(
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    n_short: int = 40,
+    k: int = 10,
+) -> str:
+    """DuckDB replay of the q134 IVFPQ composition, built from the
+    SAME two gated chains its Spark counterpart composes: the q70
+    coarse k-means (assignment + probe selection) and the q129 PQ
+    subspace chain (codebooks trained on the FULL build corpus,
+    exactly like IVFIndex(store_pq=True)). The ADC ranking is
+    restricted to the probed clusters' members, the top-`n_short`
+    shortlist (ties -> lower vec_id) is exact-reranked to top-`k` —
+    pq_search's two-stage shape under IVF pruning."""
+    parts, joins, adc_sum = _pq_subspace_parts(m, n_codes, dim)
+    coarse = _IVF_COARSE_PARTS.format(n_centroids=n_centroids, n_probe=n_probe)
+    parts = [_PQ_E_Q_PART, coarse] + parts
     tail = f""",
         adc AS (
           SELECT e.vec_id,
                  ({adc_sum})
                    / (sqrt(list_dot_product(e.v, e.v))
                       * sqrt(list_dot_product(q.qv, q.qv))) AS ac
-          FROM e {joins} CROSS JOIN q
+          FROM e {joins}
+          JOIN a1 ON a1.vec_id = e.vec_id
+          CROSS JOIN q
+          WHERE a1.ci IN (SELECT ci FROM probes)
         ),
         short AS (
           SELECT vec_id FROM (
             SELECT vec_id, row_number() OVER (ORDER BY ac DESC, vec_id) AS rn
             FROM adc
-          ) WHERE rn <= 40
+          ) WHERE rn <= {n_short}
         )
         SELECT vec_id, ROUND(c, 6) AS cosine FROM (
           SELECT e.vec_id,
@@ -2976,7 +3095,7 @@ def _pq_oracle_sql(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
                      e.vec_id
                  ) AS rn
           FROM e JOIN short USING (vec_id) CROSS JOIN q
-        ) WHERE rn <= 10"""
+        ) WHERE rn <= {k}"""
     return "WITH " + ",".join(parts) + tail
 
 
@@ -3437,6 +3556,33 @@ def _streaming_drift_oracle_sql() -> str:
     """
 
 
+def q134_ivfpq_search(spark, sf_dir):
+    """IVF+PQ composed ANN (operators/similarity.py:IVFIndex
+    (store_pq=True) — the FAISS IVFPQ shape, composing the gated q70
+    coarse quantizer with the gated q129 product quantizer): coarse
+    k-means prunes the probe to n_probe=3 of 8 cluster partitions;
+    inside the probed clusters candidates are ranked from the m=4
+    stored PQ codes via the broadcast LUT (pure JVM — neither the
+    float column nor Python touches the ranking scan); the top-40
+    shortlist (ties -> lower vec_id) is exact-reranked to top-10
+    through a pushed-down id IN-filter. The oracle composes the SAME
+    two replay chains (q70 coarse CTEs + q129 subspace CTEs) with the
+    ADC ranking restricted to probed-cluster members. Codebooks are
+    trained on the FULL build corpus exactly as the index does, so
+    the lifecycle pytest's append/refit parity carries over."""
+    from qcache_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    index = IVFIndex(
+        emb, n_centroids=8, iters=1, store_pq=True, pq_m=4, pq_codes=16
+    )
+    out = index.search(qvec, k=10, n_probe=3, rerank=40)
+    return out.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 11) ------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
@@ -3456,12 +3602,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   8-9   q128/q129 — the two NEW round-11 operators (z-order
     #         layout write, PQ/ADC search), which need first driver
     #         evidence.
-    #   10-13 q130-q133 — the round-11 session-2 operators (see notes
+    #   10-14 q130-q134 — the round-11 session-2 gates (see notes
     #         at their slots below).
-    #   14-50 37 of the 41 entries last driver-gated in round 8
+    #   15-50 36 of the 41 entries last driver-gated in round 8
     #         (VERDICT r10 Next #6's rotation list): q2-q4, q6-q19,
-    #         q22-q30, q32, q34, q70, q81-q88 — q80/q89/q91/q104
-    #         slide below the cap to make room for q130-q133 (their
+    #         q22-q30, q32, q34, q81-q88 — q70/q80/q89/q91/q104
+    #         slide below the cap to make room for q130-q134 (their
     #         operator families keep in-gate representatives; their
     #         own r8 evidence stands plus every-run local oracles).
     # Everything below slot 50 (last driver-gated r9/r10 — including
@@ -3494,6 +3640,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #         the cap: its quantization arithmetic is replayed inside
     #         in-gate q124's oracle every gate run.
     "q133_streaming_drift": q133_streaming_drift,
+    #   14    q134 — the IVF+PQ composed index (store_pq=True), the
+    #         r11 session-1 composition that queued for a gate slot;
+    #         first driver evidence. q70 slides below the cap: its
+    #         exact SQL formulation IS the oracle of in-gate q125 and
+    #         q127, so the coarse-IVF replay stays externally gated
+    #         every round regardless.
+    "q134_ivfpq_search": q134_ivfpq_search,
     "q2_filter_comparisons": q2_filter_comparisons,
     "q3_filter_disjunction_not": q3_filter_disjunction_not,
     "q4_filter_in_list": q4_filter_in_list,
@@ -3522,7 +3675,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_cosine_topk": q30_cosine_topk,
     "q32_ngram_jaccard": q32_ngram_jaccard,
     "q34_embedding_dup_pairs": q34_embedding_dup_pairs,
-    "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q81_weighted_sample": q81_weighted_sample,
     "q82_user_funnel": q82_user_funnel,
     "q83_ngram_novelty": q83_ngram_novelty,
@@ -3532,6 +3684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_skewed_join": q88_skewed_join,
     # ---- below the 50-slot gate cap --------------------------------
+    "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q80_embedding_quantize": q80_embedding_quantize,
     "q89_interval_join": q89_interval_join,
     "q91_triangle_count": q91_triangle_count,
@@ -5992,6 +6145,13 @@ def oracle_sql() -> dict[str, str]:
     # q129: full PQ pipeline replay, generated from the entry's own
     # (m, n_codes) parameterization.
     out["q129_pq_adc_search"] = _pq_oracle_sql(m=4, n_codes=16, dim=64)
+    # q134: the q70 coarse chain + the q129 PQ chain composed, ADC
+    # restricted to probed-cluster members — generated from the same
+    # parameterization as the entry (8 coarse / 3 probes / m=4 / 16
+    # codes / 40 shortlist / top-10).
+    out["q134_ivfpq_search"] = _ivfpq_oracle_sql(
+        m=4, n_codes=16, dim=64, n_centroids=8, n_probe=3, n_short=40, k=10
+    )
     out["q56_bm25_top_terms"] = _bm25_oracle_sql()
     out["q59_unigram_surprise"] = _unigram_surprise_oracle_sql()
     out["q67_training_pipeline"] = _training_pipeline_oracle_sql()
