@@ -102,6 +102,7 @@ HEADLINE = [
     "q130_distribution_drift",
     "q131_dsir_selection",
     "q132_quality_constraints",
+    "q134_ivfpq_search",
 ]
 
 

@@ -44,12 +44,29 @@ from .text import WORD_SPLIT_REGEX, word_tokens
 E6 = 1_000_000
 
 
-def _feature_buckets(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+def _bucket_expr(feature: Column, n_buckets: int, hash_fn: str) -> Column:
+    """Feature -> bucket id. hash_fn "md5" (default): first 60 bits
+    of md5, bit-reproducible in DuckDB/Postgres — what makes the
+    cross-engine gate possible. hash_fn "xxhash64": one JVM hash,
+    several times cheaper per feature occurrence — the production
+    fast path at the 100 TB tier (same design as sampling.hash60);
+    weights from the two hashes differ only by bucket aliasing."""
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(feature), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(feature)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def _feature_buckets(
+    df: DataFrame, text_col: str, n_buckets: int, hash_fn: str = "md5"
+) -> DataFrame:
     """Explode a corpus to one row per hashed feature occurrence:
     (id columns dropped) -> (bucket). Features are non-empty
     lower-cased word unigrams plus adjacent-pair bigrams ('a b');
-    bucket = first 60 bits of md5(feature) mod n_buckets — the
-    portable hash `sampling.py` uses, bit-reproducible in DuckDB."""
+    bucket = `_bucket_expr` of the feature string."""
     toks = F.filter(word_tokens(F.col(text_col)), lambda t: t != F.lit(""))
     # sequence(2, n) with n < 2 would generate a DESCENDING sequence
     # in Spark — guard short token lists to an empty bigram array.
@@ -61,10 +78,7 @@ def _feature_buckets(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(F.col("__toks"), bigrams)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("feature")), 1, 15), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
+    bucket = _bucket_expr(F.col("feature"), n_buckets, hash_fn)
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col("*"), toks.alias("__toks"))
@@ -83,6 +97,7 @@ def bucket_log_ratios(
     target: DataFrame,
     text_col: str = "text",
     n_buckets: int = 4096,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-bucket snapped log importance ratios over the RAW bucket
     universe: (bucket, raw_n, tgt_n, unit_e6) with
@@ -94,8 +109,12 @@ def bucket_log_ratios(
     written (the oracle replays the same shape). Buckets never seen
     in raw are omitted: raw documents cannot reference them.
     """
-    raw_b = _bucket_counts(_feature_buckets(raw, text_col, n_buckets), "raw_n")
-    tgt_b = _bucket_counts(_feature_buckets(target, text_col, n_buckets), "tgt_n")
+    raw_b = _bucket_counts(
+        _feature_buckets(raw, text_col, n_buckets, hash_fn), "raw_n"
+    )
+    tgt_b = _bucket_counts(
+        _feature_buckets(target, text_col, n_buckets, hash_fn), "tgt_n"
+    )
     totals = raw_b.agg(F.sum("raw_n").alias("raw_total")).crossJoin(
         tgt_b.agg(F.sum("tgt_n").alias("tgt_total"))
     )
@@ -121,13 +140,16 @@ def importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document DSIR log-importance: (id_col, n_features,
     score_units) where score_units is the exact long sum of the
     document's per-feature-occurrence snapped log ratios (e6 units).
     Higher = more target-like."""
-    ratios = bucket_log_ratios(raw, target, text_col, n_buckets)
-    feats = _feature_buckets(raw.select(id_col, text_col), text_col, n_buckets)
+    ratios = bucket_log_ratios(raw, target, text_col, n_buckets, hash_fn)
+    feats = _feature_buckets(
+        raw.select(id_col, text_col), text_col, n_buckets, hash_fn
+    )
     return (
         feats.join(F.broadcast(ratios.select("bucket", "unit_e6")), "bucket")
         .groupBy(id_col)
@@ -145,6 +167,7 @@ def importance_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Top-k most target-like raw documents by DSIR importance:
     (id_col, n_features, score_units, sel_rank), ordered and ranked
@@ -152,7 +175,7 @@ def importance_select(
     the cut is reproducible run-to-run and engine-to-engine."""
     if k <= 0:
         raise ValueError("k must be positive")
-    w = importance_weights(raw, target, text_col, id_col, n_buckets)
+    w = importance_weights(raw, target, text_col, id_col, n_buckets, hash_fn)
     top = w.orderBy(F.desc("score_units"), F.asc(id_col)).limit(k)
     # rank the k survivors: a window over an already-k-row frame.
     from pyspark.sql import Window

@@ -276,3 +276,18 @@ def test_dsir_validation(spark, corpora):
     raw, target = corpora
     with pytest.raises(ValueError, match="k must be positive"):
         selection.importance_select(raw, target, k=0)
+
+
+def test_dsir_xxhash_fast_path(spark, corpora):
+    """The xxhash64 production path: same feature counts (hashing
+    can't change how many features a doc has), valid scores, and an
+    unknown hash_fn refuses loudly."""
+    raw, target = corpora
+    md5 = {r["doc_id"]: r["n_features"]
+           for r in selection.importance_weights(raw, target, n_buckets=64).collect()}
+    fast = {r["doc_id"]: r["n_features"]
+            for r in selection.importance_weights(
+                raw, target, n_buckets=64, hash_fn="xxhash64").collect()}
+    assert md5 == fast
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        selection.importance_weights(raw, target, hash_fn="fnv").collect()

@@ -53,6 +53,8 @@ HEAVY = [
     "q91_triangle_count",       # wedge join — classic superlinear risk
     "q95_prefix_jaccard_join",  # candidate-pair blowup risk class
     "q99_neardup_clusters",     # join-heavy + iterative composition
+    "q131_dsir_selection",      # unigram+bigram explode — the heavy
+                                # scan among the r11 governance ops
 ]
 # the fresh-JVM protocol's query set (VERDICT r6 item 7)
 FRESH = [
