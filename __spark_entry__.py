@@ -3583,6 +3583,57 @@ def q134_ivfpq_search(spark, sf_dir):
     )
 
 
+def q135_dup_source_matrix(spark, sf_dir):
+    """Dedup lineage audit: which sources near-duplicate each other —
+    the crawl-governance question behind dedup budgeting ("is src3 a
+    mirror of src7?"). Composes the gated q31 MinHash+LSH verified
+    pairs with a per-side source annotation and aggregates to a
+    canonical (least, greatest) source-pair matrix. Spark-first: the
+    verified pair set is tiny relative to the corpus, so it is
+    BROADCAST onto the doc->source annotation (twice, one per side) —
+    no corpus-sized shuffle beyond what q31 itself does. The oracle
+    reuses q31's brute-force SQL verbatim as a derived table (one
+    source of truth, the q113 composition discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)
+    ann = docs.select("doc_id", "source")
+    a = ann.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "source", "src_a"
+    )
+    b = ann.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "source", "src_b"
+    )
+    out = (
+        a.join(F.broadcast(pairs), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+    return out
+
+
+def _dup_source_matrix_oracle_sql() -> str:
+    """q135: q31's exact-Jaccard pair SQL verbatim, annotated with
+    each side's source and folded to the canonical pair matrix."""
+    return f"""
+        WITH pairs AS ({OPERATOR_ORACLES["q31_minhash_lsh_pairs"]}),
+        ann AS (SELECT doc_id, source FROM documents)
+        SELECT LEAST(a.source, b.source) AS source_a,
+               GREATEST(a.source, b.source) AS source_b,
+               COUNT(*) AS n_pairs
+        FROM pairs p
+        JOIN ann a ON a.doc_id = p.id_a
+        JOIN ann b ON b.doc_id = p.id_b
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-slot rotation (round 11) ------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
@@ -3684,6 +3735,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_skewed_join": q88_skewed_join,
     # ---- below the 50-slot gate cap --------------------------------
+    # q135 is new this round but composes two already-gated pieces
+    # (q31 pairs + a broadcast annotate/aggregate); it takes the local
+    # every-run oracle check now and a driver slot in the r12 rotation.
+    "q135_dup_source_matrix": q135_dup_source_matrix,
     "q70_ivf_pruned_search": q70_ivf_pruned_search,
     "q80_embedding_quantize": q80_embedding_quantize,
     "q89_interval_join": q89_interval_join,
@@ -6104,6 +6159,7 @@ def oracle_sql() -> dict[str, str]:
     out["q111_distribution_match"] = _distribution_match_oracle_sql()
     out["q130_distribution_drift"] = _distribution_drift_oracle_sql()
     out["q133_streaming_drift"] = _streaming_drift_oracle_sql()
+    out["q135_dup_source_matrix"] = _dup_source_matrix_oracle_sql()
     out["q131_dsir_selection"] = _dsir_oracle_sql()
     out["q132_quality_constraints"] = _quality_constraints_oracle_sql()
     out["q112_balanced_shards"] = _balanced_shards_oracle_sql()

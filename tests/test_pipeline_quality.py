@@ -3,6 +3,7 @@ constraints (Deequ-style), and DSIR importance selection."""
 from __future__ import annotations
 
 import math
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -291,3 +292,28 @@ def test_dsir_xxhash_fast_path(spark, corpora):
     assert md5 == fast
     with pytest.raises(ValueError, match="unknown hash_fn"):
         selection.importance_weights(raw, target, hash_fn="fnv").collect()
+
+
+def test_constraints_scan_prunes_columns(spark, sf_dir):
+    """The suite's single scan reads ONLY the constrained columns —
+    at 100 TB the quality gate must not pay for unreferenced
+    columns (documents has text/lang/source/n_chars; the suite
+    references three)."""
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = quality.check_constraints(
+        docs,
+        [
+            {"name": "id_c", "kind": "completeness", "col": "doc_id",
+             "min_rate": 1.0},
+            {"name": "lang_s", "kind": "in_set", "col": "lang",
+             "values": ["en"], "min_rate": 0.1},
+            {"name": "len_min", "kind": "min", "col": "n_chars", "bound": 1},
+        ],
+    )._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "doc_id" in schema and "lang" in schema and "n_chars" in schema
+    assert "text" not in schema and "source" not in schema
