@@ -14,9 +14,11 @@ Spark-first shape: each snapshot is scanned ONCE. Every row emits one
 literal/when-chain structs (whole-stage codegen, no UDF), then a
 partial aggregation collapses each scan to at most K = sum of
 per-column bucket counts rows BEFORE the shuffle — the exchanges
-carry O(K) counter rows, never data. The PSI arithmetic runs on the
-joined counter frame (tiny), so at 100 TB the cost is exactly two
-column-pruned scans.
+carry O(K) counter rows, never data. Per-column totals are window
+aggregates over the counter frame (not a groupBy + join-back, which
+would make Catalyst recompute the counts subtree — and its scans —
+once per consumer), so at 100 TB the cost is exactly two
+column-pruned scans, plan-pinned in pytest.
 
 Determinism: counts are exact longs; the PSI contribution is snapped
 to fixed-point 1e-6 per bucket with one fixed parenthesization, so
@@ -134,8 +136,10 @@ def bucket_counts(
 def psi_from_counts(base_counts: DataFrame, curr_counts: DataFrame) -> DataFrame:
     """PSI rows from two pre-computed histograms (schemas
     (column, bucket, base_n) / (column, bucket, curr_n)): the
-    full-outer bucket alignment, per-column totals broadcast back,
-    and the snapped smoothed-PSI formula."""
+    full-outer bucket alignment, per-column totals via a window over
+    the counter frame, and the snapped smoothed-PSI formula."""
+    from pyspark.sql import Window
+
     counts = (
         base_counts.join(curr_counts, ["column", "bucket"], "full_outer")
         .select(
@@ -145,14 +149,17 @@ def psi_from_counts(base_counts: DataFrame, curr_counts: DataFrame) -> DataFrame
             F.coalesce("curr_n", F.lit(0)).alias("curr_n"),
         )
     )
-    # Per-column totals + bucket count: a second tiny agg over the
-    # counter frame (O(K) rows), broadcast back onto it.
-    totals = counts.groupBy("column").agg(
-        F.sum("base_n").alias("base_total"),
-        F.sum("curr_n").alias("curr_total"),
-        F.count(F.lit(1)).alias("k_buckets"),
+    # Per-column totals + bucket count as WINDOW aggregates over the
+    # counter frame: a groupBy + join-back would make Catalyst compute
+    # the whole counts subtree (and its two snapshot scans) TWICE —
+    # the window is one extra O(K)-row exchange instead, and each
+    # snapshot is scanned exactly once (plan-pinned in pytest).
+    wcol = Window.partitionBy("column")
+    joined = (
+        counts.withColumn("base_total", F.sum("base_n").over(wcol))
+        .withColumn("curr_total", F.sum("curr_n").over(wcol))
+        .withColumn("k_buckets", F.count(F.lit(1)).over(wcol))
     )
-    joined = counts.join(F.broadcast(totals), "column")
     # Fixed parenthesization, snapped once per bucket: the oracle
     # replays this exact double expression.
     p = (F.col("base_n").cast("double") + F.lit(0.5)) / (

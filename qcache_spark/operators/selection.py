@@ -109,12 +109,17 @@ def bucket_log_ratios(
     written (the oracle replays the same shape). Buckets never seen
     in raw are omitted: raw documents cannot reference them.
     """
+    # localCheckpoint the two counter frames (<= B rows, eager): each
+    # feeds BOTH its totals aggregate and the ratio join, and without
+    # the lineage cut Catalyst re-runs the full tokenize+explode scan
+    # of its corpus once per consumer — 3 heavy scans of the raw
+    # corpus instead of 2 (plan-pinned in pytest).
     raw_b = _bucket_counts(
         _feature_buckets(raw, text_col, n_buckets, hash_fn), "raw_n"
-    )
+    ).localCheckpoint(eager=True)
     tgt_b = _bucket_counts(
         _feature_buckets(target, text_col, n_buckets, hash_fn), "tgt_n"
-    )
+    ).localCheckpoint(eager=True)
     totals = raw_b.agg(F.sum("raw_n").alias("raw_total")).crossJoin(
         tgt_b.agg(F.sum("tgt_n").alias("tgt_total"))
     )

@@ -84,12 +84,20 @@ def test_psi_summary(spark, snap_pair):
     assert summary[0]["n_buckets"] == 4
 
 
-def test_psi_totals_broadcast(spark, snap_pair):
-    base, curr = snap_pair
+def test_psi_single_scan_per_snapshot(spark, sf_dir):
+    """Each snapshot is scanned exactly ONCE: per-column totals are
+    window aggregates over the counter frame — a groupBy + join-back
+    formulation would recompute the counts subtree (and re-scan both
+    snapshots) once per consumer."""
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    curr = docs.filter(F.col("doc_id") % 2 == 1)
     plan = drift.population_stability(
-        base, curr, ["lang"]
+        base, curr, ["lang"], {"n_chars": [100, 200]}
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan  # per-column totals ride a broadcast
+    assert plan.count("FileScan parquet") == 2
 
 
 # ------------------------------------------------------------- quality
@@ -317,3 +325,22 @@ def test_constraints_scan_prunes_columns(spark, sf_dir):
     schema = m.group(1)
     assert "doc_id" in schema and "lang" in schema and "n_chars" in schema
     assert "text" not in schema and "source" not in schema
+
+
+def test_dsir_two_raw_scans(spark, sf_dir):
+    """The raw corpus's tokenize+explode runs exactly twice (bucket
+    counts + per-doc scoring) and the target once: the counter frames
+    are lineage-cut, so the totals/ratio branches cannot re-trigger
+    the heavy scans."""
+    from qcache_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(
+        (F.col("lang") == "en") & F.col("source").isin(["src0", "src1"])
+    )
+    plan = (
+        selection.importance_weights(docs, target, n_buckets=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1  # scoring scan only
+    assert plan.count("Scan ExistingRDD") >= 1  # checkpointed counters
