@@ -483,6 +483,64 @@ def _op_snapshot_diff(df: DataFrame, params: dict,
     return snapshot_diff_summary(df, right, keys, compare)
 
 
+def _op_check_constraints(df: DataFrame, params: dict) -> DataFrame:
+    """Deequ-style constraint suite (operators/quality.py) over the
+    stored dataset: params['constraints'] is the declarative spec
+    list; the result is one verdict row per constraint (bounded by
+    the suite length). Spec validation errors surface as the
+    endpoint's 400, same as every other malformed body."""
+    _reject_unknown(params, {"constraints"}, "check_constraints")
+    specs = params.get("constraints")
+    if not isinstance(specs, list) or not specs:
+        _fail("check_constraints requires 'constraints': a non-empty list")
+    if len(specs) > 100:
+        _fail("check_constraints: at most 100 constraints per request")
+    if not all(isinstance(s, dict) for s in specs):
+        _fail("check_constraints: every constraint must be an object")
+    for s in specs:
+        col = s.get("col")
+        if col is not None and col not in df.columns:
+            _fail(f"Unknown column in constraint {s.get('name')!r}: {col!r}")
+    from ..operators.quality import check_constraints
+
+    try:
+        return check_constraints(df, specs)
+    except ValueError as e:
+        _fail(str(e))
+
+
+def _op_drift(df: DataFrame, params: dict, resolve=None) -> DataFrame:
+    """Two-dataset PSI drift audit (operators/drift.py): `df` is the
+    BASE (older) snapshot, params['right'] names the stored dataset
+    to compare against; 'categorical' lists value-bucketed columns,
+    'numeric_bins' maps columns to frozen integer edge lists. Returns
+    the per-bucket PSI rows (a counter summary, never data)."""
+    _reject_unknown(params, {"right", "categorical", "numeric_bins"}, "drift")
+    right_key = params.get("right")
+    if not isinstance(right_key, str) or not right_key:
+        _fail("drift requires 'right': the newer dataset's key")
+    if resolve is None:
+        _fail("drift is only available over the HTTP endpoint")
+    right = resolve(right_key)
+    cats = params.get("categorical", [])
+    bins = params.get("numeric_bins", {})
+    if cats:
+        _check_columns(df, cats, "categorical")
+        _check_columns(right, cats, "categorical (right snapshot)")
+    if not isinstance(bins, dict):
+        _fail("numeric_bins must map column -> sorted integer edges")
+    for c in bins:
+        _check_column(df, c, "numeric_bins")
+        _check_column(right, c, "numeric_bins (right snapshot)")
+    from ..operators.drift import population_stability
+
+    try:
+        out = population_stability(df, right, cats, bins)
+    except ValueError as e:
+        _fail(str(e))
+    return out.orderBy("column", "bucket").limit(_MAX_GROUPS)
+
+
 _OPS = {
     "dedup_count": _op_dedup_count,
     "cardinality": _op_cardinality,
@@ -496,11 +554,13 @@ _OPS = {
     "percentile_stats": _op_percentile_stats,
     "transitions": _op_transitions,
     "snapshot_diff": _op_snapshot_diff,
+    "check_constraints": _op_check_constraints,
+    "drift": _op_drift,
 }
 
 # ops that read a second stored dataset named in params (need the
 # catalog resolver threaded through)
-_TWO_DATASET_OPS = {"snapshot_diff"}
+_TWO_DATASET_OPS = {"snapshot_diff", "drift"}
 
 
 def run_pipeline_op(df: DataFrame, spec, resolve=None) -> DataFrame:

@@ -1173,3 +1173,79 @@ def test_pipeline_snapshot_diff(server):
         {"op": "snapshot_diff", "params": {"keys": ["id"]}},
     )
     assert code == 400
+
+
+def test_pipeline_check_constraints(server):
+    store(server, "plq", "id,v\n1,10\n2,20\n3,\n")
+    code, body, _ = pipeline(
+        server,
+        "plq",
+        {"op": "check_constraints", "params": {"constraints": [
+            {"name": "id_ok", "kind": "completeness", "col": "id",
+             "min_rate": 1.0},
+            {"name": "v_ok", "kind": "completeness", "col": "v",
+             "min_rate": 0.9},
+            {"name": "rows", "kind": "row_count", "op": ">=", "bound": 3},
+        ]}},
+    )
+    assert code == 200
+    rows = {r["check_name"]: r for r in json.loads(body)}
+    assert rows["id_ok"]["passed"] == 1
+    # 2/3 non-null -> 666666 < 900000
+    assert rows["v_ok"]["metric_e6"] == 666666
+    assert rows["v_ok"]["passed"] == 0
+    assert rows["rows"]["passed"] == 1
+    # 400 paths: bad spec, unknown column, unknown param
+    code, body, _ = pipeline(
+        server, "plq", {"op": "check_constraints", "params": {}}
+    )
+    assert code == 400
+    code, body, _ = pipeline(
+        server,
+        "plq",
+        {"op": "check_constraints", "params": {"constraints": [
+            {"name": "x", "kind": "completeness", "col": "nope",
+             "min_rate": 1.0}]}},
+    )
+    assert code == 400
+    code, body, _ = pipeline(
+        server,
+        "plq",
+        {"op": "check_constraints", "params": {"constraints": [
+            {"name": "x", "kind": "wat", "col": "id"}]}},
+    )
+    assert code == 400
+
+
+def test_pipeline_drift(server):
+    store(server, "drift_old", "lang,n\nen,50\nen,150\nde,250\n")
+    store(server, "drift_new", "lang,n\nen,50\nfr,150\nfr,250\n")
+    code, body, _ = pipeline(
+        server,
+        "drift_old",
+        {"op": "drift", "params": {
+            "right": "drift_new",
+            "categorical": ["lang"],
+            "numeric_bins": {"n": [100, 200]},
+        }},
+    )
+    assert code == 200
+    rows = {(r["column"], r["bucket"]): r for r in json.loads(body)}
+    assert rows[("lang", "fr")]["base_n"] == 0
+    assert rows[("lang", "fr")]["curr_n"] == 2
+    assert rows[("n", "[100,200)")]["base_n"] == 1
+    assert all(r["psi_e6"] >= 0 for r in rows.values())
+    # 400: missing right, unknown right -> 404, unknown column
+    code, _, _ = pipeline(server, "drift_old", {"op": "drift", "params": {}})
+    assert code == 400
+    code, _, _ = pipeline(
+        server, "drift_old",
+        {"op": "drift", "params": {"right": "no_such", "categorical": ["lang"]}},
+    )
+    assert code == 404
+    code, _, _ = pipeline(
+        server, "drift_old",
+        {"op": "drift", "params": {"right": "drift_new",
+                                   "categorical": ["nope"]}},
+    )
+    assert code == 400
