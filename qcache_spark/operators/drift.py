@@ -105,15 +105,25 @@ def validate_tracking(
 ) -> tuple[list[str], dict[str, list[int]]]:
     """Shared spec validation for batch PSI and the streaming
     monitor; returns the normalized (cats, bins) pair."""
-    numeric_bins = {c: list(e) for c, e in (numeric_bins or {}).items()}
+    try:
+        numeric_bins = {c: list(e) for c, e in (numeric_bins or {}).items()}
+    except TypeError:
+        raise ValueError(
+            "numeric_bins must map column -> a list of integer edges"
+        ) from None
     cats = list(categorical_cols)
     if not cats and not numeric_bins:
         raise ValueError("nothing to track: no columns given")
     for c, edges in numeric_bins.items():
-        if not edges or sorted(edges) != edges or len(set(edges)) != len(edges):
-            raise ValueError(f"numeric_bins[{c!r}] must be sorted distinct edges")
-        if any(not isinstance(e, int) for e in edges):
+        # type check FIRST: sorted() over mixed int/str raises
+        # TypeError, which would escape the HTTP layer's
+        # ValueError-only 400 contract.
+        if not edges or any(
+            not isinstance(e, int) or isinstance(e, bool) for e in edges
+        ):
             raise ValueError(f"numeric_bins[{c!r}] must be integer edges")
+        if sorted(edges) != edges or len(set(edges)) != len(edges):
+            raise ValueError(f"numeric_bins[{c!r}] must be sorted distinct edges")
     seen = cats + list(numeric_bins)
     if len(set(seen)) != len(seen):
         raise ValueError("a column appears in both categorical and numeric")

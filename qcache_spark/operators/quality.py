@@ -57,7 +57,7 @@ def _validate(constraints: Sequence[Mapping[str, Any]]) -> None:
         if kind not in KINDS:
             raise _spec_error(i, spec, f"unknown kind {kind!r}")
         name = spec.get("name")
-        if not name or name in names:
+        if not name or not isinstance(name, str) or name in names:
             raise _spec_error(i, spec, "missing or duplicate name")
         names.add(name)
         if kind != "row_count" and not spec.get("col"):
@@ -65,6 +65,21 @@ def _validate(constraints: Sequence[Mapping[str, Any]]) -> None:
         for key in KINDS[kind]:
             if key not in spec:
                 raise _spec_error(i, spec, f"missing {key!r}")
+        # TYPE the parameters here: a TypeError later (int(None),
+        # float('x'), list(42)) would escape the HTTP layer's
+        # ValueError-only 400 contract.
+        if "min_rate" in KINDS[kind] and not isinstance(
+            spec["min_rate"], (int, float)
+        ):
+            raise _spec_error(i, spec, "min_rate must be a number")
+        if "bound" in KINDS[kind] and (
+            not isinstance(spec["bound"], int) or isinstance(spec["bound"], bool)
+        ):
+            raise _spec_error(i, spec, "bound must be an integer")
+        if kind == "in_set" and not isinstance(spec["values"], (list, tuple)):
+            raise _spec_error(i, spec, "values must be a list")
+        if kind == "matches" and not isinstance(spec["pattern"], str):
+            raise _spec_error(i, spec, "pattern must be a regex string")
         if kind == "row_count" and spec["op"] not in (">=", "<="):
             raise _spec_error(i, spec, "row_count op must be '>=' or '<='")
 
@@ -122,9 +137,27 @@ def check_constraints(
             metric = _div_e6(a, f"{a}d")
             rows.append((spec["name"], col, ">=", metric, _rate_thr(spec)))
         elif kind in ("min", "max"):
+            # Numeric columns only: casting a string/date extremum to
+            # long would yield NULL and pass vacuously forever.
+            integral = _require_numeric(df, col, spec)
             fn = F.min if kind == "min" else F.max
-            aggs.append(fn(F.col(col)).cast("long").alias(a))
-            metric = f"{a} * {E6}"
+            if integral:
+                # exact long arithmetic; |value| bounded to ~9.2e12 by
+                # the e6 representation (larger extrema overflow long
+                # and fail LOUDLY under ANSI rather than wrapping).
+                aggs.append(
+                    (fn(F.col(col)).cast("long") * F.lit(E6)).alias(a)
+                )
+            else:
+                # fractional types: scale THEN round — a violation
+                # like min=-9.7 vs bound=-9 must keep its decimals in
+                # the fixed point, not truncate to -9 and pass.
+                aggs.append(
+                    F.round(fn(F.col(col)).cast("double") * F.lit(E6))
+                    .cast("long")
+                    .alias(a)
+                )
+            metric = a
             op = ">=" if kind == "min" else "<="
             rows.append((spec["name"], col, op, metric, int(spec["bound"]) * E6))
         elif kind == "in_set":
@@ -161,6 +194,31 @@ def check_constraints(
             )
         )
     return one.select(F.explode(F.array(*structs)).alias("v")).select("v.*")
+
+
+def _require_numeric(df: DataFrame, col: str, spec: Mapping[str, Any]) -> bool:
+    """min/max only make fixed-point sense on numeric columns —
+    anything else would cast to NULL and pass vacuously forever.
+    Returns True for integral types (exact long path), False for
+    fractional ones (rounded-double path). Unknown columns are left
+    for the analyzer's own error."""
+    from pyspark.sql import types as T
+
+    field = next((f for f in df.schema.fields if f.name == col), None)
+    if field is None:
+        return True
+    if isinstance(
+        field.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return True
+    if isinstance(
+        field.dataType, (T.FloatType, T.DoubleType, T.DecimalType)
+    ):
+        return False
+    raise ValueError(
+        f"constraint {spec.get('name')!r}: min/max require a numeric "
+        f"column; {col!r} is {field.dataType.simpleString()}"
+    )
 
 
 def _rate_thr(spec: Mapping[str, Any]) -> int:

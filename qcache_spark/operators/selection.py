@@ -60,6 +60,20 @@ def _bucket_expr(feature: Column, n_buckets: int, hash_fn: str) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
+#: column names _feature_buckets adds internally — a corpus column
+#: with one of these names would make the select ambiguous.
+_RESERVED = ("__toks", "feature", "bucket")
+
+
+def _check_reserved(*cols: str) -> None:
+    clash = [c for c in cols if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"column name(s) {clash} collide with internal names "
+            f"{_RESERVED}; rename the column(s)"
+        )
+
+
 def _feature_buckets(
     df: DataFrame, text_col: str, n_buckets: int, hash_fn: str = "md5"
 ) -> DataFrame:
@@ -108,7 +122,17 @@ def bucket_log_ratios(
     — add-1 smoothed log(p_target / p_raw), parenthesized exactly as
     written (the oracle replays the same shape). Buckets never seen
     in raw are omitted: raw documents cannot reference them.
+
+    Raises ValueError if either corpus has no non-null text: an empty
+    target would make every ratio NULL and turn the downstream top-k
+    into valid-looking garbage (first k ids with NULL scores).
     """
+    _check_reserved(text_col)
+    raw = raw.select(text_col)
+    target = target.select(text_col)
+    for side, frame in (("raw", raw), ("target", target)):
+        if frame.filter(F.col(text_col).isNotNull()).limit(1).count() == 0:
+            raise ValueError(f"{side} corpus has no non-null {text_col!r}")
     # localCheckpoint the two counter frames (<= B rows, eager): each
     # feeds BOTH its totals aggregate and the ratio join, and without
     # the lineage cut Catalyst re-runs the full tokenize+explode scan
@@ -151,6 +175,7 @@ def importance_weights(
     score_units) where score_units is the exact long sum of the
     document's per-feature-occurrence snapped log ratios (e6 units).
     Higher = more target-like."""
+    _check_reserved(text_col, id_col)
     ratios = bucket_log_ratios(raw, target, text_col, n_buckets, hash_fn)
     feats = _feature_buckets(
         raw.select(id_col, text_col), text_col, n_buckets, hash_fn

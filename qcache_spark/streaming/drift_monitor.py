@@ -74,6 +74,31 @@ def drift_monitor(
     cats, bins = validate_tracking(categorical_cols, numeric_bins)
     if not ref_hist:
         raise ValueError("empty reference histogram")
+    # The histogram must have been frozen under THIS tracking spec —
+    # a cats/bins mismatch would never align any bucket in the
+    # full-outer join and every batch would report a huge spurious
+    # PSI with no diagnostic. Check the column universe and, for
+    # numeric columns, that every reference label belongs to THESE
+    # edges' label set.
+    tracked = set(cats) | set(bins)
+    ref_cols = {r[0] for r in ref_hist}
+    if ref_cols != tracked:
+        raise ValueError(
+            f"reference histogram tracks {sorted(ref_cols)} but the "
+            f"monitor tracks {sorted(tracked)}; re-freeze the "
+            f"reference under the same spec"
+        )
+    from ..operators.drift import NULL_BUCKET, numeric_bucket_label
+
+    for c, edges in bins.items():
+        allowed = set(numeric_bucket_label(edges)) | {NULL_BUCKET}
+        bad = {r[1] for r in ref_hist if r[0] == c} - allowed
+        if bad:
+            raise ValueError(
+                f"reference histogram buckets {sorted(bad)} for column "
+                f"{c!r} do not match the monitor's edges {edges}; "
+                f"re-freeze the reference under the same binning"
+            )
 
     def _score_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

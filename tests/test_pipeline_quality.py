@@ -344,3 +344,76 @@ def test_dsir_two_raw_scans(spark, sf_dir):
     )
     assert plan.count("FileScan parquet") == 1  # scoring scan only
     assert plan.count("Scan ExistingRDD") >= 1  # checkpointed counters
+
+
+# ------------------------------------------- review-findings regressions
+
+def test_minmax_fractional_violation_fails(spark):
+    """A fractional extremum must keep its decimals in the fixed
+    point: min=-9.7 vs bound=-9 is a violation (cast-then-scale would
+    truncate -9.7 to -9 and pass)."""
+    df = spark.createDataFrame([(-9.7,), (2.0,)], ["v"])
+    rows = quality.check_constraints(
+        df, [{"name": "m", "kind": "min", "col": "v", "bound": -9}]
+    ).collect()
+    assert rows[0]["metric_e6"] == -9_700_000
+    assert rows[0]["passed"] == 0
+
+
+def test_minmax_rejects_non_numeric(spark, qframe):
+    with pytest.raises(ValueError, match="require a numeric column"):
+        quality.check_constraints(
+            qframe, [{"name": "m", "kind": "min", "col": "text", "bound": 0}]
+        )
+
+
+def test_constraint_param_types_raise_valueerror(spark, qframe):
+    """Malformed parameter TYPES must raise ValueError (the HTTP
+    layer's 400 contract), never TypeError."""
+    bad = [
+        {"name": "a", "kind": "min", "col": "id", "bound": None},
+        {"name": "b", "kind": "completeness", "col": "id", "min_rate": "x"},
+        {"name": "c", "kind": "in_set", "col": "id", "values": 42,
+         "min_rate": 0.5},
+        {"name": "d", "kind": "matches", "col": "text", "pattern": 7,
+         "min_rate": 0.5},
+    ]
+    for spec in bad:
+        with pytest.raises(ValueError):
+            quality.check_constraints(qframe, [spec])
+
+
+def test_drift_bins_type_errors_are_valueerror(spark, snap_pair):
+    base, curr = snap_pair
+    with pytest.raises(ValueError, match="list of integer edges"):
+        drift.population_stability(base, curr, numeric_bins={"n_chars": 5})
+    with pytest.raises(ValueError, match="integer edges"):
+        drift.population_stability(
+            base, curr, numeric_bins={"n_chars": [1, "2"]}
+        )
+
+
+def test_dsir_empty_target_refuses(spark, corpora):
+    raw, target = corpora
+    with pytest.raises(ValueError, match="target corpus has no non-null"):
+        selection.importance_weights(raw, target.filter(F.lit(False)))
+    with pytest.raises(ValueError, match="raw corpus has no non-null"):
+        selection.importance_weights(raw.filter(F.lit(False)), target)
+
+
+def test_dsir_reserved_column_names_refuse(spark, corpora):
+    raw, target = corpora
+    with pytest.raises(ValueError, match="collide with internal names"):
+        selection.importance_weights(
+            raw.withColumnRenamed("doc_id", "bucket"), target,
+            id_col="bucket",
+        )
+
+
+def test_dsir_extra_columns_no_collision(spark, corpora):
+    """A raw corpus with unrelated extra columns must not break the
+    explode (bucket_log_ratios narrows to the text column)."""
+    raw, target = corpora
+    wide = raw.withColumn("extra", F.lit(1)).withColumn("more", F.lit("x"))
+    out = selection.importance_weights(wide, target, n_buckets=64).collect()
+    assert len(out) == 5

@@ -616,3 +616,17 @@ def test_drift_monitor_validation(spark):
         drift_monitor(stream, [], "/tmp/x", "/tmp/y", ["value"])
     with pytest.raises(ValueError, match="nothing to track"):
         drift_monitor(stream, [("c", "b", 1)], "/tmp/x", "/tmp/y")
+
+
+def test_drift_monitor_spec_mismatch_refuses(spark):
+    from qcache_spark.streaming import drift_monitor
+
+    stream = spark.readStream.format("rate").load()
+    hist = [("lang", "en", 3), ("n", "[10,20)", 2)]
+    with pytest.raises(ValueError, match="re-freeze the reference under the same spec"):
+        drift_monitor(stream, hist, "/tmp/x", "/tmp/y", ["lang"])
+    with pytest.raises(ValueError, match="do not match the monitor's edges"):
+        drift_monitor(
+            stream, hist, "/tmp/x", "/tmp/y", ["lang"],
+            numeric_bins={"n": [15, 25]},
+        )
