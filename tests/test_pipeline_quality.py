@@ -84,14 +84,19 @@ def test_psi_summary(spark, snap_pair):
     assert summary[0]["n_buckets"] == 4
 
 
-def test_psi_single_scan_per_snapshot(spark, sf_dir):
+def test_psi_single_scan_per_snapshot(spark, sf_dir, tmp_path):
     """Each snapshot is scanned exactly ONCE: per-column totals are
     window aggregates over the counter frame — a groupBy + join-back
     formulation would recompute the counts subtree (and re-scan both
-    snapshots) once per consumer."""
+    snapshots) once per consumer. Scans a private parquet copy so
+    another module's cached documents frame cannot hijack the plan
+    (cache-manager substitution would zero the FileScan count)."""
     from qcache_spark.session import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    load_table(spark, sf_dir, "documents").limit(80).write.parquet(
+        str(tmp_path / "psi_docs")
+    )
+    docs = spark.read.parquet(str(tmp_path / "psi_docs"))
     base = docs.filter(F.col("doc_id") % 2 == 0)
     curr = docs.filter(F.col("doc_id") % 2 == 1)
     plan = drift.population_stability(
@@ -302,14 +307,20 @@ def test_dsir_xxhash_fast_path(spark, corpora):
         selection.importance_weights(raw, target, hash_fn="fnv").collect()
 
 
-def test_constraints_scan_prunes_columns(spark, sf_dir):
+def test_constraints_scan_prunes_columns(spark, sf_dir, tmp_path):
     """The suite's single scan reads ONLY the constrained columns —
     at 100 TB the quality gate must not pay for unreferenced
     columns (documents has text/lang/source/n_chars; the suite
-    references three)."""
+    references three). Scans a private parquet copy: another test
+    module's .cache() of the shared documents frame would otherwise
+    hijack this plan (the cache manager matches by logical plan) and
+    replace the FileScan being pinned."""
     from qcache_spark.session import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    load_table(spark, sf_dir, "documents").limit(50).write.parquet(
+        str(tmp_path / "docs_pq")
+    )
+    docs = spark.read.parquet(str(tmp_path / "docs_pq"))
     plan = quality.check_constraints(
         docs,
         [
@@ -327,14 +338,18 @@ def test_constraints_scan_prunes_columns(spark, sf_dir):
     assert "text" not in schema and "source" not in schema
 
 
-def test_dsir_two_raw_scans(spark, sf_dir):
+def test_dsir_two_raw_scans(spark, sf_dir, tmp_path):
     """The raw corpus's tokenize+explode runs exactly twice (bucket
     counts + per-doc scoring) and the target once: the counter frames
     are lineage-cut, so the totals/ratio branches cannot re-trigger
-    the heavy scans."""
+    the heavy scans. Private parquet copy for the same cache-hijack
+    reason as the pruning pin."""
     from qcache_spark.session import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    load_table(spark, sf_dir, "documents").limit(80).write.parquet(
+        str(tmp_path / "dsir_docs")
+    )
+    docs = spark.read.parquet(str(tmp_path / "dsir_docs"))
     target = docs.filter(
         (F.col("lang") == "en") & F.col("source").isin(["src0", "src1"])
     )
