@@ -3469,11 +3469,15 @@ def _quality_constraints_oracle_sql() -> str:
         elif kind == "row_count":
             metric, op = f"n_total * {E6}", spec["op"]
             thr = int(spec["bound"]) * E6
+        # NULL-metric rule replayed from quality.py: rates pass
+        # vacuously (zero eligible rows); a NULL min/max extremum
+        # (all-null/empty column) FAILS its bounds gate.
+        null_pass = 0 if kind in ("min", "max", "row_count") else 1
         selects.append(f"""
             SELECT '{spec["name"]}' AS check_name, '{col}' AS "column",
                    '{op}' AS op, CAST({metric} AS BIGINT) AS metric_e6,
                    CAST({thr} AS BIGINT) AS threshold_e6,
-                   CASE WHEN CAST({metric} AS BIGINT) IS NULL THEN 1
+                   CASE WHEN CAST({metric} AS BIGINT) IS NULL THEN {null_pass}
                         WHEN CAST({metric} AS BIGINT) {op} {thr}
                         THEN 1 ELSE 0 END AS passed
             FROM m""")

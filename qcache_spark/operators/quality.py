@@ -25,6 +25,7 @@ Check/Constraint API, re-expressed as one Spark aggregation).
 """
 from __future__ import annotations
 
+import re
 from typing import Any, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -78,10 +79,36 @@ def _validate(constraints: Sequence[Mapping[str, Any]]) -> None:
             raise _spec_error(i, spec, "bound must be an integer")
         if kind == "in_set" and not isinstance(spec["values"], (list, tuple)):
             raise _spec_error(i, spec, "values must be a list")
-        if kind == "matches" and not isinstance(spec["pattern"], str):
-            raise _spec_error(i, spec, "pattern must be a regex string")
+        if kind == "matches":
+            if not isinstance(spec["pattern"], str):
+                raise _spec_error(i, spec, "pattern must be a regex string")
+            # Best-effort spec-time validation: a pattern Python's re
+            # rejects would almost certainly throw Java-side at
+            # execution time — surfacing as a 500 over HTTP instead of
+            # the 400 every other malformed spec produces. Java-only
+            # constructs Python lacks (\p{...} classes, possessive
+            # quantifiers, \h \v \R) are neutralized first so valid
+            # Java regexes are never rejected.
+            try:
+                re.compile(_pythonize_java_regex(spec["pattern"]))
+            except re.error as exc:
+                raise _spec_error(i, spec, f"invalid regex pattern: {exc}")
         if kind == "row_count" and spec["op"] not in (">=", "<="):
             raise _spec_error(i, spec, "row_count op must be '>=' or '<='")
+
+
+def _pythonize_java_regex(pattern: str) -> str:
+    """Rewrite Java-regex-only constructs into Python-compilable
+    stand-ins so `re.compile` can act as a syntax checker for the
+    shared subset (unbalanced groups/brackets, dangling quantifiers,
+    bad repeat ranges) without false-rejecting valid Java patterns."""
+    # \p{L} / \P{IsGreek} -> a single-char stand-in class
+    out = re.sub(r"\\[pP]\{[^}]*\}", ".", pattern)
+    # Java-only escapes \h \H \v \V \R (whitespace classes)
+    out = re.sub(r"\\[hHvVR]", ".", out)
+    # possessive quantifiers: X*+ X++ X?+ X{n,m}+ -> greedy forms
+    out = re.sub(r"([*+?}])\+", r"\1", out)
+    return out
 
 
 def _div_e6(num: str, den: str) -> str:
@@ -115,27 +142,34 @@ def check_constraints(
     Returns one row per constraint, in declaration order:
     (check_name, column, op, metric_e6, threshold_e6, passed) with
     metric/threshold in exact fixed-point e6 longs and passed an
-    integer 0/1 (integer comparison of the two fixed points; a
-    rate over zero eligible rows is vacuously passed with null
-    metric).
+    integer 0/1 (integer comparison of the two fixed points). A RATE
+    over zero eligible rows is vacuously passed with null metric; a
+    NULL min/max extremum (all-null or empty column) FAILS — that is
+    the silent-degradation case a bounds gate exists to catch.
     """
     _validate(constraints)
     # Pass 1 plan: one aggregation row of RAW counts/extrema.
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_total")]
-    # (name, column-or-'*', op, metric SQL over the agg row, threshold_e6)
-    rows: list[tuple[str, str, str, str, int]] = []
+    # (name, column-or-'*', op, metric SQL over the agg row,
+    #  threshold_e6, null_passes). null_passes is True only for RATE
+    # metrics, whose denominator can legitimately be zero (a rate over
+    # zero eligible rows is vacuously satisfied). An extremum (min/max)
+    # is NULL only when the column is all-null or the table is empty —
+    # exactly the silent-degradation case a bounds gate exists to
+    # catch — so a NULL extremum FAILS the constraint.
+    rows: list[tuple[str, str, str, str, int, bool]] = []
     for i, spec in enumerate(constraints):
         kind, a = spec["kind"], f"m{i}"
         col = spec.get("col", "*")
         if kind == "completeness":
             aggs.append(F.count(F.col(col)).alias(a))
             metric = _div_e6(a, "n_total")
-            rows.append((spec["name"], col, ">=", metric, _rate_thr(spec)))
+            rows.append((spec["name"], col, ">=", metric, _rate_thr(spec), True))
         elif kind == "uniqueness":
             aggs.append(F.countDistinct(F.col(col)).alias(a))
             aggs.append(F.count(F.col(col)).alias(a + "d"))
             metric = _div_e6(a, f"{a}d")
-            rows.append((spec["name"], col, ">=", metric, _rate_thr(spec)))
+            rows.append((spec["name"], col, ">=", metric, _rate_thr(spec), True))
         elif kind in ("min", "max"):
             # Numeric columns only: casting a string/date extremum to
             # long would yield NULL and pass vacuously forever.
@@ -159,30 +193,32 @@ def check_constraints(
                 )
             metric = a
             op = ">=" if kind == "min" else "<="
-            rows.append((spec["name"], col, op, metric, int(spec["bound"]) * E6))
+            rows.append((spec["name"], col, op, metric, int(spec["bound"]) * E6, False))
         elif kind == "in_set":
             member = F.col(col).isin(list(spec["values"])) & F.col(col).isNotNull()
             aggs.append(F.sum(member.cast("long")).alias(a))
             metric = _div_e6(a, "n_total")
-            rows.append((spec["name"], col, ">=", metric, _rate_thr(spec)))
+            rows.append((spec["name"], col, ">=", metric, _rate_thr(spec), True))
         elif kind == "matches":
             hit = F.col(col).rlike(spec["pattern"]) & F.col(col).isNotNull()
             aggs.append(F.sum(hit.cast("long")).alias(a))
             metric = _div_e6(a, "n_total")
-            rows.append((spec["name"], col, ">=", metric, _rate_thr(spec)))
+            rows.append((spec["name"], col, ">=", metric, _rate_thr(spec), True))
         elif kind == "row_count":
             metric = f"n_total * {E6}"
-            rows.append((spec["name"], "*", spec["op"], metric, int(spec["bound"]) * E6))
+            rows.append((spec["name"], "*", spec["op"], metric, int(spec["bound"]) * E6, False))
     one = df.agg(*aggs)
     # Static unpivot of the single aggregated row: ONE explode of a
     # literal struct array over `one` — the agg (and its scan) runs
     # exactly once; a union of per-constraint selects would replay
     # the scan per branch.
     structs = []
-    for name, col, op, metric_sql, thr in rows:
+    for name, col, op, metric_sql, thr, null_passes in rows:
         metric = F.expr(metric_sql).cast("long")
         cmp = metric >= F.lit(thr) if op == ">=" else metric <= F.lit(thr)
-        passed = F.when(metric.isNull(), F.lit(1)).otherwise(cmp.cast("int"))
+        passed = F.when(
+            metric.isNull(), F.lit(1 if null_passes else 0)
+        ).otherwise(cmp.cast("int"))
         structs.append(
             F.struct(
                 F.lit(name).alias("check_name"),

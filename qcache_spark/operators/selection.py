@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import WORD_SPLIT_REGEX, word_tokens
+from .text import word_tokens
 
 E6 = 1_000_000
 

@@ -522,13 +522,18 @@ def _op_drift(df: DataFrame, params: dict, resolve=None) -> DataFrame:
     if resolve is None:
         _fail("drift is only available over the HTTP endpoint")
     right = resolve(right_key)
-    cats = params.get("categorical", [])
-    bins = params.get("numeric_bins", {})
+    # Normalize BEFORE the truthiness branch: an explicit falsy
+    # non-list ('categorical': null/0/"") must hit the isinstance
+    # 400, not sail past `if cats:` into a TypeError-500 downstream.
+    cats = params.get("categorical") or []
+    if not isinstance(cats, list):
+        _fail("categorical must be a list of column names")
+    bins = params.get("numeric_bins") or {}
+    if not isinstance(bins, dict):
+        _fail("numeric_bins must map column -> sorted integer edges")
     if cats:
         _check_columns(df, cats, "categorical")
         _check_columns(right, cats, "categorical (right snapshot)")
-    if not isinstance(bins, dict):
-        _fail("numeric_bins must map column -> sorted integer edges")
     for c in bins:
         _check_column(df, c, "numeric_bins")
         _check_column(right, c, "numeric_bins (right snapshot)")
@@ -538,7 +543,17 @@ def _op_drift(df: DataFrame, params: dict, resolve=None) -> DataFrame:
         out = population_stability(df, right, cats, bins)
     except ValueError as e:
         _fail(str(e))
-    return out.orderBy("column", "bucket").limit(_MAX_GROUPS)
+    # A column's PSI is the SUM of its bucket rows, so (unlike the
+    # ranking ops) a silent limit() would under-report drift. Compute
+    # once, then refuse over-cap results outright.
+    rows = out.orderBy("column", "bucket").limit(_MAX_GROUPS + 1).collect()
+    if len(rows) > _MAX_GROUPS:
+        _fail(
+            f"drift produced more than {_MAX_GROUPS} buckets; a "
+            "categorical column is too high-cardinality — bin it via "
+            "numeric_bins or pre-bucket the column"
+        )
+    return df.sparkSession.createDataFrame(rows, out.schema)
 
 
 _OPS = {

@@ -180,6 +180,43 @@ def test_constraints_empty_input_vacuous(spark, qframe):
     assert by["n"]["metric_e6"] == 0 and by["n"]["passed"] == 0
 
 
+def test_constraints_null_extremum_fails(spark):
+    """VERDICT r11 Wrong #1: an all-null (or empty) numeric column
+    must FAIL a min/max bounds gate, not pass vacuously — that is
+    the exact silent-degradation case the gate exists to catch.
+    Rates keep their vacuous-pass rule (previous test)."""
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v long"
+    )
+    rows = quality.check_constraints(
+        allnull,
+        [
+            {"name": "v_min", "kind": "min", "col": "v", "bound": 0},
+            {"name": "v_max", "kind": "max", "col": "v", "bound": 100},
+        ],
+    ).collect()
+    by = {r["check_name"]: r for r in rows}
+    assert by["v_min"]["metric_e6"] is None and by["v_min"]["passed"] == 0
+    assert by["v_max"]["metric_e6"] is None and by["v_max"]["passed"] == 0
+    empty = allnull.filter(F.lit(False))
+    rows = quality.check_constraints(
+        empty, [{"name": "v_min", "kind": "min", "col": "v", "bound": 0}]
+    ).collect()
+    assert rows[0]["metric_e6"] is None and rows[0]["passed"] == 0
+
+
+def test_constraints_invalid_regex_is_400(spark, qframe):
+    """ADVICE r11: a malformed regex must fail at spec time as a
+    ValueError (the HTTP layer's 400 contract), not at execution
+    time as a Spark exception (a 500)."""
+    with pytest.raises(ValueError, match="invalid regex"):
+        quality.check_constraints(
+            qframe,
+            [{"name": "x", "kind": "matches", "col": "text",
+              "pattern": "(unclosed", "min_rate": 0.5}],
+        )
+
+
 def test_constraints_single_scan(spark, qframe):
     plan = quality.check_constraints(
         qframe, [

@@ -1249,3 +1249,37 @@ def test_pipeline_drift(server):
                                    "categorical": ["nope"]}},
     )
     assert code == 400
+    # ADVICE r11: explicit falsy non-list categorical (JSON null / 0
+    # / "") must be a 400 on the isinstance guard, not a 500 from
+    # list(None) deep inside population_stability
+    for bad in (None, 0, ""):
+        code, _, _ = pipeline(
+            server, "drift_old",
+            {"op": "drift", "params": {"right": "drift_new",
+                                       "categorical": bad}},
+        )
+        # None/0/"" normalize to [] -> "nothing to track" ValueError
+        # -> 400 either way; the point is it is never a 500
+        assert code == 400
+    code, _, _ = pipeline(
+        server, "drift_old",
+        {"op": "drift", "params": {"right": "drift_new",
+                                   "categorical": {"lang": 1}}},
+    )
+    assert code == 400
+
+
+def test_pipeline_drift_high_cardinality_400(server):
+    """ADVICE r11: PSI rows are ADDITIVE per column, so silently
+    truncating at _MAX_GROUPS would under-report drift. Over-cap
+    bucket counts must refuse with a 400 naming the fix."""
+    csv = "k\n" + "\n".join(f"v{i}" for i in range(1100))
+    store(server, "drift_hc_a", csv)
+    store(server, "drift_hc_b", csv)
+    code, body, _ = pipeline(
+        server, "drift_hc_a",
+        {"op": "drift", "params": {"right": "drift_hc_b",
+                                   "categorical": ["k"]}},
+    )
+    assert code == 400
+    assert b"high-cardinality" in body
