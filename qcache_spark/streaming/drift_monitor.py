@@ -57,6 +57,12 @@ def reference_histogram(
     return [(r["column"], r["bucket"], r["base_n"]) for r in rows]
 
 
+#: trigger kwargs Spark's DataStreamWriter.trigger accepts; anything
+#: else is a spec typo that should fail loudly at attach time, not
+#: as a Py4J error at start().
+_TRIGGER_KEYS = {"availableNow", "once", "processingTime", "continuous"}
+
+
 def drift_monitor(
     stream: DataFrame,
     ref_hist: list[tuple],
@@ -64,14 +70,27 @@ def drift_monitor(
     checkpoint_dir: str,
     categorical_cols: Sequence[str] = (),
     numeric_bins: Mapping[str, Sequence[int]] | None = None,
+    trigger: Mapping[str, object] | None = None,
 ):
     """Attach a PSI monitor to a streaming DataFrame: every
     micro-batch is histogrammed under the same tracking spec and
     scored against `ref_hist` (from `reference_histogram`); metric
     rows append to `metrics_path` parquet. Returns the started
-    streaming query (availableNow trigger — drains what's there;
-    production would use a processingTime trigger)."""
+    streaming query.
+
+    `trigger` is passed through to `DataStreamWriter.trigger`;
+    default `{"availableNow": True}` (drain-and-stop — the batch/
+    test/catch-up mode). A LIVE monitor passes
+    `{"processingTime": "5 minutes"}` and keeps scoring arrivals
+    until stopped."""
     cats, bins = validate_tracking(categorical_cols, numeric_bins)
+    trigger = dict(trigger) if trigger else {"availableNow": True}
+    bad_keys = set(trigger) - _TRIGGER_KEYS
+    if bad_keys or len(trigger) != 1:
+        raise ValueError(
+            f"trigger must be exactly one of {sorted(_TRIGGER_KEYS)}; "
+            f"got {sorted(trigger)}"
+        )
     if not ref_hist:
         raise ValueError("empty reference histogram")
     # The histogram must have been frozen under THIS tracking spec —
@@ -114,6 +133,69 @@ def drift_monitor(
     return (
         stream.writeStream.foreachBatch(_score_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**trigger)
         .start()
     )
+
+
+def compact_metrics(
+    spark,
+    metrics_path: str,
+    keep_last: int | None = None,
+    target_files: int = 4,
+) -> dict:
+    """Compact + age out the monitor's metrics directory.
+
+    A live monitor appends a handful of tiny parquet files per
+    micro-batch forever; at a 5-minute trigger that is ~100k files a
+    year — enough to make listing the metrics dir slower than reading
+    it. This verb rewrites the directory to `target_files` files,
+    dropping replay-duplicate rows (same (batch_id, column, bucket))
+    and, with `keep_last=N`, rows older than the newest N batch_ids.
+
+    Safe under a RUNNING monitor: the input snapshot is the file list
+    at read time; compacted rows are APPENDED first and only the
+    snapshotted input files are deleted after, so a concurrent
+    micro-batch's new files are never touched and a concurrent reader
+    sees at worst the same row twice — which the documented read
+    discipline (`dropDuplicates(["batch_id", "column", "bucket"])`)
+    already absorbs. Concurrent COMPACTORS are fenced by the
+    single-writer lease (same discipline as the index writers).
+
+    Returns {"files_before", "files_after", "rows", "batches_kept"}.
+    """
+    from .. import hadoopfs as hfs
+    from ..lease import IndexLease
+
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be a positive batch count")
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    with IndexLease(spark, metrics_path.rstrip("/")):
+        snap = spark.read.parquet(metrics_path)
+        in_files = list(snap.inputFiles())
+        out = snap.dropDuplicates(["batch_id", "column", "bucket"])
+        if keep_last is not None:
+            # newest N distinct batch_ids (counter-sized collect)
+            batches = [
+                r["batch_id"]
+                for r in out.select("batch_id").distinct().collect()
+            ]
+            kept = sorted(batches)[-keep_last:]
+            out = out.filter(F.col("batch_id").isin(kept))
+        else:
+            kept = None
+        out = out.coalesce(target_files)
+        rows = out.count()
+        # append-then-delete-inputs: crash between the two leaves
+        # duplicate (idempotent-keyed) rows, never lost metrics
+        out.write.mode("append").parquet(metrics_path)
+        for f in in_files:
+            hfs.delete(spark, f, recursive=False)
+        after = hfs.count_files(spark, metrics_path)
+    return {
+        "files_before": len(in_files),
+        "files_after": after,
+        "rows": rows,
+        "batches_kept": len(kept) if kept is not None else None,
+    }

@@ -618,6 +618,137 @@ def test_drift_monitor_validation(spark):
         drift_monitor(stream, [("c", "b", 1)], "/tmp/x", "/tmp/y")
 
 
+def test_drift_monitor_processing_time_trigger(spark, sf_dir, tmp_path):
+    """VERDICT r11 Wrong #2: the monitor must be attachable to a LIVE
+    stream — a processingTime trigger keeps scoring new arrivals
+    instead of drain-and-stop."""
+    import time
+
+    from qcache_spark.streaming import drift_monitor, reference_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    cols = ["doc_id", "lang", "n_chars"]
+    land = tmp_path / "landing"
+    docs.filter(F.col("doc_id") % 3 == 1).select(*cols).coalesce(1) \
+        .write.parquet(str(land / "a"))
+    hist = reference_histogram(ref, ["lang"])
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .parquet(f"{land}/*/")
+    )
+    q = drift_monitor(
+        stream, hist,
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        categorical_cols=["lang"],
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 60
+        # batch 0 scores the first file...
+        while time.time() < deadline:
+            if (land / "a").exists() and (tmp_path / "metrics").is_dir():
+                try:
+                    if (
+                        spark.read.parquet(str(tmp_path / "metrics"))
+                        .select("batch_id").distinct().count() >= 1
+                    ):
+                        break
+                except Exception:
+                    pass
+            time.sleep(0.5)
+        # ...and the query is STILL ACTIVE (a live monitor), then
+        # scores a file that arrives later — the drain-and-stop mode
+        # could do neither.
+        assert q.isActive
+        docs.filter(F.col("doc_id") % 3 == 2).select(*cols).coalesce(1) \
+            .write.parquet(str(land / "b"))
+        while time.time() < deadline:
+            if (
+                spark.read.parquet(str(tmp_path / "metrics"))
+                .select("batch_id").distinct().count() >= 2
+            ):
+                break
+            time.sleep(0.5)
+        n_batches = (
+            spark.read.parquet(str(tmp_path / "metrics"))
+            .select("batch_id").distinct().count()
+        )
+        assert n_batches >= 2
+    finally:
+        q.stop()
+
+
+def test_drift_monitor_bad_trigger(spark):
+    from qcache_spark.streaming import drift_monitor
+
+    stream = spark.readStream.format("rate").load()
+    hist = [("value", "[0,10)", 1)]
+    with pytest.raises(ValueError, match="trigger must be exactly one"):
+        drift_monitor(
+            stream, hist, "/tmp/x", "/tmp/y",
+            numeric_bins={"value": [10]},
+            trigger={"every": "5 seconds"},
+        )
+    with pytest.raises(ValueError, match="trigger must be exactly one"):
+        drift_monitor(
+            stream, hist, "/tmp/x", "/tmp/y",
+            numeric_bins={"value": [10]},
+            trigger={"availableNow": True, "processingTime": "1 second"},
+        )
+
+
+def test_drift_metrics_compaction(spark, sf_dir, tmp_path):
+    """VERDICT r11 Next #4: a live monitor appends tiny files per
+    batch forever; compact_metrics bounds the file count, dedups
+    replayed rows, and ages out old batches — losslessly for the
+    retained window."""
+    from qcache_spark.lease import IndexLease, LeaseHeld
+    from qcache_spark.streaming import drift_monitor as dm_mod
+    from qcache_spark.streaming.drift_monitor import compact_metrics
+
+    metrics = str(tmp_path / "metrics")
+    rows = [
+        (b, "lang", bucket, 5, n, 100 + b)
+        for b in range(4)
+        for bucket, n in (("en", 3), ("de", 2))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "batch_id long, column string, bucket string, "
+        "base_n long, curr_n long, psi_e6 long",
+    )
+    # many tiny appends, as a per-batch foreachBatch writer produces —
+    # plus one REPLAYED batch (at-least-once duplicate rows)
+    for b in range(4):
+        df.filter(F.col("batch_id") == b).repartition(3) \
+            .write.mode("append").parquet(metrics)
+    df.filter(F.col("batch_id") == 2).repartition(2) \
+        .write.mode("append").parquet(metrics)
+    from qcache_spark import hadoopfs as hfs
+
+    before = hfs.count_files(spark, metrics)
+    assert before >= 8  # genuinely fragmented input
+    out = compact_metrics(spark, metrics, keep_last=2, target_files=1)
+    assert out["files_before"] == before
+    assert out["files_after"] == 1
+    assert out["batches_kept"] == 2
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(metrics).collect()
+    )
+    want = sorted(tuple(r) for r in rows if r[0] in (2, 3))
+    assert got == want  # replay duplicates gone, newest 2 batches kept
+    # concurrent compactors are lease-fenced
+    with IndexLease(spark, metrics):
+        with pytest.raises(LeaseHeld):
+            compact_metrics(spark, metrics)
+    with pytest.raises(ValueError, match="keep_last"):
+        compact_metrics(spark, metrics, keep_last=0)
+    with pytest.raises(ValueError, match="target_files"):
+        compact_metrics(spark, metrics, target_files=0)
+
+
 def test_drift_monitor_spec_mismatch_refuses(spark):
     from qcache_spark.streaming import drift_monitor
 
