@@ -13,6 +13,13 @@ is that operator surface, one command per maintenance verb:
     python -m qcache_spark.index_tool vacuum         /path/to/index
     python -m qcache_spark.index_tool break-lease    /path/to/index
     python -m qcache_spark.index_tool reset-progress /path/to/index
+    python -m qcache_spark.index_tool monitor /path/to/data --spec g.json
+
+``monitor`` is the governance gate rather than an index verb: it
+evaluates a declarative constraint suite and/or a PSI drift audit
+(vs a frozen reference snapshot) against a dataset URI and exits
+nonzero when the gate fails — schedulable between "snapshot landed"
+and "serve it". ``fsck`` likewise exits nonzero on integrity errors.
 
 Writer verbs (compact/refit/vacuum) take the index's single-writer
 lease and FAIL LOUDLY with LeaseHeld while an admitter is live —
@@ -71,11 +78,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "command",
         choices=["stats", "fsck", "compact", "refit", "vacuum",
-                 "break-lease", "reset-progress"],
+                 "break-lease", "reset-progress", "monitor"],
     )
-    p.add_argument("path", help="index root (any Hadoop-FS URI)")
+    p.add_argument(
+        "path",
+        help="index root, or for `monitor` a dataset parquet URI "
+             "(any Hadoop-FS URI)",
+    )
     p.add_argument("--cpus", type=int, default=None,
                    help="local[N] Spark parallelism (default: all cores)")
+    p.add_argument(
+        "--spec", default=None,
+        help="monitor only: JSON file with 'constraints' and/or "
+             "'drift' (see index_tool.monitor docstring)",
+    )
     return p
 
 
@@ -283,10 +299,102 @@ def fsck(spark, path: str) -> dict:
     return report
 
 
-def run(spark, command: str, path: str) -> dict:
+def monitor(spark, dataset_path: str, spec: dict) -> dict:
+    """Governance gate over a dataset URI (VERDICT r11 Next #7): run
+    a declarative constraint suite and/or a PSI drift audit and
+    return one machine-consumable verdict — the cron-able check a
+    scheduler puts between "new snapshot landed" and "serve it".
+
+    ``spec`` (JSON file via --spec) keys, both optional but at least
+    one required:
+
+    - "constraints": the check_constraints spec list
+      (operators/quality.py) evaluated against the dataset.
+    - "drift": {"reference": <parquet URI of the frozen baseline>,
+      "categorical": [...], "numeric_bins": {...},
+      "max_psi": <float, optional>} — per-column PSI of dataset vs
+      reference (operators/drift.py); columns with
+      psi > max_psi fail the gate (omit max_psi to report only).
+
+    ``ok`` is False iff any constraint failed or any column's PSI
+    exceeded max_psi — main() exits nonzero on it. Only counter rows
+    are collected (one per constraint / tracked column)."""
+    if not isinstance(spec, dict) or not (
+        spec.get("constraints") or spec.get("drift")
+    ):
+        raise ValueError(
+            "monitor spec must provide 'constraints' and/or 'drift'"
+        )
+    df = spark.read.parquet(dataset_path)
+    report: dict = {"dataset": dataset_path, "ok": True}
+    if spec.get("constraints"):
+        from qcache_spark.operators.quality import check_constraints
+
+        rows = check_constraints(df, spec["constraints"]).collect()
+        failures = [
+            {
+                "check_name": r["check_name"],
+                "column": r["column"],
+                "op": r["op"],
+                "metric_e6": r["metric_e6"],
+                "threshold_e6": r["threshold_e6"],
+            }
+            for r in rows
+            if not r["passed"]
+        ]
+        report["constraints"] = {
+            "passed": len(rows) - len(failures),
+            "failed": len(failures),
+            "failures": failures,
+        }
+        if failures:
+            report["ok"] = False
+    if spec.get("drift"):
+        dspec = spec["drift"]
+        if not isinstance(dspec, dict) or not dspec.get("reference"):
+            raise ValueError(
+                "monitor drift spec needs 'reference': the frozen "
+                "baseline's parquet URI"
+            )
+        from qcache_spark.operators.drift import (
+            population_stability,
+            psi_summary,
+        )
+
+        ref = spark.read.parquet(dspec["reference"])
+        per_bucket = population_stability(
+            ref,
+            df,
+            dspec.get("categorical") or [],
+            dspec.get("numeric_bins") or {},
+        )
+        cols = {
+            r["column"]: r["psi_e6"]
+            for r in psi_summary(per_bucket).collect()
+        }
+        drift_report: dict = {"psi_e6": cols}
+        max_psi = dspec.get("max_psi")
+        if max_psi is not None:
+            if not isinstance(max_psi, (int, float)) or isinstance(
+                max_psi, bool
+            ):
+                raise ValueError("max_psi must be a number")
+            thr = int(round(float(max_psi) * 1_000_000))
+            over = sorted(c for c, v in cols.items() if v > thr)
+            drift_report["max_psi_e6"] = thr
+            drift_report["over_threshold"] = over
+            if over:
+                report["ok"] = False
+        report["drift"] = drift_report
+    return report
+
+
+def run(spark, command: str, path: str, spec: dict | None = None) -> dict:
     """Execute one maintenance verb; returns the JSON-able report.
     Split from main() so tests and schedulers can call it on an
     existing session."""
+    if command == "monitor":
+        return monitor(spark, path, spec or {})
     if command == "break-lease":
         from qcache_spark.lease import IndexLease
 
@@ -322,16 +430,39 @@ def run(spark, command: str, path: str) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.command == "monitor" and not args.spec:
+        print(json.dumps({"error": "monitor requires --spec FILE"}))
+        return 1
     from qcache_spark.session import get_spark
 
     spark = get_spark(cpus=args.cpus) if args.cpus else get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    spec = None
+    if args.command == "monitor":
+        from qcache_spark import hadoopfs as hfs
+
+        # through the FS layer: the spec may live beside the data on
+        # HDFS/S3, and local paths work identically
+        text = hfs.read_text(spark, args.spec)
+        if text is None:
+            print(json.dumps({"error": f"unreadable --spec {args.spec!r}"}))
+            return 1
+        try:
+            spec = json.loads(text)
+        except ValueError as e:
+            print(json.dumps({"error": f"unparseable --spec: {e}"}))
+            return 1
     try:
-        report = run(spark, args.command, args.path)
+        report = run(spark, args.command, args.path, spec)
     except Exception as e:
         print(json.dumps({"error": f"{type(e).__name__}: {e}"}))
         return 1
     print(json.dumps(report))
+    # the cron contract: a failing governance gate (monitor) or a
+    # failing integrity audit (fsck) exits nonzero, distinct from the
+    # crash exit 1
+    if report.get("ok") is False:
+        return 2
     return 0
 
 

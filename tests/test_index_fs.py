@@ -838,3 +838,83 @@ def test_index_tool_lifecycle_over_store_pq(spark, sf_dir, tmp_path):
     rep = index_tool.run(spark, "fsck", broken)
     assert not rep["ok"]
     assert any(e["check"] == "pq_schema" for e in rep["errors"]), rep
+
+
+# --------------------------------------------- governance monitor verb
+
+
+def test_index_tool_monitor(spark, sf_dir, tmp_path, capsys):
+    """VERDICT r11 Next #7: the cron-able governance gate —
+    constraints + PSI drift vs a frozen reference over dataset URIs,
+    nonzero exit on a failing suite."""
+    import json as _json
+
+    from qcache_spark import index_tool
+
+    docs = load_table(spark, sf_dir, "documents")
+    data = _uri(tmp_path, "mon_data")
+    ref = _uri(tmp_path, "mon_ref")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(data)
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(ref)
+
+    # passing suite through run()
+    rep = index_tool.run(spark, "monitor", data, {
+        "constraints": [
+            {"name": "ids", "kind": "completeness", "col": "doc_id",
+             "min_rate": 1.0},
+            {"name": "n", "kind": "row_count", "op": ">=", "bound": 1},
+        ],
+        "drift": {"reference": ref, "categorical": ["lang"],
+                  "numeric_bins": {"n_chars": [150, 300]},
+                  "max_psi": 5.0},
+    })
+    assert rep["ok"] is True
+    assert rep["constraints"]["failed"] == 0
+    assert set(rep["drift"]["psi_e6"]) == {"lang", "n_chars"}
+    assert rep["drift"]["over_threshold"] == []
+
+    # failing constraint -> ok False; failures carry the evidence
+    rep = index_tool.run(spark, "monitor", data, {
+        "constraints": [
+            {"name": "tiny", "kind": "max", "col": "n_chars", "bound": 1},
+        ],
+    })
+    assert rep["ok"] is False
+    assert rep["constraints"]["failures"][0]["check_name"] == "tiny"
+
+    # drift over threshold -> ok False (the two halves differ a bit;
+    # max_psi=0 makes any nonzero PSI a failure)
+    rep = index_tool.run(spark, "monitor", data, {
+        "drift": {"reference": ref, "categorical": ["lang"],
+                  "max_psi": 0.0},
+    })
+    assert rep["ok"] is False and rep["drift"]["over_threshold"]
+
+    # spec validation: ValueError, never a crash deeper in
+    with pytest.raises(ValueError, match="constraints.*drift"):
+        index_tool.run(spark, "monitor", data, {})
+    with pytest.raises(ValueError, match="reference"):
+        index_tool.run(
+            spark, "monitor", data, {"drift": {"categorical": ["lang"]}}
+        )
+    with pytest.raises(ValueError, match="max_psi"):
+        index_tool.run(spark, "monitor", data, {
+            "drift": {"reference": ref, "categorical": ["lang"],
+                      "max_psi": "lots"}})
+
+    # the CLI contract: failing gate exits 2 with a JSON verdict line
+    spec_path = tmp_path / "gate.json"
+    spec_path.write_text(_json.dumps({
+        "constraints": [
+            {"name": "tiny", "kind": "max", "col": "n_chars", "bound": 1}],
+    }))
+    code = index_tool.main(["monitor", data, "--spec", str(spec_path)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    verdict = _json.loads(out)
+    assert code == 2 and verdict["ok"] is False
+
+    # missing --spec is a usage error (exit 1), unreadable spec too
+    assert index_tool.main(["monitor", data]) == 1
+    assert index_tool.main(
+        ["monitor", data, "--spec", str(tmp_path / "nope.json")]
+    ) == 1
