@@ -2853,6 +2853,57 @@ def q128_zorder_layout_scan(spark, sf_dir):
     )
 
 
+def q136_zorder_incremental(spark, sf_dir):
+    """Incremental z-order maintenance (operators/layout.py:ZTable —
+    VERDICT r11 Missing #2; Delta's incremental ``OPTIMIZE ... ZORDER
+    BY`` shape under the MinHashIndex generation-flip discipline):
+    events lands in three waves — create() clusters the first wave
+    and FREEZES the key space (cols/bits/bounds in the meta sidecar),
+    two append()s admit the rest as arrival-order chunks (O(batch)
+    I/O, clustered chunks never rewritten), then compact() clusters
+    ONLY the un-clustered tail into the frozen key space and flips
+    the meta pointer, and vacuum() ages out the retained superseded
+    dirs. The gated query is q128's selective box aggregate over the
+    post-lifecycle live table: the whole maintenance chain must be
+    result-invisible, so the oracle is the same aggregate on the
+    source table. What compaction BUYS (pruned_fraction recovery to
+    within eps of a full rewrite; lease fencing on every writer) is
+    pinned in tests/test_layout.py — the gate-vs-plan division used
+    throughout."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators import layout as _layout
+
+    e = load_table(spark, sf_dir, "events")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_ztable_{sf_tag}_v{_layout.ZTABLE_FORMAT_VERSION}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_meta", ignore_errors=True)
+    t = _layout.ZTable.create(
+        e.filter(F.col("event_id") % 3 == 0),
+        ["user_id", "value"], path, bits=10, partitions=8,
+    )
+    t.append(e.filter(F.col("event_id") % 3 == 1))
+    t.append(e.filter(F.col("event_id") % 3 == 2))
+    t.compact(retain=1, partitions=8)
+    t.vacuum()
+    back = _layout.ZTable.load(spark, path).df
+    box = back.filter(
+        F.col("user_id").between(4, 9) & F.col("value").between(50.0, 250.0)
+    )
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.round(F.col("value").cast("double") * 1e6).cast("bigint")
+        ).alias("sum_value_micro"),
+    )
+
+
 def q129_pq_adc_search(spark, sf_dir):
     """Product-quantization ANN with asymmetric-distance ranking
     (operators/similarity.py:pq_train/pq_encode/pq_search — Jégou et
@@ -3678,6 +3729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_minhash_compacted_probe": q115_minhash_compacted_probe,
     "q116_minhash_admit": q116_minhash_admit,
     "q128_zorder_layout_scan": q128_zorder_layout_scan,
+    "q136_zorder_incremental": q136_zorder_incremental,
     "q129_pq_adc_search": q129_pq_adc_search,
     #   10-12 q130-q132 — the round-11 session-2 operators (PSI
     #         drift audit, DSIR importance selection, Deequ-style
@@ -6202,6 +6254,10 @@ def oracle_sql() -> dict[str, str]:
           AND value BETWEEN 50.0 AND 250.0
         GROUP BY event_type
     """
+    # q136: the full incremental-maintenance chain (create + 2
+    # appends + compact + vacuum) must be result-invisible too — the
+    # same box aggregate on the source table.
+    out["q136_zorder_incremental"] = out["q128_zorder_layout_scan"]
     # q129: full PQ pipeline replay, generated from the entry's own
     # (m, n_codes) parameterization.
     out["q129_pq_adc_search"] = _pq_oracle_sql(m=4, n_codes=16, dim=64)

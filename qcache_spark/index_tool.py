@@ -47,12 +47,14 @@ import sys
 
 
 def detect_family(spark, path: str) -> str:
-    """'minhash' or 'ivf', from the _meta sidecar's key set."""
+    """'minhash', 'ivf' or 'ztable', from the _meta sidecar's keys."""
     meta = json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
     if "num_perm" in meta and "bands" in meta:
         return "minhash"
     if "centroids" in meta:
         return "ivf"
+    if "chunks" in meta and "bounds" in meta:
+        return "ztable"
     raise ValueError(
         f"unrecognized index meta at {path + '_meta'!r}: "
         f"keys {sorted(meta)}"
@@ -65,6 +67,10 @@ def load_index(spark, path: str):
         from qcache_spark.operators.dedup import MinHashIndex
 
         return family, MinHashIndex.load(spark, path)
+    if family == "ztable":
+        from qcache_spark.operators.layout import ZTable
+
+        return family, ZTable.load(spark, path)
     from qcache_spark.operators.similarity import IVFIndex
 
     return family, IVFIndex.load(spark, path)
@@ -132,6 +138,8 @@ def fsck(spark, path: str) -> dict:
     elif "centroids" in meta:
         family = "ivf"
         live_gen = meta.get("data_generation", 0)
+    elif "chunks" in meta and "bounds" in meta:
+        return _fsck_ztable(spark, path, meta, report)
     else:
         err("meta", f"unrecognized meta key set {sorted(meta)}")
         report["ok"] = False
@@ -389,6 +397,72 @@ def monitor(spark, dataset_path: str, spec: dict) -> dict:
     return report
 
 
+def _fsck_ztable(spark, path: str, meta: dict, report: dict) -> dict:
+    """ZTable integrity audit: every live/retired chunk the meta
+    names must exist on disk (a dangling live pointer is exactly what
+    `.df` cannot survive), no chunk registered twice, and chunk_* dirs
+    the meta does NOT name are stranded (a crashed writer's output —
+    invisible to readers, but disk the retention story never ages
+    out). Metadata-only: no chunk data is read."""
+    from qcache_spark import hadoopfs as hfs
+
+    def err(check, detail):
+        report["errors"].append({"check": check, "detail": detail})
+
+    def warn(check, detail):
+        report["warnings"].append({"check": check, "detail": detail})
+
+    report["family"] = "ztable"
+    report["info"]["live_generation"] = meta.get("generation", 0)
+    live = [c["name"] for c in meta.get("chunks", [])]
+    retired = [r["name"] for r in meta.get("retired", [])]
+    if len(set(live)) != len(live) or set(live) & set(retired):
+        err(
+            "chunks",
+            "a chunk is registered twice (live duplicate or "
+            "live∩retired) — the flip that produced this meta was "
+            "corrupt",
+        )
+    names = hfs.list_names(spark, path)
+    on_disk = {n for n in names if n.startswith("chunk_")}
+    missing_live = [n for n in live if n not in on_disk]
+    if missing_live:
+        err(
+            "chunks",
+            f"meta names live chunks with no data dir: {missing_live}",
+        )
+    missing_retired = [n for n in retired if n not in on_disk]
+    if missing_retired:
+        warn(
+            "retention",
+            f"retired chunks already gone from disk: {missing_retired} "
+            "(out-of-band delete; vacuum would have cleaned the record)",
+        )
+    stranded = sorted(on_disk - set(live) - set(retired))
+    if stranded:
+        warn(
+            "stranded",
+            f"chunk dirs not in the meta: {stranded} (crashed writer "
+            "output — safe to delete)",
+        )
+    lease_text = hfs.read_text(
+        spark, path.rstrip("/") + "/_admission_lease.json"
+    )
+    if lease_text is not None:
+        warn(
+            "lease",
+            "single-writer lease present — fine if a writer is live; "
+            "break-lease only if it is confirmed dead",
+        )
+    for n in names:
+        if n.endswith(".tmp"):
+            warn("tmp", f"half-written control file {n!r} (crashed writer)")
+    report["info"]["live_chunks"] = len(live)
+    report["info"]["retired_chunks"] = len(retired)
+    report["ok"] = not report["errors"]
+    return report
+
+
 def run(spark, command: str, path: str, spec: dict | None = None) -> dict:
     """Execute one maintenance verb; returns the JSON-able report.
     Split from main() so tests and schedulers can call it on an
@@ -417,8 +491,9 @@ def run(spark, command: str, path: str, spec: dict | None = None) -> dict:
     if command == "refit":
         if family != "ivf":
             raise ValueError(
-                "refit applies to IVF indexes only (a MinHash index "
-                "has no fitted geometry — rebuild it instead)"
+                "refit applies to IVF indexes only (MinHash indexes "
+                "and ZTables have no fitted geometry — rebuild / "
+                "re-create instead)"
             )
         return {"index": path, "family": family, **idx.refit()}
     if command == "vacuum":

@@ -183,3 +183,316 @@ def pruned_fraction(path: str, box: dict[str, tuple]) -> float:
                 break
         kept += 1 if hit else 0
     return 1.0 - kept / len(envs)
+
+
+# --------------------------------------------------------------------
+# Incremental z-order maintenance (VERDICT r11 Missing #2)
+# --------------------------------------------------------------------
+
+# Bumped when the ZTable chunk layout / meta schema changes
+# incompatibly (load() refuses older artifacts).
+ZTABLE_FORMAT_VERSION = 1
+
+
+class ZTableMismatch(ValueError):
+    """Persisted ZTable artifact does not match the running code."""
+
+
+class ZTable:
+    """Incrementally z-order-maintained parquet table.
+
+    ``zorder_write`` is a FULL-table rewrite; at 100 TB you never
+    rewrite the table — appends land arrival-ordered, and a scheduled
+    ``compact()`` clusters only the un-clustered tail into the frozen
+    key space (Delta's incremental ``OPTIMIZE ... ZORDER BY`` shape).
+    The layout would otherwise decay as admission appends arrive.
+
+    Storage model (the MinHashIndex generation-flip discipline,
+    ``dedup.py:MinHashIndex.compact``, applied to a data table):
+
+    - ``path/chunk_NNNNNN/``  — immutable parquet chunk dirs; each is
+      either *clustered* (range-partitioned + sorted on the frozen
+      z-key) or *arrival* (an append's raw layout).
+    - ``path_meta``           — 1-row JSON sidecar: format version,
+      z-spec (cols / bits / BOUNDS frozen at create time so the key
+      space is stable across every later write), the live chunk list,
+      and retired chunks with the generation that retired them.
+
+    Readers resolve the live chunk set through the meta pointer
+    (``.df``); a compact writes the NEW chunk first, then flips the
+    meta in one sidecar rewrite, and superseded chunk dirs stay on
+    disk for ``retain`` further flips (in-flight readers finish
+    against the old files) until aged out or ``vacuum()``-ed. Every
+    writer (append / compact / vacuum) takes the table's single-writer
+    lease — same fencing as the index writers; all filesystem touches
+    go through hadoopfs (object-store ready).
+
+    Appended values outside the frozen bounds clamp into the edge
+    buckets of the key space — pruning stays CORRECT (it consults real
+    parquet min/max stats, never the key), only the edge chunks'
+    envelopes widen; re-freezing bounds is a deliberate full rewrite
+    (``create`` again), not a maintenance verb.
+    """
+
+    def __init__(self, spark, path: str, meta: dict):
+        self._spark = spark
+        self.path = path.rstrip("/")
+        self.cols: list[str] = list(meta["cols"])
+        self.bits: int = int(meta["bits"])
+        self.bounds: dict[str, tuple[float, float]] = {
+            c: (float(lo), float(hi)) for c, (lo, hi) in meta["bounds"].items()
+        }
+        self.generation: int = int(meta["generation"])
+        self.next_chunk_id: int = int(meta["next_chunk_id"])
+        # [{"name": str, "clustered": bool}]
+        self.chunks: list[dict] = list(meta["chunks"])
+        # [{"name": str, "retired_at": int}]
+        self.retired: list[dict] = list(meta["retired"])
+
+    # ------------------------------------------------------ lifecycle
+
+    @classmethod
+    def create(
+        cls,
+        df: DataFrame,
+        cols: Sequence[str],
+        path: str,
+        bits: int = 10,
+        partitions: int | None = None,
+        bounds: dict[str, tuple[float, float]] | None = None,
+    ) -> "ZTable":
+        """Create the table: cluster ``df`` as chunk 0 and freeze the
+        z-spec (cols, bits, bounds) in the meta sidecar. Bounds
+        default to ``df``'s observed min/max — pass wider ones when
+        the first batch under-represents the domain."""
+        spark = df.sparkSession
+        path = path.rstrip("/")
+        bounds = dict(bounds) if bounds else column_bounds(df, cols)
+        table = cls(
+            spark,
+            path,
+            {
+                "cols": list(cols),
+                "bits": bits,
+                "bounds": bounds,
+                "generation": 0,
+                "next_chunk_id": 0,
+                "chunks": [],
+                "retired": [],
+            },
+        )
+        name = table._new_chunk_name()
+        zorder_write(
+            df, cols, table._chunk_path(name),
+            bits=bits, partitions=partitions, bounds=bounds,
+        )
+        table.chunks.append({"name": name, "clustered": True})
+        table._write_meta()
+        return table
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ZTable":
+        import json as _json
+
+        path = path.rstrip("/")
+        meta = _json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
+        found = meta.get("format_version")
+        if found != ZTABLE_FORMAT_VERSION:
+            raise ZTableMismatch(
+                f"ZTable at {path!r} has format_version={found!r}, "
+                f"this code writes {ZTABLE_FORMAT_VERSION} — rebuild "
+                "with create()"
+            )
+        return cls(spark, path, meta)
+
+    @property
+    def df(self) -> DataFrame:
+        """The live table: one multi-path parquet read over the live
+        chunk dirs (per-file stats pruning applies across all of
+        them; no union of separate plans)."""
+        return self._spark.read.parquet(
+            *[self._chunk_path(c["name"]) for c in self.chunks]
+        )
+
+    # -------------------------------------------------------- writers
+
+    def append(self, batch: DataFrame, lease: bool = True) -> dict:
+        """Admit a batch as a NEW arrival-order chunk — O(batch) I/O,
+        no shuffle, no touch of existing chunks. The chunk joins the
+        live set immediately (readers see it on their next meta
+        resolve); it stays un-clustered until the next compact()."""
+        if lease:
+            with self._writer_lease():
+                return self.append(batch, lease=False)
+        missing = [c for c in self.cols if c not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"append batch lacks z-spec columns {missing}"
+            )
+        name = self._new_chunk_name()
+        batch.write.parquet(self._chunk_path(name))
+        self.chunks.append({"name": name, "clustered": False})
+        self._write_meta()
+        return {"chunk": name, "clustered_chunks": self._n_clustered(),
+                "arrival_chunks": self._n_arrival()}
+
+    def compact(
+        self,
+        retain: int = 1,
+        partitions: int | None = None,
+        lease: bool = True,
+    ) -> dict:
+        """Cluster the un-clustered tail into the frozen key space:
+        read ONLY the arrival chunks (clustered chunks are never
+        rewritten — the incremental property), z-cluster them into one
+        new chunk with the meta's frozen bounds/bits, then flip the
+        meta: live set swaps the arrival chunks for the new one,
+        generation bumps, and the swapped-out dirs are retained for
+        ``retain`` further flips before deletion (0 = delete now)."""
+        if lease:
+            with self._writer_lease():
+                return self.compact(
+                    retain=retain, partitions=partitions, lease=False
+                )
+        arrivals = [c for c in self.chunks if not c["clustered"]]
+        if not arrivals:
+            return {
+                "compacted_chunks": 0,
+                "new_chunk": None,
+                "retained": [r["name"] for r in self.retired],
+                "removed": [],
+            }
+        tail = self._spark.read.parquet(
+            *[self._chunk_path(c["name"]) for c in arrivals]
+        )
+        name = self._new_chunk_name()
+        zorder_write(
+            tail, self.cols, self._chunk_path(name),
+            bits=self.bits, partitions=partitions, bounds=self.bounds,
+        )
+        self.generation += 1
+        self.chunks = [c for c in self.chunks if c["clustered"]]
+        self.chunks.append({"name": name, "clustered": True})
+        self.retired.extend(
+            {"name": c["name"], "retired_at": self.generation}
+            for c in arrivals
+        )
+        removed = self._apply_retention(retain)
+        self._write_meta()
+        return {
+            "compacted_chunks": len(arrivals),
+            "new_chunk": name,
+            "retained": [r["name"] for r in self.retired],
+            "removed": removed,
+        }
+
+    def vacuum(self, lease: bool = True) -> dict:
+        """Delete ALL retired chunk dirs now (terminal retention
+        delete — run when no reader planned before the oldest
+        retained flip can still be in flight)."""
+        if lease:
+            with self._writer_lease():
+                return self.vacuum(lease=False)
+        removed = self._apply_retention(0)
+        self._write_meta()
+        return {"removed": removed}
+
+    # ---------------------------------------------------------- audit
+
+    def stats(self) -> dict:
+        from .. import hadoopfs as hfs
+
+        files = {
+            c["name"]: hfs.count_files(self._spark, self._chunk_path(c["name"]))
+            for c in self.chunks
+        }
+        return {
+            "generation": self.generation,
+            "clustered_chunks": self._n_clustered(),
+            "arrival_chunks": self._n_arrival(),
+            "retired_chunks": len(self.retired),
+            "files_per_chunk": files,
+            "cols": self.cols,
+            "bits": self.bits,
+        }
+
+    def pruned_fraction(self, box: dict[str, tuple]) -> float:
+        """Table-level figure of merit: fraction of LIVE files a
+        stats-pruning reader skips for the box predicate, across all
+        live chunks (local-filesystem audit helper, like module-level
+        ``pruned_fraction``)."""
+        envs: list[dict] = []
+        for c in self.chunks:
+            local = self._chunk_path(c["name"])
+            if local.startswith("file:"):
+                local = local[len("file:"):]
+            envs.extend(file_envelopes(local, list(box)))
+        if not envs:
+            return 0.0
+        kept = 0
+        for env in envs:
+            hit = True
+            for col, (lo, hi) in box.items():
+                flo, fhi = env[col]
+                if flo is None:
+                    continue
+                if fhi < lo or flo > hi:
+                    hit = False
+                    break
+            kept += 1 if hit else 0
+        return 1.0 - kept / len(envs)
+
+    # ------------------------------------------------------- plumbing
+
+    def _new_chunk_name(self) -> str:
+        name = f"chunk_{self.next_chunk_id:06d}"
+        self.next_chunk_id += 1
+        return name
+
+    def _chunk_path(self, name: str) -> str:
+        return self.path + "/" + name
+
+    def _n_clustered(self) -> int:
+        return sum(1 for c in self.chunks if c["clustered"])
+
+    def _n_arrival(self) -> int:
+        return sum(1 for c in self.chunks if not c["clustered"])
+
+    def _apply_retention(self, retain: int) -> list[str]:
+        """Delete retired chunks superseded more than ``retain``
+        generation flips ago; returns the removed names."""
+        from .. import hadoopfs as hfs
+
+        keep_from = self.generation - retain + 1
+        removed = []
+        still = []
+        for r in self.retired:
+            if retain > 0 and r["retired_at"] >= keep_from:
+                still.append(r)
+            else:
+                hfs.delete(self._spark, self._chunk_path(r["name"]))
+                removed.append(r["name"])
+        self.retired = still
+        return removed
+
+    def _write_meta(self) -> None:
+        import json as _json
+
+        meta = {
+            "format_version": ZTABLE_FORMAT_VERSION,
+            "cols": self.cols,
+            "bits": self.bits,
+            "bounds": {c: list(b) for c, b in self.bounds.items()},
+            "generation": self.generation,
+            "next_chunk_id": self.next_chunk_id,
+            "chunks": self.chunks,
+            "retired": self.retired,
+        }
+        self._spark.createDataFrame(
+            [(_json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").parquet(self.path + "_meta")
+
+    def _writer_lease(self):
+        from ..lease import IndexLease
+
+        return IndexLease(self._spark, self.path)

@@ -918,3 +918,37 @@ def test_index_tool_monitor(spark, sf_dir, tmp_path, capsys):
     assert index_tool.main(
         ["monitor", data, "--spec", str(tmp_path / "nope.json")]
     ) == 1
+
+
+def test_index_tool_ztable_verbs(spark, sf_dir, tmp_path):
+    """The maintenance CLI covers the ZTable family: stats / compact /
+    vacuum through run(), fsck's chunk-registry audit, refit refused."""
+    from qcache_spark import index_tool
+    from qcache_spark.operators.layout import ZTable
+
+    events = load_table(spark, sf_dir, "events").limit(400)
+    path = _uri(tmp_path, "ztab")
+    t = ZTable.create(
+        events.filter(F.col("event_id") % 2 == 0),
+        ["user_id", "value"], path, bits=8, partitions=2,
+    )
+    t.append(events.filter(F.col("event_id") % 2 == 1))
+
+    rep = index_tool.run(spark, "stats", path)
+    assert rep["family"] == "ztable" and rep["arrival_chunks"] == 1
+    rep = index_tool.run(spark, "fsck", path)
+    assert rep["ok"] and rep["family"] == "ztable"
+    rep = index_tool.run(spark, "compact", path)
+    assert rep["compacted_chunks"] == 1
+    rep = index_tool.run(spark, "vacuum", path)
+    assert rep["removed"]
+    with pytest.raises(ValueError, match="refit applies to IVF"):
+        index_tool.run(spark, "refit", path)
+
+    # dangling live chunk -> fsck error; stranded dir -> warning
+    loaded = ZTable.load(spark, path)
+    live = loaded.chunks[-1]["name"]
+    hfs.delete(spark, path + "/" + live)
+    rep = index_tool.run(spark, "fsck", path)
+    assert not rep["ok"]
+    assert any(e["check"] == "chunks" for e in rep["errors"])
