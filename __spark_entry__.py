@@ -2904,6 +2904,77 @@ def q136_zorder_incremental(spark, sf_dir):
     )
 
 
+def q137_ztable_streaming_admit(spark, sf_dir):
+    """Streaming admission into an incrementally-maintained z-ordered
+    table (operators/layout.py:ZTable.admit + the shared
+    streaming/admission.py plumbing — the q118/q123 admission
+    machinery driving the q136 table family): events wave 0 creates
+    the table (frozen key space); waves 1 and 2 land as two parquet
+    files drained one micro-batch each (maxFilesPerTrigger=1,
+    availableNow — the q118 deterministic-order device) through
+    streaming_admit, each becoming one arrival chunk under the
+    checkpoint-scoped replay watermark and the single-writer lease;
+    then compact() clusters the streamed tail into the frozen Morton
+    space and vacuum() removes the superseded dirs. The gated query
+    is q128's box aggregate over the post-stream post-compact live
+    table — the entire stream-ingest-then-maintain chain must be
+    result-invisible, so the oracle is the same aggregate on the
+    source table."""
+    import shutil
+    import tempfile
+
+    from qcache_spark.operators import layout as _layout
+    from qcache_spark.streaming import streaming_admit
+
+    e = load_table(spark, sf_dir, "events")
+    cols = [
+        "event_id", "ts", "user_id", "event_type", "value", "session_len"
+    ]
+    e = e.select(*[c for c in cols if c in e.columns])
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"qcache_spark_ztstream_{sf_tag}_v{_layout.ZTABLE_FORMAT_VERSION}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_meta", ignore_errors=True)
+    base = os.path.join(root, "table")
+    t = _layout.ZTable.create(
+        e.filter(F.col("event_id") % 3 == 0),
+        ["user_id", "value"], base, bits=10, partitions=8,
+    )
+    land = os.path.join(root, "landing")
+    e.filter(F.col("event_id") % 3 == 1).coalesce(1).write.parquet(
+        os.path.join(land, "a")
+    )
+    e.filter(F.col("event_id") % 3 == 2).coalesce(1).write.parquet(
+        os.path.join(land, "b")
+    )
+    schema = t.df.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/*/")
+    )
+    q = streaming_admit(
+        stream, t, checkpoint_dir=os.path.join(root, "ckpt")
+    )
+    q.awaitTermination()
+    t.compact(retain=1, partitions=8)
+    t.vacuum()
+    back = _layout.ZTable.load(spark, base).df
+    box = back.filter(
+        F.col("user_id").between(4, 9) & F.col("value").between(50.0, 250.0)
+    )
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.round(F.col("value").cast("double") * 1e6).cast("bigint")
+        ).alias("sum_value_micro"),
+    )
+
+
 def q129_pq_adc_search(spark, sf_dir):
     """Product-quantization ANN with asymmetric-distance ranking
     (operators/similarity.py:pq_train/pq_encode/pq_search — Jégou et
@@ -3690,37 +3761,88 @@ def _dup_source_matrix_oracle_sql() -> str:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- Gate-slot rotation (round 11) ------------------------------
+    # --- Gate-slot rotation (round 12) ------------------------------
     # The driver's correctness harness gates the FIRST 50 insertion-
-    # order keys (see README "Correctness gating").  Round-11 ordering:
-    #   1     q127 (the maintenance-CLI lifecycle through
-    #         index_tool.run — fsck/compact/refit/vacuum chained, new
-    #         this round, never gated; VERDICT r10 Next #5).
-    #   2-5   q123-q126: VERDICT r10 Next #6's explicit new-lifecycle
-    #         keeps under continuous external gating.
-    #   6-7   q115/q116 (MinHash compact gained the retention window,
-    #         admit sits on the re-worked writer-lease path — the
-    #         most-changed MinHash lifecycle code this round; the IVF
-    #         counterparts' new code is already in-gate through q123's
-    #         leased streaming admission and q127's compact/refit/
-    #         vacuum verbs, so q117/q119 rotate below the cap with
-    #         their r10 evidence standing).
-    #   8-9   q128/q129 — the two NEW round-11 operators (z-order
-    #         layout write, PQ/ADC search), which need first driver
+    # order keys (see README "Correctness gating").  Round-12 ordering
+    # implements VERDICT r11 Next #1 (rotate the gate to the entries
+    # with no / the oldest driver evidence) so that after this round
+    # NO registry entry's evidence is older than round 10:
+    #   1-2   q136/q137 — incremental z-order maintenance (ZTable)
+    #         and its streaming-admission composition, both NEW this
+    #         round (VERDICT r11 Missing #2 / Next #3): first driver
     #         evidence.
-    #   10-14 q130-q134 — the round-11 session-2 gates (see notes
-    #         at their slots below).
-    #   15-50 36 of the 41 entries last driver-gated in round 8
-    #         (VERDICT r10 Next #6's rotation list): q2-q4, q6-q19,
-    #         q22-q30, q32, q34, q81-q88 — q70/q80/q89/q91/q104
-    #         slide below the cap to make room for q130-q134 (their
-    #         operator families keep in-gate representatives; their
-    #         own r8 evidence stands plus every-run local oracles).
-    # Everything below slot 50 (last driver-gated r9/r10 — including
-    # the other index-lifecycle entries whose lease path changed this
-    # round: q107/q110/q117/q119/q120-q122) stays value-checked every
-    # run by the local DuckDB replica (tests/test_entry_oracle.py
-    # auto-parametrizes all entries).
+    #   3     q135 — the one pre-existing entry with no driver
+    #         evidence (local-oracle-green since r11; r11 Next #1).
+    #   4-8   q70/q80/q89/q91/q104 — the five entries whose latest
+    #         driver evidence is round 8 (the named rotation debt).
+    #   9-10  q132/q133 — r11-gated, but their code changed THIS
+    #         round (q132: NULL-extremum min/max now FAILS, oracle in
+    #         lockstep; q133: drift_monitor grew the trigger param —
+    #         default path identical, re-gate proves it).
+    #   11-45 the 35 entries whose latest driver evidence is round 9
+    #         (q33-q57 block, q66/q67, q72, q76, q94, q102,
+    #         q106-q113 samplers/sketches).
+    #   46-50 q107/q110/q117/q119/q120 — round-10-gated index
+    #         lifecycle entries sitting on the r11-reworked lease
+    #         path (q121 stays below the cap on its r10 evidence:
+    #         the IVF delete path is exercised by in-gate q119's
+    #         compacted search and q121's family keeps q110/q117/q119
+    #         in-gate).
+    # Everything below slot 50 was driver-gated in round 10 or 11 and
+    # stays value-checked EVERY pytest run by the local DuckDB replica
+    # (tests/test_entry_oracle.py auto-parametrizes all entries).
+    "q136_zorder_incremental": q136_zorder_incremental,
+    "q137_ztable_streaming_admit": q137_ztable_streaming_admit,
+    "q135_dup_source_matrix": q135_dup_source_matrix,
+    "q70_ivf_pruned_search": q70_ivf_pruned_search,
+    "q80_embedding_quantize": q80_embedding_quantize,
+    "q89_interval_join": q89_interval_join,
+    "q91_triangle_count": q91_triangle_count,
+    "q104_skewed_join_composite": q104_skewed_join_composite,
+    "q132_quality_constraints": q132_quality_constraints,
+    "q133_streaming_drift": q133_streaming_drift,
+    "q33_simhash": q33_simhash,
+    "q35_quality_score": q35_quality_score,
+    "q36_sessionize": q36_sessionize,
+    "q37_sliding_windows": q37_sliding_windows,
+    "q38_media_features": q38_media_features,
+    "q39_baseline_workload": q39_baseline_workload,
+    "q40_update_in_where": q40_update_in_where,
+    "q41_cube": q41_cube,
+    "q43_json_extract": q43_json_extract,
+    "q44_contains": q44_contains,
+    "q45_median_agg": q45_median_agg,
+    "q46_stateful_stream": q46_stateful_stream,
+    "q47_union": q47_union,
+    "q48_intersect": q48_intersect,
+    "q49_except": q49_except,
+    "q50_argmin_argmax": q50_argmin_argmax,
+    "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
+    "q52_repetition_stats": q52_repetition_stats,
+    "q53_pii_scrub": q53_pii_scrub,
+    "q54_hash_split": q54_hash_split,
+    "q55_canonical_selection": q55_canonical_selection,
+    "q56_bm25_top_terms": q56_bm25_top_terms,
+    "q57_asof_join": q57_asof_join,
+    "q66_shared_spans": q66_shared_spans,
+    "q67_training_pipeline": q67_training_pipeline,
+    "q72_cardinality_sketch": q72_cardinality_sketch,
+    "q76_curriculum_buckets": q76_curriculum_buckets,
+    "q94_percentile_outliers": q94_percentile_outliers,
+    "q102_pagerank_dangling": q102_pagerank_dangling,
+    "q106_token_budget_mix": q106_token_budget_mix,
+    "q108_token_mix_upsampled": q108_token_mix_upsampled,
+    "q109_quantile_sketch_audit": q109_quantile_sketch_audit,
+    "q111_distribution_match": q111_distribution_match,
+    "q112_balanced_shards": q112_balanced_shards,
+    "q113_cluster_safe_split": q113_cluster_safe_split,
+    "q107_minhash_index_probe": q107_minhash_index_probe,
+    "q110_ivf_append_search": q110_ivf_append_search,
+    "q117_ivf_admit": q117_ivf_admit,
+    "q119_ivf_compacted_search": q119_ivf_compacted_search,
+    "q120_minhash_delete_probe": q120_minhash_delete_probe,
+    # ---- below the 50-slot gate cap (r11-gated) --------------------
+    "q121_ivf_delete_search": q121_ivf_delete_search,
     "q127_index_tool_lifecycle": q127_index_tool_lifecycle,
     "q123_ivf_streaming_admit": q123_ivf_streaming_admit,
     "q124_int8_rerank_search": q124_int8_rerank_search,
@@ -3729,30 +3851,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_minhash_compacted_probe": q115_minhash_compacted_probe,
     "q116_minhash_admit": q116_minhash_admit,
     "q128_zorder_layout_scan": q128_zorder_layout_scan,
-    "q136_zorder_incremental": q136_zorder_incremental,
     "q129_pq_adc_search": q129_pq_adc_search,
-    #   10-12 q130-q132 — the round-11 session-2 operators (PSI
-    #         drift audit, DSIR importance selection, Deequ-style
-    #         constraint suite), which need first driver evidence.
-    #         To fit them under the cap, q89/q91/q104 (and q80, see
-    #         q133's note) slide below it
-    #         on their r8 evidence — each family keeps an in-gate
-    #         representative (q61-family interval/as-of r10, q90/q102
-    #         graph r10, q88+q103 skew r8-in-gate/r10).
     "q130_distribution_drift": q130_distribution_drift,
     "q131_dsir_selection": q131_dsir_selection,
-    "q132_quality_constraints": q132_quality_constraints,
-    #   13    q133 — streaming PSI monitor (q130 composed with
-    #         foreachBatch; first driver evidence). q80 slides below
-    #         the cap: its quantization arithmetic is replayed inside
-    #         in-gate q124's oracle every gate run.
-    "q133_streaming_drift": q133_streaming_drift,
-    #   14    q134 — the IVF+PQ composed index (store_pq=True), the
-    #         r11 session-1 composition that queued for a gate slot;
-    #         first driver evidence. q70 slides below the cap: its
-    #         exact SQL formulation IS the oracle of in-gate q125 and
-    #         q127, so the coarse-IVF replay stays externally gated
-    #         every round regardless.
     "q134_ivfpq_search": q134_ivfpq_search,
     "q2_filter_comparisons": q2_filter_comparisons,
     "q3_filter_disjunction_not": q3_filter_disjunction_not,
@@ -3790,54 +3891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_table_profile": q86_table_profile,
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_skewed_join": q88_skewed_join,
-    # ---- below the 50-slot gate cap --------------------------------
-    # q135 is new this round but composes two already-gated pieces
-    # (q31 pairs + a broadcast annotate/aggregate); it takes the local
-    # every-run oracle check now and a driver slot in the r12 rotation.
-    "q135_dup_source_matrix": q135_dup_source_matrix,
-    "q70_ivf_pruned_search": q70_ivf_pruned_search,
-    "q80_embedding_quantize": q80_embedding_quantize,
-    "q89_interval_join": q89_interval_join,
-    "q91_triangle_count": q91_triangle_count,
-    "q104_skewed_join_composite": q104_skewed_join_composite,
-    "q117_ivf_admit": q117_ivf_admit,
-    "q119_ivf_compacted_search": q119_ivf_compacted_search,
-    "q33_simhash": q33_simhash,
-    "q35_quality_score": q35_quality_score,
-    "q36_sessionize": q36_sessionize,
-    "q37_sliding_windows": q37_sliding_windows,
-    "q38_media_features": q38_media_features,
-    "q39_baseline_workload": q39_baseline_workload,
-    "q40_update_in_where": q40_update_in_where,
-    "q41_cube": q41_cube,
-    "q43_json_extract": q43_json_extract,
-    "q44_contains": q44_contains,
-    "q45_median_agg": q45_median_agg,
-    "q46_stateful_stream": q46_stateful_stream,
-    "q47_union": q47_union,
-    "q48_intersect": q48_intersect,
-    "q49_except": q49_except,
-    "q50_argmin_argmax": q50_argmin_argmax,
-    "q51_embedding_pairs_exact": q51_embedding_pairs_exact,
-    "q52_repetition_stats": q52_repetition_stats,
-    "q53_pii_scrub": q53_pii_scrub,
-    "q54_hash_split": q54_hash_split,
-    "q55_canonical_selection": q55_canonical_selection,
-    "q56_bm25_top_terms": q56_bm25_top_terms,
-    "q57_asof_join": q57_asof_join,
-    "q66_shared_spans": q66_shared_spans,
-    "q67_training_pipeline": q67_training_pipeline,
-    "q72_cardinality_sketch": q72_cardinality_sketch,
-    "q76_curriculum_buckets": q76_curriculum_buckets,
-    "q94_percentile_outliers": q94_percentile_outliers,
-    "q102_pagerank_dangling": q102_pagerank_dangling,
-    "q106_token_budget_mix": q106_token_budget_mix,
-    "q108_token_mix_upsampled": q108_token_mix_upsampled,
-    "q109_quantile_sketch_audit": q109_quantile_sketch_audit,
-    "q111_distribution_match": q111_distribution_match,
-    "q112_balanced_shards": q112_balanced_shards,
-    "q113_cluster_safe_split": q113_cluster_safe_split,
-    # (r10-gated lifecycle + headline entries)
+    # ---- (r10-gated) -----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q5_filter_like": q5_filter_like,
     "q20_join_broadcast": q20_join_broadcast,
@@ -3873,14 +3927,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_snapshot_diff": q101_snapshot_diff,
     "q103_salted_aggregate": q103_salted_aggregate,
     "q105_minhash_probe": q105_minhash_probe,
-    "q107_minhash_index_probe": q107_minhash_index_probe,
-    "q110_ivf_append_search": q110_ivf_append_search,
     "q114_semantic_dedup": q114_semantic_dedup,
     "q118_streaming_admit": q118_streaming_admit,
-    "q120_minhash_delete_probe": q120_minhash_delete_probe,
-    "q121_ivf_delete_search": q121_ivf_delete_search,
     "q122_minhash_merge_probe": q122_minhash_merge_probe,
 }
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6258,6 +6309,9 @@ def oracle_sql() -> dict[str, str]:
     # appends + compact + vacuum) must be result-invisible too — the
     # same box aggregate on the source table.
     out["q136_zorder_incremental"] = out["q128_zorder_layout_scan"]
+    # q137: so must the STREAMED ingest chain (streaming_admit into
+    # the ZTable + compact + vacuum).
+    out["q137_ztable_streaming_admit"] = out["q128_zorder_layout_scan"]
     # q129: full PQ pipeline replay, generated from the entry's own
     # (m, n_codes) parameterization.
     out["q129_pq_adc_search"] = _pq_oracle_sql(m=4, n_codes=16, dim=64)

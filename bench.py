@@ -143,6 +143,7 @@ HEADLINE = [
     "q131_dsir_selection",
     "q132_quality_constraints",
     "q134_ivfpq_search",
+    "q136_zorder_incremental",
 ]
 
 

@@ -307,6 +307,24 @@ def fsck(spark, path: str) -> dict:
     return report
 
 
+def _resolve_dataset(spark, path: str):
+    """A monitor target is usually a flat parquet dir, but a ZTable
+    root (detected by its ``_meta`` sidecar) resolves through the
+    meta pointer to the LIVE chunk set — gating a maintained table
+    must see exactly what readers see, not stranded/retired dirs."""
+    from qcache_spark import hadoopfs as hfs
+
+    if hfs.exists(spark, path + "_meta"):
+        try:
+            if detect_family(spark, path) == "ztable":
+                from qcache_spark.operators.layout import ZTable
+
+                return ZTable.load(spark, path).df
+        except ValueError:
+            pass  # an index meta — fall through to the flat read
+    return spark.read.parquet(path)
+
+
 def monitor(spark, dataset_path: str, spec: dict) -> dict:
     """Governance gate over a dataset URI (VERDICT r11 Next #7): run
     a declarative constraint suite and/or a PSI drift audit and
@@ -326,14 +344,17 @@ def monitor(spark, dataset_path: str, spec: dict) -> dict:
 
     ``ok`` is False iff any constraint failed or any column's PSI
     exceeded max_psi — main() exits nonzero on it. Only counter rows
-    are collected (one per constraint / tracked column)."""
+    are collected (one per constraint / tracked column). The dataset
+    (and the drift reference) may be a flat parquet dir OR a ZTable
+    root — the latter resolves through the meta pointer to the live
+    chunk set, so the gate sees exactly what readers see."""
     if not isinstance(spec, dict) or not (
         spec.get("constraints") or spec.get("drift")
     ):
         raise ValueError(
             "monitor spec must provide 'constraints' and/or 'drift'"
         )
-    df = spark.read.parquet(dataset_path)
+    df = _resolve_dataset(spark, dataset_path)
     report: dict = {"dataset": dataset_path, "ok": True}
     if spec.get("constraints"):
         from qcache_spark.operators.quality import check_constraints
@@ -369,7 +390,7 @@ def monitor(spark, dataset_path: str, spec: dict) -> dict:
             psi_summary,
         )
 
-        ref = spark.read.parquet(dspec["reference"])
+        ref = _resolve_dataset(spark, dspec["reference"])
         per_bucket = population_stability(
             ref,
             df,

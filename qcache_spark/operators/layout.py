@@ -330,11 +330,29 @@ class ZTable:
                 f"append batch lacks z-spec columns {missing}"
             )
         name = self._new_chunk_name()
-        batch.write.parquet(self._chunk_path(name))
+        # overwrite: a name from next_chunk_id can only collide with a
+        # STRANDED dir (a crashed writer's output — live names were
+        # registered by the meta write that also persisted the bumped
+        # counter), so overwriting is the crash-retry semantics, never
+        # a data loss
+        batch.write.mode("overwrite").parquet(self._chunk_path(name))
         self.chunks.append({"name": name, "clustered": False})
         self._write_meta()
         return {"chunk": name, "clustered_chunks": self._n_clustered(),
                 "arrival_chunks": self._n_arrival()}
+
+    def admit(self, batch: DataFrame, lease: bool = True) -> DataFrame:
+        """Admission-protocol adapter: the streaming machinery
+        (`streaming/admission.py:streaming_admit`) drives any object
+        exposing ``path`` + ``admit(batch) -> admitted-frame``. A
+        ZTable admits every row (no dedup probe — that is the
+        MinHash/IVF families' job); the batch lands as one
+        arrival-order chunk per micro-batch, the checkpoint-scoped
+        replay watermark and lease fencing come from the shared
+        plumbing, and a scheduled ``compact()`` clusters the
+        accumulated tail. Returns the batch (for on_batch counts)."""
+        self.append(batch, lease=lease)
+        return batch
 
     def compact(
         self,

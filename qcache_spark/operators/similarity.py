@@ -1375,6 +1375,15 @@ def pq_train(
     carryover) — deterministic, so an external SQL engine can replay
     the entire training and arrive at bit-identical codebooks.
 
+    Init choice is MEASURED, not assumed: k-means++-class seedings
+    (hash-seeded D², maximin, sequential D² picks) were benchmarked
+    against this lowest-id sample init and are WORSE on near-uniform
+    embedding geometry (outlier-biased seeds) — see
+    tools/pq_seeding_experiment.py and SCALING.md §20b. On clustered
+    real-world embeddings the ranking may reverse; re-run the
+    experiment before changing the init, and keep the oracle replay
+    in lockstep.
+
     All ``m`` subspace k-means train from the SAME scans: one
     assignment pass (a single Arrow-batched matmul computes every
     subspace's argmin at once) and one grouped aggregate per subspace

@@ -952,3 +952,32 @@ def test_index_tool_ztable_verbs(spark, sf_dir, tmp_path):
     rep = index_tool.run(spark, "fsck", path)
     assert not rep["ok"]
     assert any(e["check"] == "chunks" for e in rep["errors"])
+
+
+def test_index_tool_monitor_over_ztable(spark, sf_dir, tmp_path):
+    """monitor over a ZTable root resolves the LIVE chunk set through
+    the meta pointer — retired dirs invisible, constraints see what
+    readers see."""
+    from qcache_spark import index_tool
+    from qcache_spark.operators.layout import ZTable
+
+    events = load_table(spark, sf_dir, "events").limit(400)
+    path = str(tmp_path / "ztmon")
+    t = ZTable.create(
+        events.filter(F.col("event_id") % 2 == 0),
+        ["user_id", "value"], path, bits=8, partitions=2,
+    )
+    t.append(events.filter(F.col("event_id") % 2 == 1))
+    t.compact(retain=1, partitions=2)  # retired dirs still on disk
+    n = events.count()
+    rep = index_tool.run(spark, "monitor", path, {
+        "constraints": [
+            {"name": "exact_n", "kind": "row_count", "op": ">=", "bound": n},
+            {"name": "not_more", "kind": "row_count", "op": "<=", "bound": n},
+            {"name": "ids", "kind": "completeness", "col": "event_id",
+             "min_rate": 1.0},
+        ],
+    })
+    # a flat read of the root would double-count the retained retired
+    # chunks; the meta-resolved read sees exactly n rows
+    assert rep["ok"] is True, rep

@@ -168,31 +168,40 @@ def test_ztable_append_then_compact_result_invisible(spark, ztable):
 def test_ztable_compact_recovers_pruning(spark):
     """VERDICT r11 Missing #2's 'done' bar: after append-then-compact
     the box pruned_fraction recovers to within eps of a full rewrite
-    of the same data; arrival-decayed layout prunes far worse."""
+    of the same data at matched file granularity.
+
+    Granularity note (measured, deterministic on this data): the
+    incremental table is TWO independent clusterings (base + tail),
+    and each pays an O(boundary-files) overhead per box query, so the
+    gap to one full rewrite shrinks as file counts grow — at sf0.1
+    the measured (p_full - p_after) gap is 0.125 / 0.047 / 0.015 at
+    16 / 64 / 128 files. At 100 TB (thousands of files per chunk) the
+    overhead is negligible; here we pin the 64-file point: sf0.01
+    measures p_full 0.844, p_decayed 0.692, p_after 0.797 across
+    repeated runs."""
     events = spark.read.parquet(os.path.join(SF01, "events.parquet"))
     base = tempfile.mkdtemp(prefix="qcache_spark_ztable_prune_")
     try:
         box = {"user_id": (40, 80), "value": (100.0, 200.0)}
         full = os.path.join(base, "full")
         layout.zorder_write(events, ["user_id", "value"], full, bits=10,
-                            partitions=16)
+                            partitions=64)
         p_full = layout.pruned_fraction(full, box)
 
         path = os.path.join(base, "inc")
         t = layout.ZTable.create(
             events.filter(F.col("event_id") % 3 == 0),
-            ["user_id", "value"], path, bits=10, partitions=8,
+            ["user_id", "value"], path, bits=10, partitions=24,
         )
         t.append(events.filter(F.col("event_id") % 3 == 1))
         t.append(events.filter(F.col("event_id") % 3 == 2))
         p_decayed = t.pruned_fraction(box)
-        t.compact(retain=0, partitions=8)
+        t.compact(retain=0, partitions=40)
         p_after = t.pruned_fraction(box)
-        # decayed: the arrival chunks' files span the full domain
-        assert p_after >= p_decayed
-        assert p_after >= p_full - 0.15, (p_after, p_full)
+        assert p_after > p_decayed, (p_after, p_decayed)
+        assert p_after >= p_full - 0.08, (p_after, p_full)
         # and in absolute terms the compacted layout genuinely prunes
-        assert p_after >= 0.5, p_after
+        assert p_after >= 0.75, p_after
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -264,3 +273,76 @@ def test_ztable_load_guards(spark):
             layout.ZTable.load(spark, path)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ztable_crash_retry_overwrites_stranded_chunk(spark):
+    """A writer that crashed after writing its chunk dir but before
+    the meta flip leaves a stranded dir at a name the next writer
+    re-allocates (next_chunk_id only advances in the meta). Retry
+    must overwrite it — a stranded name can never be live."""
+    events = spark.read.parquet(os.path.join(SF01, "events.parquet")).limit(200)
+    base = tempfile.mkdtemp(prefix="qcache_spark_ztable_crash_")
+    try:
+        path = os.path.join(base, "zt")
+        t = layout.ZTable.create(events, ["user_id", "value"], path,
+                                 bits=8, partitions=2)
+        # simulate the crashed writer's stranded output at the name
+        # the next append will allocate
+        stranded = os.path.join(path, f"chunk_{t.next_chunk_id:06d}")
+        events.limit(5).write.parquet(stranded)
+        t2 = layout.ZTable.load(spark, path)
+        rep = t2.append(events.limit(30))
+        assert rep["chunk"] == os.path.basename(stranded)
+        # the stranded rows are gone, the append's rows are live
+        assert t2.df.count() == events.count() + 30
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ztable_streaming_admission(spark, tmp_path):
+    """streaming_admit drives a ZTable exactly like an index: each
+    micro-batch lands as one arrival chunk, the checkpoint-scoped
+    watermark skips replayed batches, compact() clusters the tail."""
+    from qcache_spark import hadoopfs as hfs
+    from qcache_spark.streaming import streaming_admit
+
+    events = spark.read.parquet(os.path.join(SF01, "events.parquet")).limit(900)
+    cols = ["event_id", "user_id", "value"]
+    b0 = events.filter(F.col("event_id") % 3 == 0).select(*cols)
+    b1 = events.filter(F.col("event_id") % 3 == 1).select(*cols)
+    b2 = events.filter(F.col("event_id") % 3 == 2).select(*cols)
+    path = str(tmp_path / "zt")
+    t = layout.ZTable.create(b0, ["user_id", "value"], path, bits=8,
+                             partitions=2)
+    land = tmp_path / "landing"
+    b1.coalesce(1).write.parquet(str(land / "a"))
+    b2.coalesce(1).write.parquet(str(land / "b"))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/*/")
+    )
+    seen = []
+    q = streaming_admit(
+        stream, t, checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=lambda bid, n: seen.append((bid, n)),
+    )
+    q.awaitTermination()
+    assert [bid for bid, _ in seen] == [0, 1]
+    assert sum(n for _, n in seen) == b1.count() + b2.count()
+    reloaded = layout.ZTable.load(spark, path)
+    assert reloaded.stats()["arrival_chunks"] == 2
+    assert reloaded.df.count() == events.count()
+    marker = hfs.read_text(spark, path + "/_admission_progress.json")
+    assert marker is not None
+    # replay: same checkpoint, nothing new -> no chunks added
+    q = streaming_admit(stream, reloaded,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    again = layout.ZTable.load(spark, path)
+    assert again.stats()["arrival_chunks"] == 2
+    assert again.df.count() == events.count()
+    # the maintenance close: compact clusters the streamed tail
+    rep = again.compact(retain=0, partitions=2)
+    assert rep["compacted_chunks"] == 2
+    assert layout.ZTable.load(spark, path).df.count() == events.count()
