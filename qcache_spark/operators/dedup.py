@@ -707,9 +707,14 @@ class MinHashIndex:
             "postings_generation": self.generation,
             **self._params(),
         }
-        spark.createDataFrame(
-            [(_json.dumps(meta),)], "meta string"
-        ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+        # spark.range(1): a 1-row JVM-side relation. A driver-list
+        # createDataFrame(...).coalesce(1) parallelizes the row into
+        # defaultParallelism Python slices and the coalesced task
+        # computes them SEQUENTIALLY through Python workers (~5 s per
+        # meta write, measured) — pure plan-literal is ~0.3 s.
+        spark.range(1).select(
+            F.lit(_json.dumps(meta)).alias("meta")
+        ).write.mode("overwrite").parquet(path + "_meta")
 
     @classmethod
     def load(cls, spark, path: str, expect: dict | None = None) -> "MinHashIndex":

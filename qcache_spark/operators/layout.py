@@ -506,9 +506,12 @@ class ZTable:
             "chunks": self.chunks,
             "retired": self.retired,
         }
-        self._spark.createDataFrame(
-            [(_json.dumps(meta),)], "meta string"
-        ).coalesce(1).write.mode("overwrite").parquet(self.path + "_meta")
+        # range(1): 1-row JVM-side relation — see the index meta
+        # writers for why a driver-list createDataFrame+coalesce(1)
+        # costs ~5 s here
+        self._spark.range(1).select(
+            F.lit(_json.dumps(meta)).alias("meta")
+        ).write.mode("overwrite").parquet(self.path + "_meta")
 
     def _writer_lease(self):
         from ..lease import IndexLease
