@@ -346,3 +346,20 @@ def test_ztable_streaming_admission(spark, tmp_path):
     rep = again.compact(retain=0, partitions=2)
     assert rep["compacted_chunks"] == 2
     assert layout.ZTable.load(spark, path).df.count() == events.count()
+
+
+def test_ztable_read_is_one_pushed_down_scan(spark, ztable):
+    """`.df` must plan as ONE multi-path FileScan (not a Union of
+    per-chunk scans) with the box predicate pushed into it — the
+    plan shape that lets parquet stats pruning span every chunk."""
+    _, t, _ = ztable
+    plan = (
+        t.df.filter(
+            F.col("user_id").between(4, 9) & F.col("value").between(50.0, 250.0)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "PushedFilters: [IsNotNull(user_id)" in plan, plan[:2000]
