@@ -125,6 +125,40 @@ def read_text(spark, path: str):
     return bytes(data).decode("utf-8")
 
 
+def read_meta_sidecar(spark, data_path: str) -> dict:
+    """JSON meta sidecar of an index/table at ``data_path + "_meta"``.
+
+    Representation history: rounds ≤11 wrote the sidecar as a 1-row
+    parquet DIRECTORY — a full Spark job (~0.3 s) to read one JSON
+    string through an executor. Round 12 writes it as a plain text
+    FILE via the Hadoop FS API (driver-side, ~ms — control-plane
+    metadata is driver work, guide §5). Both representations are
+    readable here so pre-existing artifacts load unchanged; writers
+    emit only the file form (see ``write_meta_sidecar``)."""
+    import json as _json
+
+    side = data_path + "_meta"
+    if is_dir(spark, side):  # pre-r12 parquet representation
+        return _json.loads(spark.read.parquet(side).collect()[0][0])
+    text = read_text(spark, side)
+    if text is None:
+        raise FileNotFoundError(f"no meta sidecar at {side!r}")
+    return _json.loads(text)
+
+
+def write_meta_sidecar(spark, data_path: str, meta: dict) -> None:
+    """Replace the JSON meta sidecar at ``data_path + "_meta"`` with a
+    plain text file (tmp-write + rename via ``write_text``). A
+    pre-r12 parquet-directory sidecar occupying the name is removed
+    first so the rename lands on a file slot."""
+    import json as _json
+
+    side = data_path + "_meta"
+    if is_dir(spark, side):
+        delete(spark, side)
+    write_text(spark, side, _json.dumps(meta))
+
+
 def write_text(spark, path: str, text: str) -> None:
     """Replace a small control file: write ``path + ".tmp"`` fully,
     then delete-and-rename over the destination. On HDFS/local the

@@ -48,7 +48,9 @@ import sys
 
 def detect_family(spark, path: str) -> str:
     """'minhash', 'ivf' or 'ztable', from the _meta sidecar's keys."""
-    meta = json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
+    from qcache_spark import hadoopfs as hfs
+
+    meta = hfs.read_meta_sidecar(spark, path)
     if "num_perm" in meta and "bands" in meta:
         return "minhash"
     if "centroids" in meta:
@@ -125,9 +127,9 @@ def fsck(spark, path: str) -> dict:
         report["warnings"].append({"check": check, "detail": detail})
 
     try:
-        meta = _json.loads(
-            spark.read.parquet(path + "_meta").collect()[0][0]
-        )
+        from qcache_spark import hadoopfs as _hfs
+
+        meta = _hfs.read_meta_sidecar(spark, path)
     except Exception as e:
         err("meta", f"unreadable meta sidecar at {path + '_meta'!r}: {e}")
         report["ok"] = False

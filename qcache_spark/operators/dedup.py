@@ -310,11 +310,16 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_size: int = 500,
     verify_threshold: float | None = 0.5,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard.
 
     With num_perm=64, bands=16 (r=4) the LSH S-curve has its midpoint
     near s ≈ (1/16)^(1/4) ≈ 0.5.
+
+    ``_base``: a caller-persisted `_minhash_base` frame over ``df``
+    (MinHashIndex.admit shares one batch base across its probe, this
+    intra-batch self-join, and the survivor append).
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -328,7 +333,7 @@ def minhash_lsh_pairs(
     # tokens each (the string construction dominated the signature
     # stage). Jaccard over 32-bit shingle-hash sets equals string-set
     # Jaccard up to negligible collision probability (~1e-5/doc).
-    base = _minhash_base(
+    base = _base if _base is not None else _minhash_base(
         df, id_col, text_col, num_perm, bands, r, shingle_size, seed
     )
 
@@ -360,12 +365,16 @@ def minhash_lsh_pairs(
         # re-executes per reference (observed 5x duplication). The
         # pair set is small by construction (post-cap, post-distinct).
     )
-    # registry-managed deferred eviction (the returned plan reads the
-    # cache). cache() = release prev BEFORE persist: repeat invocations
-    # build a plan CacheManager-equal to the previous one, and the
-    # persist-then-evict order uncached the new frame (r7's q31 ~3 s
-    # scale-flat regression: the bucket pipeline re-ran 3x per call).
-    pairs = opcache.cache(df.sparkSession, "dedup.minhash_pairs", pairs)
+    # localCheckpoint (eager), not registry-persist (the r7-r11
+    # device): a persisted frame still carries the full bucket-join
+    # pipeline as LOGICAL lineage, so each of the three downstream
+    # references re-ANALYZED the num_perm-sized signature tree on the
+    # driver (guide §7.3/§3.3 — plan-size cost, measured ~1 s per
+    # action at 64 perms). Checkpoint blocks are O(pairs) rows, freed
+    # by the context cleaner when the returned frame is dropped;
+    # lineage is cut, so executor loss fails the job instead of
+    # recomputing (batch-retry trade-off, as in MinHashIndex.admit).
+    pairs = pairs.localCheckpoint(eager=True)
 
     # Verify only touches candidate-pair members: the semi-join on the
     # id column pushes below the shingle projection, so shingle sets
@@ -376,7 +385,14 @@ def minhash_lsh_pairs(
         .union(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    sets = base.select("_id", "_shingles").join(cand_ids, "_id", "left_semi")
+    # ONE corpus scan for the member sets, not one per rename branch:
+    # `a` and `b` below each referenced the semi-joined projection,
+    # and Spark shares no common subplans — the corpus was scanned
+    # (and candidate shingles recomputed) twice. The checkpointed
+    # frame is O(candidates) rows.
+    sets = base.select("_id", "_shingles").join(
+        cand_ids, "_id", "left_semi"
+    ).localCheckpoint(eager=True)
     a = sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_shingles", "_sa")
     b = sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_shingles", "_sb")
     verified = (
@@ -471,9 +487,17 @@ def minhash_probe_pairs(
     cbase = _minhash_base(
         corpus, id_col, text_col, num_perm, bands, r, shingle_size, seed
     )
+    # batch side is referenced twice (bucket join + verify broadcast):
+    # checkpoint the O(batch) rows so the signature scan runs once and
+    # downstream plans stop re-analyzing the signature tree. The
+    # CORPUS side is deliberately NOT materialized — O(corpus) blocks
+    # are exactly what must never be pinned at 100 TB; its two
+    # references (postings + candidate sets) recompute from the scan,
+    # which is this operator's documented cost (the persisted
+    # MinHashIndex exists to amortize it).
     bbase = _minhash_base(
         batch, id_col, text_col, num_perm, bands, r, shingle_size, seed
-    )
+    ).localCheckpoint(eager=True)
 
     cbuckets = cbase.select(
         "_id", F.posexplode("_bands").alias("_band", "_bucket")
@@ -610,6 +634,13 @@ class MinHashIndex:
         self.tombstones: DataFrame | None = None
         self._spark = df.sparkSession
         base = self._base(df)
+        # Kept so write() can persist the base ONCE and derive both
+        # outputs from the cached rows: postings and sets otherwise
+        # each re-run the full shingle+signature scan (2x the most
+        # expensive expression in the module — guide §1.2 step 1,
+        # don't compute things twice). None once the index is
+        # disk-backed (load/_reload read parquet instead).
+        self._mem_base: DataFrame | None = base
         self.postings = base.select(
             "_id", F.posexplode("_bands").alias("_band", "_bucket")
         )
@@ -685,36 +716,64 @@ class MinHashIndex:
             ):
                 hfs.delete(spark, path.rstrip("/") + "/" + name)
         # a re-homed index materializes its pending deletions
-        postings, sets = self.postings, self.sets
+        base = self._mem_base
+        if base is not None:
+            # One persisted materialization feeds BOTH writes: the
+            # postings and sets writes otherwise each re-run the full
+            # shingle+signature scan — the module's most expensive
+            # expression, computed twice per build (guide §1.2 step 1).
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+            postings = base.select(
+                "_id", F.posexplode("_bands").alias("_band", "_bucket")
+            )
+            sets = base.select("_id", "_shingles")
+        else:
+            postings, sets = self.postings, self.sets
         if self.tombstones is not None:
             tomb = F.broadcast(self.tombstones.select("_id"))
             postings = postings.join(tomb, "_id", "left_anti")
             sets = sets.join(tomb, "_id", "left_anti")
         self.generation = 0
-        postings.write.mode("overwrite").partitionBy("_band").parquet(
-            path + "/postings"
-        )
+        self._write_postings(postings, "overwrite", path + "/postings")
         sets.write.mode("overwrite").parquet(path + "/sets")
+        if base is not None:
+            base.unpersist(blocking=False)
         self._write_meta(spark, path)
         self.path = path
         self._reload(spark)
 
-    def _write_meta(self, spark, path: str) -> None:
-        import json as _json
+    @staticmethod
+    def _write_postings(postings: DataFrame, mode: str, path: str) -> None:
+        """Postings land range-distributed on (_band, _bucket) before
+        the partitionBy write. Without the exchange every input task
+        holds rows of ALL bands and writes one file per band dir —
+        M x bands tiny files per write (512 at the bench's 32-task
+        scans; the small-file tax of guide §6). Range distribution
+        gives each output task a contiguous (band, bucket) slice: at
+        most ~2 band dirs per task, so the file count tracks the
+        shuffle-partition count (scale-adaptive: AQE coalesces the
+        no-explicit-N range exchange locally; a cluster sizes it from
+        spark.sql.shuffle.partitions) — and rows inside each file are
+        bucket-clustered, so probe-side row-group stats pruning on
+        _bucket becomes possible. Postings are (id, band, bucket) —
+        bytes-per-row is tiny, so the extra exchange moves metadata,
+        never the corpus text (guide §2.3/§8: shuffle the proxy, not
+        the payload)."""
+        postings.select("_id", "_band", "_bucket").repartitionByRange(
+            "_band", "_bucket"
+        ).write.mode(mode).partitionBy("_band").parquet(path)
 
+    def _write_meta(self, spark, path: str) -> None:
         meta = {
             "format_version": MINHASH_FORMAT_VERSION,
             "postings_generation": self.generation,
             **self._params(),
         }
-        # spark.range(1): a 1-row JVM-side relation. A driver-list
-        # createDataFrame(...).coalesce(1) parallelizes the row into
-        # defaultParallelism Python slices and the coalesced task
-        # computes them SEQUENTIALLY through Python workers (~5 s per
-        # meta write, measured) — pure plan-literal is ~0.3 s.
-        spark.range(1).select(
-            F.lit(_json.dumps(meta)).alias("meta")
-        ).write.mode("overwrite").parquet(path + "_meta")
+        # Driver-side text file through the Hadoop FS API (~ms). The
+        # previous 1-row parquet relation cost a full Spark job
+        # (~0.3 s) per meta write — control-plane metadata is driver
+        # work, not a distributed job (optimization r12).
+        hfs.write_meta_sidecar(spark, path, meta)
 
     @classmethod
     def load(cls, spark, path: str, expect: dict | None = None) -> "MinHashIndex":
@@ -723,9 +782,7 @@ class MinHashIndex:
         differs from the running code's (including pre-versioning
         artifacts with no tag), or when any key in ``expect`` disagrees
         with the persisted build parameters."""
-        import json as _json
-
-        meta = _json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
+        meta = hfs.read_meta_sidecar(spark, path)
         found = meta.get("format_version")
         if found != MINHASH_FORMAT_VERSION:
             raise MinHashIndexMismatch(
@@ -756,6 +813,7 @@ class MinHashIndex:
         """(Re)open the on-disk tables — fresh reads after write/append
         so the file listing reflects files added since the previous
         DataFrame was planned."""
+        self._mem_base = None  # disk-backed from here on
         self.postings = spark.read.parquet(self._postings_dir()).select(
             "_id", "_band", "_bucket"
         )
@@ -774,7 +832,12 @@ class MinHashIndex:
 
         return IndexLease(self._spark, self.path)
 
-    def append(self, batch: DataFrame, lease: bool = True) -> None:
+    def append(
+        self,
+        batch: DataFrame,
+        lease: bool = True,
+        _base: DataFrame | None = None,
+    ) -> None:
         """Admit a batch: derive its postings + sets with the index's
         own parameters and append them as NEW FILES (no rewrite of
         existing data — O(batch) I/O). The caller owns id uniqueness:
@@ -794,13 +857,21 @@ class MinHashIndex:
             )
         if lease:
             with self._writer_lease():
-                return self.append(batch, lease=False)
-        base = self._base(batch)
-        base.select(
+                return self.append(batch, lease=False, _base=_base)
+        # ``_base``: a caller-materialized base over a SUPERSET of
+        # batch rows (admit passes the probe's batch base filtered to
+        # survivors) — reusing it removes the batch's third and fourth
+        # signature scans. Locally derived bases are eagerly
+        # localCheckpoint-ed for the same reason, PLUS lineage
+        # truncation: the postings sampling job, the postings write
+        # and the sets write would otherwise each re-run AND re-plan
+        # the shingle+signature pipeline (batch-sized blocks; see
+        # admit for the planning-cost rationale and the retry
+        # trade-off).
+        base = self._base(batch).localCheckpoint(eager=True) if _base is None else _base
+        self._write_postings(base.select(
             "_id", F.posexplode("_bands").alias("_band", "_bucket")
-        ).write.mode("append").partitionBy("_band").parquet(
-            self._postings_dir()
-        )
+        ), "append", self._postings_dir())
         base.select("_id", "_shingles").write.mode("append").parquet(
             self._sets_dir()
         )
@@ -832,15 +903,27 @@ class MinHashIndex:
                 f"cannot merge: parameter mismatch "
                 f"{other._params()} != {self._params()}"
             )
-        postings, sets = other.postings, other.sets
+        base = other._mem_base
+        if base is not None:
+            # an in-memory shard: persist its base once so the
+            # postings and sets copies below don't each re-run the
+            # shard's shingle+signature scan (same discipline as
+            # write()/append())
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+            postings = base.select(
+                "_id", F.posexplode("_bands").alias("_band", "_bucket")
+            )
+            sets = base.select("_id", "_shingles")
+        else:
+            postings, sets = other.postings, other.sets
         if other.tombstones is not None:
             tomb = F.broadcast(other.tombstones.select("_id"))
             postings = postings.join(tomb, "_id", "left_anti")
             sets = sets.join(tomb, "_id", "left_anti")
-        postings.select("_id", "_band", "_bucket").write.mode(
-            "append"
-        ).partitionBy("_band").parquet(self._postings_dir())
+        self._write_postings(postings, "append", self._postings_dir())
         sets.write.mode("append").parquet(self._sets_dir())
+        if base is not None:
+            base.unpersist(blocking=False)
         self._reload(self._spark)
 
     def delete(self, ids, lease: bool = True) -> None:
@@ -1077,13 +1160,25 @@ class MinHashIndex:
         batch: DataFrame,
         max_bucket_size: int = 500,
         verify_threshold: float | None = 0.5,
+        _bbase: DataFrame | None = None,
     ) -> DataFrame:
         """Near-dup pairs between ``batch`` and the indexed corpus:
         (batch_id, corpus_id, jaccard). Semantics identical to
         ``minhash_probe_pairs(corpus, batch)``; cost O(batch):
         the only corpus-side work is one postings scan narrowed to
-        touched buckets and a sets read narrowed to candidates."""
-        bbase = self._base(batch)
+        touched buckets and a sets read narrowed to candidates.
+
+        ``_bbase``: a caller-materialized batch base (admit shares ONE
+        base across probe, intra-batch self-join and append). When
+        absent the base is localCheckpoint-ed here: it feeds three
+        subplans (touched-bucket keys, the candidate join, the verify
+        broadcast), each of which would otherwise re-run the batch's
+        shingle+signature scan — and, with mere persist, still carry
+        the full signature expression tree as logical lineage through
+        every downstream plan analysis (see admit)."""
+        bbase = _bbase
+        if bbase is None:
+            bbase = self._base(batch).localCheckpoint(eager=True)
         bbuckets = bbase.select(
             F.col("_id").alias("batch_id"),
             F.posexplode("_bands").alias("_band", "_bucket"),
@@ -1195,9 +1290,27 @@ class MinHashIndex:
                     intra_batch=intra_batch,
                     lease=False,
                 )
+        # ONE materialized batch base feeds all four consumers below
+        # (corpus probe, intra-batch self-join, survivor postings
+        # write, survivor sets write). Unshared, each consumer re-ran
+        # the batch's shingle+signature scan — 5-6 executions of the
+        # module's most expensive expression per admission
+        # (guide §1.2 step 1; measured ~2 s per scan at the bench's
+        # batch size). localCheckpoint, not persist: the signature
+        # expression tree is enormous, and a persisted frame still
+        # carries it as LOGICAL lineage — every downstream action
+        # re-analyzed the full tree on the driver (~1-1.5 s per
+        # consumer, measured; guide §7.3 "query planning" / §3.3
+        # "materialising an intermediate truncates the plan").
+        # Checkpoint blocks are O(batch) and freed by the context
+        # cleaner once the survivors frame is dropped. Trade-off:
+        # lineage is cut, so a lost executor fails the admission job
+        # instead of recomputing — an admission batch retry, guarded
+        # by the writer lease and the streaming watermark.
+        bbase = self._base(batch).localCheckpoint(eager=True)
         dropped = self.probe(
             batch, max_bucket_size=max_bucket_size,
-            verify_threshold=verify_threshold,
+            verify_threshold=verify_threshold, _bbase=bbase,
         ).select(F.col("batch_id").alias("_dropped"))
         if intra_batch:
             intra = minhash_lsh_pairs(
@@ -1210,13 +1323,22 @@ class MinHashIndex:
                 seed=self.seed,
                 max_bucket_size=max_bucket_size,
                 verify_threshold=verify_threshold,
+                _base=bbase,
             )
             # pairs come back id_a < id_b: the higher id is dominated
             dropped = dropped.union(
                 intra.select(F.col("id_b").alias("_dropped"))
             )
+        # The dropped-id set is read three times (batch anti-join,
+        # base anti-join, and the caller's consumption of survivors)
+        # and its logical plan is the union of the probe and
+        # self-join pipelines — O(hundreds of operators). Checkpoint
+        # the O(dropped) id ROWS so downstream plans are anti-joins
+        # against an in-memory relation, not re-analyses of the whole
+        # pipeline (same planning-cost rationale as bbase above).
+        dropped_ids = dropped.distinct().localCheckpoint(eager=True)
         survivors = batch.join(
-            dropped.distinct().withColumnRenamed("_dropped", self.id_col),
+            dropped_ids.withColumnRenamed("_dropped", self.id_col),
             self.id_col,
             "left_anti",
         )
@@ -1224,7 +1346,18 @@ class MinHashIndex:
         # the survivor frame is then re-read as stored postings, so no
         # cache pin is needed beyond the write itself. lease=False:
         # admit already holds the writer lease around probe→append.
-        self.append(survivors, lease=False)
+        # The survivors' base is the batch base minus dropped ids —
+        # row-identical to _base(survivors) (the projection is
+        # deterministic per row), sparing append its own two scans.
+        self.append(
+            survivors,
+            lease=False,
+            _base=bbase.join(
+                dropped_ids.withColumnRenamed("_dropped", "_id"),
+                "_id",
+                "left_anti",
+            ),
+        )
         return survivors
 
 
@@ -1343,6 +1476,12 @@ def prefix_jaccard_pairs(
         F.row_number().over(per_doc.orderBy("cnt", "tok")).alias("pos"),
         F.count(F.lit(1)).over(per_doc).alias("n"),
     )
+    # NOT materialized: the candidate self-join's two sides are
+    # identical subtrees keyed the same way, so ReuseExchange computes
+    # the pipeline once and the second side reads the first's shuffle
+    # files (verified: an eager localCheckpoint here measured SLOWER —
+    # it replaced the reused exchange with a materialization job plus
+    # two fresh shuffles of the same rows).
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("n") - F.expr(f"({threshold_pct} * n + 99) div 100") + 1
@@ -1390,9 +1529,26 @@ def prefix_jaccard_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
+        # O(pairs) rows; read three times below (two verify joins +
+        # the member-id union) — checkpoint so each reader is a join
+        # against blocks, not a re-run of the prefix self-join
+        .localCheckpoint(eager=True)
     )
-    a = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
-    b = sets.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    # ONE corpus shingle scan for the verify sets, not one per rename
+    # branch: semi-join to candidate members first (pushes below the
+    # shingle projection), checkpoint the O(candidates) rows, then
+    # derive both join sides from the blocks (the minhash_lsh_pairs
+    # verify discipline).
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sets_c = sets.join(cand_ids, "_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    a = sets_c.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    b = sets_c.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

@@ -292,10 +292,10 @@ class ZTable:
 
     @classmethod
     def load(cls, spark, path: str) -> "ZTable":
-        import json as _json
+        from .. import hadoopfs as hfs
 
         path = path.rstrip("/")
-        meta = _json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
+        meta = hfs.read_meta_sidecar(spark, path)
         found = meta.get("format_version")
         if found != ZTABLE_FORMAT_VERSION:
             raise ZTableMismatch(
@@ -494,7 +494,7 @@ class ZTable:
         return removed
 
     def _write_meta(self) -> None:
-        import json as _json
+        from .. import hadoopfs as hfs
 
         meta = {
             "format_version": ZTABLE_FORMAT_VERSION,
@@ -506,12 +506,10 @@ class ZTable:
             "chunks": self.chunks,
             "retired": self.retired,
         }
-        # range(1): 1-row JVM-side relation — see the index meta
-        # writers for why a driver-list createDataFrame+coalesce(1)
-        # costs ~5 s here
-        self._spark.range(1).select(
-            F.lit(_json.dumps(meta)).alias("meta")
-        ).write.mode("overwrite").parquet(self.path + "_meta")
+        # Driver-side text file via the Hadoop FS API (~ms; tmp-write
+        # + rename). The 1-row parquet relation it replaces cost a
+        # full Spark job (~0.3 s) per meta flip (optimization r12).
+        hfs.write_meta_sidecar(self._spark, self.path, meta)
 
     def _writer_lease(self):
         from ..lease import IndexLease

@@ -448,7 +448,16 @@ class IVFIndex:
         hfs.delete(spark, path + "_tombstones")
         data = self._live_assigned()  # a re-homed index materializes
         self.generation = 0           # its pending deletions
-        data.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        # Hash-distribute on the partition key before the partitionBy
+        # write (the same shape compact()/refit() already use): the
+        # unshuffled write emitted one file per (input task, cluster)
+        # pair — M x n_centroids tiny files (256 at the bench's
+        # 32-task scans; guide §6's small-file tax, paid again by
+        # every probe's file listing). One exchange of the batch
+        # yields exactly one file per cluster per write.
+        data.repartition(
+            self.n_centroids, "cluster_id"
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(path)
         self._write_meta(spark, path)
         self.path = path
         self._reload(spark)
@@ -667,8 +676,6 @@ class IVFIndex:
         }
 
     def _write_meta(self, spark, path: str) -> None:
-        import json as _json
-
         meta = {
             "format_version": IVF_FORMAT_VERSION,
             "data_generation": getattr(self, "generation", 0),
@@ -685,20 +692,18 @@ class IVFIndex:
             # with the books the build trained
             "pq_codebooks": getattr(self, "pq_codebooks", None),
         }
-        # Single-row DataFrame write (not saveAsTextFile) so rewriting
-        # an index to the same path is idempotent: mode("overwrite")
-        # replaces an existing _meta instead of throwing
-        # FileAlreadyExistsException after the data was already replaced.
-        # spark.range(1): a 1-row JVM-side relation. A driver-list
-        # createDataFrame(...).coalesce(1) parallelizes the row into
-        # defaultParallelism Python slices and the coalesced task
-        # computes them SEQUENTIALLY through Python workers (~5 s per
-        # meta write, measured) — pure plan-literal is ~0.3 s.
-        spark.range(1).select(
-            F.lit(_json.dumps(meta)).alias("meta")
-        ).write.mode("overwrite").parquet(path + "_meta")
+        # Driver-side text file through the Hadoop FS API (~ms, and
+        # idempotent via tmp-write + rename). The previous 1-row
+        # parquet relation cost a full Spark job (~0.3 s) per meta
+        # write — control-plane metadata is driver work (guide §5).
+        hfs.write_meta_sidecar(spark, path, meta)
 
-    def append(self, batch: DataFrame, lease: bool = True) -> None:
+    def append(
+        self,
+        batch: DataFrame,
+        lease: bool = True,
+        _assigned: DataFrame | None = None,
+    ) -> None:
         """Admit a batch of new vectors (VERDICT r8's ingestion-loop
         discipline, the MinHashIndex.append analogue for embeddings):
         assign each batch vector to its nearest EXISTING centroid —
@@ -720,9 +725,12 @@ class IVFIndex:
             )
         if lease:
             with self._writer_lease():
-                return self.append(batch, lease=False)
+                return self.append(batch, lease=False, _assigned=_assigned)
         spark = batch.sparkSession
-        assigned = batch.withColumn(
+        # ``_assigned``: batch rows with cluster_id already attached
+        # (admit passes its persisted home assignment, sparing this
+        # write a third Arrow assignment pass over the batch).
+        assigned = _assigned if _assigned is not None else batch.withColumn(
             "cluster_id",
             _assign_udf(self.centroids)(
                 F.col(self.vec_col).cast("array<double>")
@@ -732,7 +740,11 @@ class IVFIndex:
             assigned = self._with_quant(assigned)
         if getattr(self, "store_pq", False):
             assigned = self._with_pq(assigned)
-        assigned.write.mode("append").partitionBy("cluster_id").parquet(
+        # see write(): one file per cluster per append, not one per
+        # (input task, cluster)
+        assigned.repartition(
+            self.n_centroids, "cluster_id"
+        ).write.mode("append").partitionBy("cluster_id").parquet(
             self._data_dir()
         )
         self._reload(spark)
@@ -742,6 +754,7 @@ class IVFIndex:
         batch: DataFrame,
         threshold: float = 0.95,
         n_probe: int = 1,
+        _assigned: DataFrame | None = None,
     ) -> DataFrame:
         """Near-duplicate pairs between a NEW batch and the indexed
         corpus: (batch_id, corpus_id, cosine), cosine >= threshold —
@@ -762,14 +775,27 @@ class IVFIndex:
                 f"n_probe must be in [1, {self.n_centroids}], got {n_probe}"
             )
         vec = F.col(self.vec_col).cast("array<double>")
-        b = batch.select(
-            F.col(self.id_col).alias("batch_id"),
-            vec.alias("_vb"),
-            l2_norm(vec).alias("_nb"),
-            F.explode(
-                _assign_topn_udf(self.centroids, n_probe)(vec)
-            ).alias("cluster_id"),
-        )
+        if _assigned is not None and n_probe == 1:
+            # admit's persisted home assignment: at n_probe=1 the
+            # probed cluster IS the home cluster (assign_topn's top-1
+            # equals the build's argmin rule), so the batch needs no
+            # second Arrow assignment pass — and the touched-cluster
+            # collect below reads cached rows.
+            b = _assigned.select(
+                F.col(self.id_col).alias("batch_id"),
+                vec.alias("_vb"),
+                l2_norm(vec).alias("_nb"),
+                F.col("cluster_id"),
+            )
+        else:
+            b = batch.select(
+                F.col(self.id_col).alias("batch_id"),
+                vec.alias("_vb"),
+                l2_norm(vec).alias("_nb"),
+                F.explode(
+                    _assign_topn_udf(self.centroids, n_probe)(vec)
+                ).alias("cluster_id"),
+            )
         touched = sorted(
             r["cluster_id"]
             for r in b.select("cluster_id").distinct().collect()
@@ -835,24 +861,36 @@ class IVFIndex:
                     intra_batch=intra_batch,
                     lease=False,
                 )
-        dropped = self.dup_probe(batch, threshold, n_probe).select(
-            F.col("batch_id").alias("_dropped")
-        )
+        vec = F.col(self.vec_col).cast("array<double>")
+        # ONE materialized Arrow assignment pass over the batch feeds
+        # the corpus probe (n_probe=1), the intra-batch home self-join
+        # and the survivor append — unshared, each ran its own
+        # JVM→Python→JVM matmul pass over the same rows (guide §4:
+        # cross the Python boundary once). localCheckpoint (eager) so
+        # downstream plans read an in-memory relation instead of
+        # re-planning the UDF lineage per consumer; blocks are
+        # O(batch), freed by the context cleaner when the survivors
+        # frame is dropped (retry trade-off as in MinHashIndex.admit).
+        home = batch.withColumn(
+            "cluster_id", _assign_udf(self.centroids)(vec)
+        ).localCheckpoint(eager=True)
+        dropped = self.dup_probe(
+            batch, threshold, n_probe, _assigned=home
+        ).select(F.col("batch_id").alias("_dropped"))
         if intra_batch:
-            vec = F.col(self.vec_col).cast("array<double>")
-            home = batch.select(
+            hm = home.select(
                 F.col(self.id_col).alias("_id"),
                 vec.alias("_v"),
                 l2_norm(vec).alias("_n"),
-                _assign_udf(self.centroids)(vec).alias("_c"),
+                F.col("cluster_id").alias("_c"),
             )
-            hi = home.select(
+            hi = hm.select(
                 F.col("_c"),
                 F.col("_id").alias("_ida"),
                 F.col("_v").alias("_va"),
                 F.col("_n").alias("_na"),
             )
-            lo = home.select(
+            lo = hm.select(
                 F.col("_c"),
                 F.col("_id").alias("_idb"),
                 F.col("_v").alias("_vb"),
@@ -870,13 +908,29 @@ class IVFIndex:
                 .select(F.col("_ida").alias("_dropped"))
             )
             dropped = dropped.union(dominated)
+        # read three times (batch anti-join, home anti-join, and the
+        # caller's consumption of survivors) — checkpoint the
+        # O(dropped) id rows so each reader is an anti-join against an
+        # in-memory relation, not a re-run of the probe+self-join
+        dropped_ids = dropped.distinct().localCheckpoint(eager=True)
         survivors = batch.join(
-            dropped.distinct().withColumnRenamed("_dropped", self.id_col),
+            dropped_ids.withColumnRenamed("_dropped", self.id_col),
             self.id_col,
             "left_anti",
         )
-        # lease=False: admit already holds the writer lease
-        self.append(survivors, lease=False)
+        # lease=False: admit already holds the writer lease. The
+        # survivors' assignment is the home assignment minus dropped
+        # ids — row-identical to re-assigning the survivors (the
+        # centroids are fixed), sparing append its own Arrow pass.
+        self.append(
+            survivors,
+            lease=False,
+            _assigned=home.join(
+                dropped_ids.withColumnRenamed("_dropped", self.id_col),
+                self.id_col,
+                "left_anti",
+            ),
+        )
         return survivors
 
     @classmethod
@@ -888,9 +942,7 @@ class IVFIndex:
         pre-versioning indexes with no tag at all), or when any key in
         `expect` (e.g. {"n_centroids": 8, "iters": 1}) disagrees with
         the persisted build parameters — the caller should rebuild."""
-        import json as _json
-
-        meta = _json.loads(spark.read.parquet(path + "_meta").collect()[0][0])
+        meta = hfs.read_meta_sidecar(spark, path)
         found = meta.get("format_version")
         if found != IVF_FORMAT_VERSION:
             raise IVFIndexMismatch(
@@ -1411,36 +1463,53 @@ def pq_train(
         for s in range(m)
     ]
 
+    from concurrent.futures import ThreadPoolExecutor
+
     for _ in range(max(iters, 0)):
+        # Eager materialization BEFORE the per-subspace aggregates:
+        # the m collects below run concurrently, and racing them into
+        # an unmaterialized persisted frame can double-compute the
+        # assignment pass (cache-block fill races). The checkpoint
+        # also cuts the UDF lineage so each aggregate plans cheaply.
         assigned = src.withColumn(
             "_codes", _pq_assign_udf(codebooks)(F.col(vec_col))
-        )
-        assigned = assigned.persist()
-        try:
-            new_books = []
-            for s in range(m):
-                lo = s * dsub
-                sums = assigned.groupBy(
-                    F.element_at("_codes", s + 1).alias("_ci")
-                ).agg(
-                    *[
-                        F.sum(F.col(vec_col)[lo + i]).alias(f"s{i}")
-                        for i in range(dsub)
-                    ],
-                    F.count(F.lit(1)).alias("n"),
-                )
-                rows = {r["_ci"]: r for r in sums.collect()}
-                book = []
-                for ci in range(n_codes):
-                    r = rows.get(ci)
-                    if r is None or r["n"] == 0:
-                        book.append(codebooks[s][ci])
-                    else:
-                        book.append([r[f"s{i}"] / r["n"] for i in range(dsub)])
-                new_books.append(book)
-            codebooks = new_books
-        finally:
-            assigned.unpersist()
+        ).localCheckpoint(eager=True)
+
+        def _subspace_sums(s: int):
+            lo = s * dsub
+            sums = assigned.groupBy(
+                F.element_at("_codes", s + 1).alias("_ci")
+            ).agg(
+                *[
+                    F.sum(F.col(vec_col)[lo + i]).alias(f"s{i}")
+                    for i in range(dsub)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            return s, {r["_ci"]: r for r in sums.collect()}
+
+        # The m aggregates are independent jobs over the same
+        # materialized blocks — submit them from a thread pool so the
+        # later jobs back-fill executors freed by the earlier ones
+        # (guide §2.6 "overlap independent jobs"). Each subspace's
+        # aggregate is UNCHANGED (same plan, same partial-sum
+        # grouping), so the FP summation order — and therefore the
+        # oracle-replayed codebooks — is identical to the sequential
+        # version.
+        with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+            results = dict(pool.map(_subspace_sums, range(m)))
+        new_books = []
+        for s in range(m):
+            rows = results[s]
+            book = []
+            for ci in range(n_codes):
+                r = rows.get(ci)
+                if r is None or r["n"] == 0:
+                    book.append(codebooks[s][ci])
+                else:
+                    book.append([r[f"s{i}"] / r["n"] for i in range(dsub)])
+            new_books.append(book)
+        codebooks = new_books
     return codebooks
 
 

@@ -262,13 +262,11 @@ def test_ztable_load_guards(spark):
         with pytest.raises(ValueError, match="lacks z-spec columns"):
             t.append(events.drop("value"))
         # stale format version refuses to load
-        meta = spark.read.parquet(path + "_meta").collect()[0][0]
-        import json as _json
+        from qcache_spark import hadoopfs as hfs
 
-        stale = _json.loads(meta)
+        stale = hfs.read_meta_sidecar(spark, path)
         stale["format_version"] = 0
-        spark.createDataFrame([(_json.dumps(stale),)], "meta string") \
-            .coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+        hfs.write_meta_sidecar(spark, path, stale)
         with pytest.raises(layout.ZTableMismatch):
             layout.ZTable.load(spark, path)
     finally:

@@ -1104,8 +1104,13 @@ def test_ivf_load_rejects_stale_artifacts(spark, embeddings, tmp_path):
     assert loaded.n_centroids == 2
 
     # simulate a pre-versioning artifact: rewrite _meta without the tag
-    meta = json.loads(spark.read.parquet(out + "_meta").collect()[0][0])
+    # (written as the LEGACY parquet-directory sidecar, so this also
+    # covers read_meta_sidecar's compat branch)
+    from qcache_spark import hadoopfs as hfs
+
+    meta = hfs.read_meta_sidecar(spark, out)
     del meta["format_version"]
+    hfs.delete(spark, out + "_meta")
     spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
         1
     ).write.mode("overwrite").parquet(out + "_meta")
