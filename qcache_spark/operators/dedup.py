@@ -1737,6 +1737,12 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
+        # Measured (r12): removing this distinct is round-identical
+        # (small-star's min agg is duplicate-insensitive and its final
+        # distinct canonicalizes e2) but NOT faster — q71 2.95->3.07 s,
+        # q99 6.36->6.18 s medians, i.e. noise — and at scale it trades
+        # the deduped distinct exchange for shuffling duplicate (v, m)
+        # rows through small-star's join. Keep the canonical edge set.
     )
 
 
