@@ -1755,11 +1755,14 @@ def test_ivf_pruned_entry_plan_and_recall(spark):
     assert ann.count() == 10
 
 
-def test_ivf_dup_probe_plan_prunes_and_broadcasts(spark, embeddings, tmp_path):
-    """dup_probe's scale contract: the corpus side is partition-PRUNED
-    to the touched cluster_id dirs (file-index prune, not a post-scan
-    filter) and the batch side arrives via BroadcastExchange — the
-    join must never shuffle the corpus."""
+def test_ivf_dup_probe_plan_prunes_and_maps(spark, embeddings, tmp_path):
+    """dup_probe's scale contract (r13 shape): the corpus side is
+    partition-PRUNED to the touched cluster_id dirs (file-index prune,
+    not a post-scan filter) and scored in ONE MapInPandas pass against
+    the Python-broadcast batch — no join, no Exchange of any kind
+    (the r12 shape was a BroadcastHashJoin whose condition ran a
+    per-pair JVM `aggregate(zip_with(...))` dot; VERDICT r12 Wrong #1
+    flagged that family as the quadratic scale risk)."""
     path = str(tmp_path / "ivf_probe_plan")
     similarity.IVFIndex(
         embeddings.filter(F.col("vec_id") % 2 == 0), n_centroids=8, iters=1
@@ -1773,13 +1776,55 @@ def test_ivf_dup_probe_plan_prunes_and_broadcasts(spark, embeddings, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:200]
     assert "cluster_id" in pf, pf
-    assert "BroadcastExchange" in plan
-    # no shuffle of the corpus scan: the only Exchange allowed is the
-    # broadcast one
-    import re as _re
-
-    exchanges = _re.findall(r"(\w*Exchange\w*)", plan)
-    assert all("Broadcast" in e for e in exchanges), exchanges
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    # value check vs the brute-force JVM cosine over the same pairs:
+    # the numpy Gram pass must reproduce the pair SET exactly and the
+    # cosines to float-summation-order tolerance (entries round to
+    # 6 dp; compare at 9 dp here)
+    got = {
+        (r["batch_id"], r["corpus_id"]): round(r["cosine"], 9)
+        for r in out.collect()
+    }
+    vec = F.col("embedding").cast("array<double>")
+    corpus = idx.assigned
+    bb = batch.select(
+        F.col("vec_id").alias("batch_id"),
+        vec.alias("_vb"),
+        F.explode(
+            similarity._assign_topn_udf(idx.centroids, 2)(vec)
+        ).alias("cluster_id"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_vb", "_vc", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    want = {
+        (r["batch_id"], r["corpus_id"]): round(r["cosine"], 9)
+        for r in corpus.select(
+            "cluster_id",
+            F.col("vec_id").alias("corpus_id"),
+            vec.alias("_vc"),
+        )
+        .join(bb, "cluster_id")
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                dot
+                / (
+                    similarity.l2_norm(F.col("_vb"))
+                    * similarity.l2_norm(F.col("_vc"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .collect()
+    }
+    assert got == want
 
 
 def test_semantic_dedup_single_cached_base(spark, embeddings):
