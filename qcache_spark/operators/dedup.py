@@ -1496,60 +1496,146 @@ def prefix_jaccard_pairs(
     )
     # Join-side pruning, result-identical: a token whose GLOBAL
     # document frequency is 1 occurs in exactly one doc, so the
-    # equi-join can only pair it with itself (removed by id_a < id_b).
-    # Rarity-ordered prefixes are DOMINATED by such singletons (novel
-    # shingles), so this drops most of the self-join input. `pos` and
+    # equi-join can only pair it with itself (removed by the pair
+    # ordering below). Rarity-ordered prefixes are DOMINATED by such
+    # singletons (novel shingles), so this drops most of the
+    # self-join input on real corpora (measured r13: on the synthetic
+    # bench shingle space only ~0.8% of the vocab is singleton, so it
+    # is candidate-neutral there — kept because it is free, the dfreq
+    # join exists for the ranking anyway, and lossless). `pos` and
     # the positional bound are computed BEFORE the filter, so the
     # PPJoin algebra is unchanged.
     prefix = prefix.filter(F.col("cnt") >= 2)
-    cand = (
-        prefix.select(
-            F.col("_id").alias("id_a"),
-            "tok",
-            F.col("n").alias("na"),
-            F.col("pos").alias("pa"),
-        )
-        .join(
-            prefix.select(
-                F.col("_id").alias("id_b"),
-                "tok",
-                F.col("n").alias("nb"),
-                F.col("pos").alias("pb"),
-            ),
-            "tok",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        # exact length filter: J >= t forces min|x| >= t * max|x|
-        .filter(
-            F.least("na", "nb") * 100
-            >= threshold_pct * F.greatest("na", "nb")
-        )
-        # POSITIONAL filter (PPJoin proper, Xiao et al. 2008 §3.2):
-        # J >= t requires overlap >= alpha = ceil(t*(na+nb)/(100+t))
-        # (inter*100 >= t*(na+nb-inter) rearranged). For the FIRST
-        # common prefix token, every shared element sits at-or-after
-        # (pa, pb) in the two sorted sets — both sorted by the SAME
-        # (frequency, element) total order, so an earlier common
-        # element would itself be an earlier prefix match — hence
-        # overlap <= 1 + min(na-pa, nb-pb). Keep the pair when ANY
-        # matching token's bound admits alpha (the first match's bound
-        # is valid, so a qualifying pair always survives: LOSSLESS);
-        # integer cross-multiplied, no float tolerance. Measured: cuts
-        # array-fetch verify candidates several-fold, the r6 q95
-        # superlinearity fix (VERDICT r6 "What's wrong" #2).
-        .filter(
-            (F.lit(1) + F.least(F.col("na") - F.col("pa"),
-                                F.col("nb") - F.col("pb")))
-            * (100 + threshold_pct)
-            >= threshold_pct * (F.col("na") + F.col("nb"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-        # O(pairs) rows; read three times below (two verify joins +
-        # the member-id union) — checkpoint so each reader is a join
-        # against blocks, not a re-run of the prefix self-join
-        .localCheckpoint(eager=True)
+    # exact length filter: J >= t forces min|x| >= t * max|x|
+    length_filter = (
+        F.least("na", "nb") * 100 >= threshold_pct * F.greatest("na", "nb")
     )
+    # POSITIONAL filter (PPJoin proper, Xiao et al. 2008 §3.2):
+    # J >= t requires overlap >= alpha = ceil(t*(na+nb)/(100+t))
+    # (inter*100 >= t*(na+nb-inter) rearranged). For the FIRST
+    # common prefix token, every shared element sits at-or-after
+    # (pa, pb) in the two sorted sets — both sorted by the SAME
+    # (frequency, element) total order, so an earlier common
+    # element would itself be an earlier prefix match — hence
+    # overlap <= 1 + min(na-pa, nb-pb). Keep the pair when ANY
+    # matching token's bound admits alpha (the first match's bound
+    # is valid, so a qualifying pair always survives: LOSSLESS);
+    # integer cross-multiplied, no float tolerance. Measured: cuts
+    # array-fetch verify candidates several-fold, the r6 q95
+    # superlinearity fix (VERDICT r6 "What's wrong" #2).
+    positional_filter = (
+        F.lit(1)
+        + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+    ) * (100 + threshold_pct) >= threshold_pct * (F.col("na") + F.col("nb"))
+    # Join-shape choice, cost-based (the broadcast-threshold style of
+    # rule — data size, never core count). The ASYMMETRIC shape
+    # (Xiao et al. 2008 §5, the indexing-prefix reduction) puts the
+    # SHORTER prefix on the (n, id)-lex-smaller side: for a pair with
+    # nx <= ny, overlap alpha = ceil(t*(nx+ny)/(100+t)) >=
+    # ceil(2t*nx/(100+t)), so the smaller side only needs its first
+    # nx - ceil(2t*nx/(100+t)) + 1 tokens (factor 2t/(100+t) = 0.75
+    # at t=60 vs 0.60 for the probing prefix) — measured 36% fewer
+    # join-input rows and ~17% q95 wall at sf1 (result-identical,
+    # A/B interleaved). It requires materializing the shared prefix
+    # table once (the two join sides differ, so ReuseExchange no
+    # longer applies); that fixed cost only amortizes when the
+    # corpus is non-trivial — measured crossover between the 1.7 MB
+    # and 21 MB cached-input points, so the gate defaults to 4 MiB
+    # of Catalyst-estimated input and stays on the symmetric
+    # reused-exchange shape below it (sub-second latency path).
+    # At 100 TB the estimate is always far above any sane threshold:
+    # the asymmetric shape IS the scale path.
+    try:
+        input_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # estimation must never fail the query
+        input_bytes = 1 << 62
+    min_bytes = int(
+        df.sparkSession.conf.get(
+            "spark.qcache.prefixJoin.asymmetricMinInputBytes",
+            str(4 * 1024 * 1024),
+        )
+    )
+    if input_bytes >= min_bytes:
+        pk = prefix.select("_id", "tok", "pos", "n").localCheckpoint(
+            eager=True
+        )
+        # indexing prefix: pos <= n - ceil(2t*n/(100+t)) + 1
+        short = pk.filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(
+                f"((2 * {threshold_pct} * n) + {100 + threshold_pct} - 1) "
+                f"div {100 + threshold_pct}"
+            )
+            + 1
+        )
+        cand = (
+            short.select(
+                F.col("_id").alias("id_a"),
+                "tok",
+                F.col("n").alias("na"),
+                F.col("pos").alias("pa"),
+            )
+            .join(
+                pk.select(
+                    F.col("_id").alias("id_b"),
+                    "tok",
+                    F.col("n").alias("nb"),
+                    F.col("pos").alias("pb"),
+                ),
+                "tok",
+            )
+            # the short side must be the (n, id)-lex-SMALLER set; a
+            # self-pair cannot satisfy this (equal ids force the
+            # na == nb branch)
+            .filter(
+                (F.col("na") < F.col("nb"))
+                | (
+                    (F.col("na") == F.col("nb"))
+                    & (F.col("id_a") < F.col("id_b"))
+                )
+            )
+            .filter(length_filter)
+            .filter(positional_filter)
+            # canonicalize to id order for the contract (the lex
+            # order above is by set size first)
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        cand = (
+            prefix.select(
+                F.col("_id").alias("id_a"),
+                "tok",
+                F.col("n").alias("na"),
+                F.col("pos").alias("pa"),
+            )
+            .join(
+                prefix.select(
+                    F.col("_id").alias("id_b"),
+                    "tok",
+                    F.col("n").alias("nb"),
+                    F.col("pos").alias("pb"),
+                ),
+                "tok",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(length_filter)
+            .filter(positional_filter)
+            .select("id_a", "id_b")
+            .distinct()
+            # O(pairs) rows; read three times below (two verify joins
+            # + the member-id union) — checkpoint so each reader is a
+            # join against blocks, not a re-run of the prefix
+            # self-join
+            .localCheckpoint(eager=True)
+        )
     # ONE corpus shingle scan for the verify sets, not one per rename
     # branch: semi-join to candidate members first (pushes below the
     # shingle projection), checkpoint the O(candidates) rows, then
@@ -1760,6 +1846,42 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbrs.union(selfs).distinct()
 
 
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff the (u, v) edge set is a STAR FOREST: every u carries
+    exactly one edge, and no node appears on both sides. This is the
+    alternating algorithm's fixpoint test, checkable one round EARLIER
+    than the signature comparison (which needs a full extra star round
+    to observe "nothing changed"):
+
+    - Both star operations only emit (child > root) edges and preserve
+      the graph's connectivity (Kiveris et al., SoCC'14), so a star
+      forest has exactly one star per original component, and its root
+      IS the component minimum: the min node cannot be a child (its
+      root would have to be smaller).
+    - On such a set both operations are the identity (every child's
+      only neighbor is its smaller root, every root's neighborhood
+      minimum is itself), so the loop would terminate with this exact
+      edge set — stopping here is result-identical.
+
+    Cost: one small job over the freshly checkpointed round (a
+    grouped count + a semi-join, take(1) short-circuit) — cheaper
+    than the 4-exchange star round it saves whenever the loop
+    converges, which near-dup graphs (shallow, clique-heavy) do in
+    2-4 rounds."""
+    dup_u = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select(F.lit(1).alias("_viol"))
+    )
+    mixed = (
+        e.select("v")
+        .join(e.select(F.col("u").alias("v")).distinct(), "v", "left_semi")
+        .select(F.lit(1).alias("_viol"))
+    )
+    return dup_u.union(mixed).isEmpty()
+
+
 def dedup_clusters(
     pairs: DataFrame,
     ids: DataFrame,
@@ -1830,25 +1952,42 @@ def dedup_clusters(
         # materialization into the agg serializes checkpoint writes
         # behind the agg's reduce.
         e2 = _small_star(_large_star(e))
+        # The convergence signature rides on the CHECKPOINT job as an
+        # observed metric (guide §1.5's thread-local job discipline,
+        # applied to metrics): the former standalone agg job per round
+        # is gone — the checkpoint materialization computes the same
+        # (count, hash-sum) while it writes the blocks.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        e2 = e2.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes
+            # overflows (ANSI mode raises); decimal(38,0) holds
+            # ~10^19 edges' worth of headroom
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        )
         if checkpoint_dir is not None:
             e2 = e2.checkpoint(eager=True)
         else:
             e2 = e2.localCheckpoint(eager=True)
-        sig = tuple(
-            e2.agg(
-                F.count(F.lit(1)),
-                # decimal accumulator: a long sum of 64-bit hashes
-                # overflows (ANSI mode raises); decimal(38,0) holds
-                # ~10^19 edges' worth of headroom
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-            ).collect()[0]
-        )
+        m = obs.get
+        sig = (m["n"], m["h"])
         e.unpersist(blocking=False)
         e = e2
         if sig == prev_sig:  # deterministic ops → fixpoint = star forest
             converged = True
             break
         prev_sig = sig
+        if _is_star_forest(e):
+            # fixpoint detected STRUCTURALLY, one star round earlier
+            # than the signature comparison can see it (proof at
+            # _is_star_forest) — the saved round is the loop's fixed
+            # cost at small scale and an edge-set double shuffle at
+            # large scale
+            converged = True
+            break
     # groupBy-min, not a raw select: at the star-forest fixpoint each u
     # already has exactly one edge so this is a no-op, but if the loop
     # exited at max_iters short of convergence a node can still carry
