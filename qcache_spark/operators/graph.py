@@ -168,20 +168,22 @@ def pagerank(
     share ``D div n`` (D = total rank held by out-degree-0 nodes,
     n = node count, floor division — exact-integer, replicated
     verbatim by the SQL oracle) to every node's contribution sum
-    before damping. D is one O(1) scalar aggregate per round over the
-    already-checkpointed state — no extra shuffle of the edge set.
-    Off by default: the simplified variant stays bit-compatible with
-    rounds 1-6 (q90).
+    before damping. D costs no per-round job: round 0's value is the
+    closed form (# dangling nodes) * scale, and every later round's
+    rides on the state checkpoint as an observed metric — no extra
+    shuffle of the edge set, no extra job. Off by default: the
+    simplified variant stays bit-compatible with rounds 1-6 (q90).
 
     ``tol`` (opt-in, VERDICT r7 item 9): stop EARLY once the largest
     per-node rank change of a round is <= ``tol`` micro-units; ``iters``
     becomes the round cap. Real link graphs converge at wildly
     different rates — a fixed k either wastes rounds or stops short —
     but the integer formulation makes "converged" a well-defined exact
-    predicate (max |Δrank| over nodes), checked as one O(1) scalar agg
-    joining the (already materialized) old and new state per round.
-    The default ``tol=None`` keeps the fixed-k path bit-compatible
-    with the unrolled-CTE oracles (q90/q102).
+    predicate (max |Δrank| over nodes), read as an observed metric of
+    the round's checkpoint job — the old rank is already in the
+    round's plan, so no separate join+agg job runs. The default
+    ``tol=None`` keeps the fixed-k path bit-compatible with the
+    unrolled-CTE oracles (q90/q102).
 
     ``return_rounds`` (opt-in, ADVICE r8 — replaces the old
     ``pagerank_rounds`` frame attribute, which any subsequent
@@ -254,9 +256,22 @@ def pagerank(
 
     ranks = state0.withColumn("rank", F.lit(scale).cast("long"))
     n_nodes = None
+    dang_next = None
     if redistribute_dangling:
-        # node count is loop-invariant; ONE O(1) driver scalar
-        n_nodes = state0.count()
+        # node count AND initial dangling mass in ONE loop-invariant
+        # scalar job: at round 0 every node holds exactly `scale`
+        # micro-units, so D_0 = (# out-degree-0 nodes) * scale — no
+        # per-round aggregation job needed for it (rounds >= 1 read
+        # D as an observed metric of the previous round's checkpoint,
+        # below).
+        r0 = state0.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("deg").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("nd"),
+        ).collect()[0]
+        n_nodes = r0["n"]
+        dang_next = (r0["nd"] or 0) * scale
     contrib_expr = (
         F.expr("rank div deg")
         if weight_col is None
@@ -269,17 +284,14 @@ def pagerank(
     for _ in range(iters):
         share = 0
         if redistribute_dangling:
-            # total rank held by out-degree-0 nodes this round — an
-            # O(1) scalar agg over the eagerly-checkpointed state (no
-            # recompute storm); its per-node floor share enters the
-            # update as a literal, so the SQL oracle can replicate the
-            # exact integer round.
-            dang = (
-                ranks.filter(F.col("deg").isNull())
-                .agg(F.sum("rank").alias("d"))
-                .collect()[0]["d"]
-            )
-            share = (dang or 0) // n_nodes
+            # total rank held by out-degree-0 nodes this round: round
+            # 0's value is the loop-invariant closed form above;
+            # later rounds read it as an OBSERVED metric of the
+            # previous round's checkpoint job — the former standalone
+            # per-round agg job is gone, same exact integer value,
+            # and the per-node floor share still enters the update as
+            # a literal the SQL oracle replicates.
+            share = (dang_next or 0) // n_nodes
         # floor division on non-negative longs: SQL `div` == floor
         contribs = (
             e.join(ranks, e["src"] == ranks["id"])
@@ -290,9 +302,16 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        new_ranks = state0.join(contribs, "id", "left").select(
+        # join the previous ROUND's state (row-identical skeleton to
+        # state0, same id-hash partitioning from its checkpoint) so
+        # the old rank is in-plan: the tol convergence delta and the
+        # next round's dangling mass both become observed metrics of
+        # the checkpoint job instead of a separate join+agg job per
+        # round (guide §1.2: don't re-read state you already hold).
+        new_ranks = ranks.join(contribs, "id", "left").select(
             "id",
             "deg",
+            F.col("rank").alias("_prev"),
             (
                 F.lit(base)
                 + F.expr(
@@ -300,25 +319,35 @@ def pagerank(
                 )
             ).cast("long").alias("rank"),
         )
+        obs = None
+        metrics = []
+        if redistribute_dangling:
+            metrics.append(
+                F.sum(
+                    F.when(F.col("deg").isNull(), F.col("rank"))
+                ).alias("_dang")
+            )
+        if tol is not None:
+            metrics.append(
+                F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("_delta")
+            )
+        if metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_ranks = new_ranks.observe(obs, *metrics)
         # same device as dedup_clusters: each round references the
         # previous round's frame; without truncation the plan tree
         # grows geometrically and the driver chokes analyzing it
-        new_ck = _cut(new_ranks)
+        new_ck = _cut(new_ranks.select("id", "deg", "rank"))
         rounds_run += 1
         done = False
-        if tol is not None:
-            # exact convergence predicate on the integer state: both
-            # sides are materialized checkpoints, so this is one
-            # key-partitioned join + an O(1) scalar agg per round —
-            # cheap relative to the round's two edge-scale shuffles
-            max_delta = (
-                new_ck.join(
-                    ranks.select("id", F.col("rank").alias("_prev")), "id"
-                )
-                .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
-                .collect()[0]["d"]
-            )
-            done = max_delta is not None and max_delta <= tol
+        if obs is not None:
+            m = obs.get
+            if redistribute_dangling:
+                dang_next = m["_dang"]
+            if tol is not None:
+                done = m["_delta"] is not None and m["_delta"] <= tol
         # drop the round-before-last's stored blocks: only the current
         # round's state is ever referenced again, and letting old
         # checkpoints accumulate evicts useful blocks (measured as

@@ -1827,16 +1827,53 @@ def test_ivf_dup_probe_plan_prunes_and_maps(spark, embeddings, tmp_path):
     assert got == want
 
 
-def test_semantic_dedup_single_cached_base(spark, embeddings):
-    """semantic_dedup's scale contract: both sides of the
-    within-cluster self-join and the anti-join read the CACHED
-    assigned base (InMemoryTableScan), so k-means assignment runs
-    once, not three times."""
+def test_semantic_dedup_grouped_arrow_shape(spark, embeddings):
+    """semantic_dedup's r13 scale contract: ONE exchange (by
+    cluster_id) into a grouped Arrow pass that emits kept rows
+    directly — no self-join, no distinct, no anti-join (the r12
+    shape ran the quadratic stage as a per-pair JVM-dot self-join).
+    Value-pinned against the brute-force dominated policy."""
     out = similarity.semantic_dedup(
         embeddings, n_centroids=4, iters=1, threshold=0.4
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 3, plan[:500]
+    assert "FlatMapGroupsInPandas" in plan, plan[:500]
+    assert "Join" not in plan, plan[:500]
+    import re as _re
+
+    assert len(_re.findall(r"ShuffleExchange|Exchange hashpartitioning",
+                           plan)) <= 1, plan[:800]
+    got = {(r[0], r[1]) for r in out.collect()}
+    # brute force: same IVF assignment, dominated = exists lower-id
+    # same-cluster row with cosine >= threshold (JVM arithmetic)
+    assigned = similarity.IVFIndex(
+        embeddings, n_centroids=4, iters=1
+    ).assigned
+    vec = F.col("embedding").cast("array<double>")
+    base = assigned.select(
+        F.col("vec_id").alias("_id"), "cluster_id", vec.alias("_v"),
+        similarity.l2_norm(vec).alias("_n"),
+    )
+    hi = base.select("cluster_id", F.col("_id").alias("_ida"),
+                     F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    lo = base.select("cluster_id", F.col("_id").alias("_idb"),
+                     F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    dominated = (
+        hi.join(lo, "cluster_id")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(dot / (F.col("_na") * F.col("_nb")) >= 0.4)
+        .select(F.col("_ida").alias("_id")).distinct()
+    )
+    want = {
+        (r[0], r[1])
+        for r in base.join(dominated, "_id", "left_anti")
+        .select("_id", "cluster_id").collect()
+    }
+    assert got == want
 
 
 # ---------------------------------------------------------------- sketches
