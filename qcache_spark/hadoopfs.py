@@ -148,15 +148,22 @@ def read_meta_sidecar(spark, data_path: str) -> dict:
 
 def write_meta_sidecar(spark, data_path: str, meta: dict) -> None:
     """Replace the JSON meta sidecar at ``data_path + "_meta"`` with a
-    plain text file (tmp-write + rename via ``write_text``). A
-    pre-r12 parquet-directory sidecar occupying the name is removed
-    first so the rename lands on a file slot."""
+    plain text file. The tmp file is written FULLY before a pre-r12
+    parquet-directory sidecar occupying the name is removed (ADVICE
+    r12 #4: deleting the legacy dir first widened the no-sidecar crash
+    window to include the whole tmp write); the unrecoverable window
+    is now only the delete+rename pair ``write_text`` documents."""
     import json as _json
 
     side = data_path + "_meta"
-    if is_dir(spark, side):
+    tmp = side + ".tmp"
+    _write_file(spark, tmp, _json.dumps(meta), overwrite=True)
+    if is_dir(spark, side):  # legacy parquet dir occupies the file slot
         delete(spark, side)
-    write_text(spark, side, _json.dumps(meta))
+    fs, jpath = fs_and_path(spark, side)
+    fs.delete(jpath, False)
+    if not rename(spark, tmp, side):
+        raise IOError(f"rename {tmp!r} -> {side!r} failed")
 
 
 def write_text(spark, path: str, text: str) -> None:

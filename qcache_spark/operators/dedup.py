@@ -314,6 +314,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard.
 
+    API note (ADVICE r12 #3): CONSTRUCTING the returned DataFrame is
+    eager — the signature/bucket pipeline runs at call time (an
+    eager localCheckpoint materializes the shared base; the r12
+    planning-cost fix). The checkpoint blocks live outside the
+    opcache registry: ``opcache.release`` does not free them (the
+    context cleaner does, when the returned frame is dropped), while
+    ``opcache.cached_bytes`` — whole-app RDD storage — does count
+    them for monitoring.
+
     With num_perm=64, bands=16 (r=4) the LSH S-curve has its midpoint
     near s ≈ (1/16)^(1/4) ≈ 0.5.
 

@@ -393,6 +393,49 @@ class IVFIndex:
 
         return IndexLease(self.assigned.sparkSession, self.path)
 
+    def _write_distribution(self, data: DataFrame) -> DataFrame:
+        """Distribute a frame for a partitionBy(cluster_id) write.
+
+        Appends are O(batch): one hash partition per cluster gives
+        exactly one file per cluster per write (the r12 small-files
+        discipline). For CORPUS-sized writes (write/compact/refit)
+        that same shape caps write parallelism at n_centroids and
+        makes one giant task/file per (possibly skewed) cluster
+        (ADVICE r12 #2 — in tension with the no-giant-task property),
+        so the salt width scales with the Catalyst size estimate:
+        k = ceil(bytes / (n_centroids * target_file_bytes)) capped at
+        64, with the salt derived DETERMINISTICALLY from the id
+        (guide §2.5: rand()-derived keys duplicate/lose rows under
+        task retry). At bench scale k=1 — identical layout and file
+        counts; at 100 TB a hot cluster splits across k tasks/files,
+        each still id-sorted where the caller sorts."""
+        try:
+            est = int(
+                data._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = 0
+        if est >= (1 << 62):
+            # Long.MAX sentinel = "no statistics" (in-memory test
+            # frames); real corpora come off storage with sizes —
+            # keep the compact one-file-per-cluster layout here
+            est = 0
+        target = int(
+            data.sparkSession.conf.get(
+                "spark.qcache.ivf.targetFileBytes",
+                str(512 * 1024 * 1024),
+            )
+        )
+        k = max(1, -(-est // (self.n_centroids * target)))
+        k = min(k, 64)
+        if k == 1:
+            return data.repartition(self.n_centroids, "cluster_id")
+        return data.repartition(
+            self.n_centroids * k,
+            "cluster_id",
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(k)),
+        )
+
     def delete(self, ids, lease: bool = True) -> None:
         """Retract vectors from the index (MinHashIndex.delete's
         analogue): ``ids`` — a DataFrame carrying the id column, or an
@@ -449,15 +492,17 @@ class IVFIndex:
         data = self._live_assigned()  # a re-homed index materializes
         self.generation = 0           # its pending deletions
         # Hash-distribute on the partition key before the partitionBy
-        # write (the same shape compact()/refit() already use): the
-        # unshuffled write emitted one file per (input task, cluster)
-        # pair — M x n_centroids tiny files (256 at the bench's
-        # 32-task scans; guide §6's small-file tax, paid again by
-        # every probe's file listing). One exchange of the batch
-        # yields exactly one file per cluster per write.
-        data.repartition(
-            self.n_centroids, "cluster_id"
-        ).write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        # write (the same shape compact()/refit() use): the unshuffled
+        # write emitted one file per (input task, cluster) pair —
+        # M x n_centroids tiny files (256 at the bench's 32-task
+        # scans; guide §6's small-file tax, paid again by every
+        # probe's file listing). _write_distribution adds a
+        # size-adaptive intra-cluster salt for corpus-sized inputs
+        # (ADVICE r12 #2) — one file per cluster per write at small
+        # scale, ~target-sized files per cluster at large.
+        self._write_distribution(data).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(path)
         self._write_meta(spark, path)
         self.path = path
         self._reload(spark)
@@ -552,9 +597,9 @@ class IVFIndex:
         data = self._live_assigned()
         self.generation = old_gen + 1
         try:
-            data.repartition(
-                self.n_centroids, "cluster_id"
-            ).sortWithinPartitions(self.id_col).write.mode(
+            self._write_distribution(data).sortWithinPartitions(
+                self.id_col
+            ).write.mode(
                 "overwrite"
             ).partitionBy("cluster_id").parquet(self._data_dir())
             self._write_meta(spark, self.path)
@@ -654,9 +699,9 @@ class IVFIndex:
         self.pq_codebooks = fresh.pq_codebooks
         self.generation = old_gen + 1
         try:
-            fresh.assigned.repartition(
-                self.n_centroids, "cluster_id"
-            ).sortWithinPartitions(self.id_col).write.mode(
+            self._write_distribution(fresh.assigned).sortWithinPartitions(
+                self.id_col
+            ).write.mode(
                 "overwrite"
             ).partitionBy("cluster_id").parquet(self._data_dir())
             self._write_meta(spark, self.path)
@@ -1560,15 +1605,23 @@ def pq_train(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.storagelevel import StorageLevel
+
     for _ in range(max(iters, 0)):
         # Eager materialization BEFORE the per-subspace aggregates:
         # the m collects below run concurrently, and racing them into
         # an unmaterialized persisted frame can double-compute the
-        # assignment pass (cache-block fill races). The checkpoint
-        # also cuts the UDF lineage so each aggregate plans cheaply.
+        # assignment pass (cache-block fill races). persist + eager
+        # count + EXPLICIT unpersist at iteration end (ADVICE r12 #1:
+        # the previous localCheckpoint left each Lloyd iteration's
+        # blocks pinned until the context cleaner got around to them,
+        # so multi-iteration training accumulated memory); the
+        # lineage here is one UDF over the source projection, so the
+        # checkpoint's lineage-cut was never needed.
         assigned = src.withColumn(
             "_codes", _pq_assign_udf(codebooks)(F.col(vec_col))
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        assigned.count()
 
         def _subspace_sums(s: int):
             lo = s * dsub
@@ -1593,6 +1646,9 @@ def pq_train(
         # version.
         with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
             results = dict(pool.map(_subspace_sums, range(m)))
+        # free this iteration's assignment blocks NOW — the next
+        # iteration assigns against new codebooks and never reads them
+        assigned.unpersist(blocking=False)
         new_books = []
         for s in range(m):
             rows = results[s]

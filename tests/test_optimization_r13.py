@@ -122,3 +122,46 @@ def test_dedup_clusters_early_stop_labels(spark):
         (99, 99),
     }
     assert out.converged
+
+
+def test_ivf_corpus_write_salts_by_size(spark, tmp_path):
+    """ADVICE r12 #2: corpus-sized IVF writes split hot clusters
+    across tasks/files once the Catalyst size estimate exceeds
+    n_centroids * targetFileBytes; appends and unknown-stats inputs
+    keep the one-file-per-cluster layout."""
+    import numpy as np
+
+    from qcache_spark import hadoopfs as hfs
+    from qcache_spark.operators import similarity
+
+    rows = [
+        (i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(256)
+    ]
+    src = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(src)
+    vecs = spark.read.parquet(src)  # parquet-backed: real stats
+    idx = similarity.IVFIndex(vecs, n_centroids=2, iters=1)
+    p1 = str(tmp_path / "ivf_plain")
+    idx.write(spark, p1)
+    n_plain = hfs.count_files(spark, p1)
+    assert n_plain is not None and n_plain <= 2, n_plain
+    # force the salt with a tiny file-size target
+    old = spark.conf.get("spark.qcache.ivf.targetFileBytes", None)
+    try:
+        spark.conf.set("spark.qcache.ivf.targetFileBytes", "64")
+        idx2 = similarity.IVFIndex(vecs, n_centroids=2, iters=1)
+        p2 = str(tmp_path / "ivf_salted")
+        idx2.write(spark, p2)
+        n_salted = hfs.count_files(spark, p2)
+        assert n_salted is not None and n_salted > 2, n_salted
+        # same rows either way
+        a = {tuple(r) for r in spark.read.parquet(p1).select("vec_id", "cluster_id").collect()}
+        b = {tuple(r) for r in spark.read.parquet(p2).select("vec_id", "cluster_id").collect()}
+        assert a == b
+    finally:
+        if old is None:
+            spark.conf.unset("spark.qcache.ivf.targetFileBytes")
+        else:
+            spark.conf.set("spark.qcache.ivf.targetFileBytes", old)
