@@ -43,3 +43,17 @@ def test_foreign_load_is_dirty():
     verdict, reasons = _verdict()(1.2, 1.1, 60.0, 32)
     assert verdict == "DIRTY"
     assert any("loadavg" in r for r in reasons)
+
+
+def test_default_bench_out_is_not_the_committed_record():
+    """VERDICT r12 Wrong #5: a driver/CI re-run must not overwrite the
+    committed BENCH_local.json — the default durable copy lands in the
+    uncommitted `.latest` sidecar; writing the record is an explicit
+    SPARK_GRAFT_BENCH_OUT opt-in (and `.latest` is gitignored)."""
+    src = open(_BENCH).read()
+    assert '"BENCH_local.json.latest"' in src
+    # the bare record name must not appear as a code literal anywhere
+    # in bench.py (comments may mention it without quotes)
+    assert '"BENCH_local.json"' not in src
+    gi = open(os.path.join(os.path.dirname(_BENCH), ".gitignore")).read()
+    assert "BENCH_local.json.latest" in gi

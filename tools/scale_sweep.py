@@ -134,9 +134,14 @@ def worker(q: str, d: str, runs: int) -> None:
     print(json.dumps({"query": q, "dir": d, "t_sec": round(t, 4)}))
 
 
-def _run_fresh_worker(q: str, d: str, runs: int):
+def _run_fresh_worker(q: str, d: str, runs: int, cpus: int | None = None):
     """One fresh-JVM (query, point) measurement via subprocess;
-    None on failure (logged to stderr)."""
+    None on failure (logged to stderr). ``cpus`` pins the worker's
+    core count (SPARK_GRAFT_CPUS → local[n] + shuffle partitions) for
+    the core-scaling mode."""
+    env = {**os.environ, "SPARK_DRIVER_MEMORY": SWEEP_DRIVER_MEMORY}
+    if cpus is not None:
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
          "--worker", q, d, str(runs)],
@@ -144,8 +149,7 @@ def _run_fresh_worker(q: str, d: str, runs: int):
         text=True,
         timeout=7200,
         cwd=REPO,
-        env={**os.environ,
-             "SPARK_DRIVER_MEMORY": SWEEP_DRIVER_MEMORY},
+        env=env,
     )
     line = next(
         (l for l in reversed(proc.stdout.splitlines())
@@ -290,6 +294,52 @@ def main_merge(paths: list[str]) -> None:
     print(json.dumps(out))
 
 
+CORES_OUT = os.path.join(REPO, ".scaledata", "core_scaling_sf1.json")
+CORES_POINTS = [8, 32]
+
+
+def main_cores(runs: int) -> None:
+    """Core scaling at sf1 (VERDICT r12 Next #4): the sf0.1 bench is a
+    latency-floor benchmark — per-query fixed cost (AQE planning + job
+    scheduling) dominates sub-second queries, so 50/69 run no faster
+    on 32 cores than 8 and the c8/c32 block cannot evidence
+    parallelism. At sf1 the heavy queries have real work per core:
+    fresh JVM per (query, cpus) point, min of ``runs`` warm runs,
+    ratio = t_c8/t_c32 (ideal 4.0 for CPU-bound). Written to
+    .scaledata/core_scaling_sf1.json; bench.py embeds it in extras."""
+    d = next(
+        (p for sf, p in POINTS if sf == 1.0 and os.path.isdir(p)), None
+    )
+    if d is None:
+        print("[cores] no sf1 data — run tools/make_scale.py first",
+              file=sys.stderr)
+        sys.exit(1)
+    out: dict = {
+        "protocol": "fresh-jvm-per-query-cpus-point",
+        "sf": 1.0,
+        "runs": runs,
+        "cpus_points": CORES_POINTS,
+        "queries": {},
+    }
+    for q in HEAVY:
+        pts: dict[str, float] = {}
+        for cpus in CORES_POINTS:
+            t = _run_fresh_worker(q, d, runs, cpus=cpus)
+            if t is None:
+                continue
+            pts[f"c{cpus}"] = t
+            print(f"[cores] {q} c{cpus}: {t} s", file=sys.stderr)
+        if len(pts) == len(CORES_POINTS):
+            pts["ratio_c8_over_c32"] = round(
+                pts[f"c{CORES_POINTS[0]}"] / pts[f"c{CORES_POINTS[1]}"], 2
+            )
+        out["queries"][q] = pts
+    os.makedirs(os.path.dirname(CORES_OUT), exist_ok=True)
+    with open(CORES_OUT, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if args[:1] == ["--worker"]:
@@ -298,5 +348,7 @@ if __name__ == "__main__":
         main_shared(int(args[1]) if len(args) > 1 else 3)
     elif args[:1] == ["--merge"]:
         main_merge(args[1:])
+    elif args[:1] == ["--cores"]:
+        main_cores(int(args[1]) if len(args) > 1 else 2)
     else:
         main_fresh(int(args[0]) if args else 2)
