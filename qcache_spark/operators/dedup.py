@@ -1206,6 +1206,12 @@ class MinHashIndex:
         #   this), and `_band IN (...)` is a partition prune. The
         #   exact pair match runs post-scan (cheap, rows already
         #   row-group-pruned). No broadcast, no join on the scan.
+        #   OPT-IN (default 0 = off): deciding needs a key-count
+        #   take(), an extra driver job that measured ~0.3 s per
+        #   probe on BATCH-sized probes (q107/q116, control-
+        #   normalized back-to-back) — a latency-serving deployment
+        #   that probes single documents sets the conf; batch
+        #   pipelines keep the jobless semi-join.
         # - SEMI-JOIN path: large batches (bench's corpus/4) would
         #   need O(|batch| x bands) literals — plan-bloat — so the
         #   touched keys stay a broadcast semi-join; row-group
@@ -1214,7 +1220,7 @@ class MinHashIndex:
         bkeys = bbuckets.select("_band", "_bucket").distinct()
         max_lit = int(
             self._spark.conf.get(
-                "spark.qcache.minhash.probeLiteralMaxKeys", "256"
+                "spark.qcache.minhash.probeLiteralMaxKeys", "0"
             )
         )
         key_rows = bkeys.take(max_lit + 1) if max_lit > 0 else []

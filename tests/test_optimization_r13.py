@@ -180,23 +180,25 @@ def test_minhash_point_probe_literal_pushdown(spark, docs, tmp_path):
     batch = docs.filter("doc_id = 0").select("doc_id", "text")
     idx = MinHashIndex(corpus)
     idx.write(spark, path)
-    out = idx.probe(batch, verify_threshold=None)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan
-    pushed = plan.split("PushedFilters")[1][:400]
-    assert "_bucket" in pushed, pushed
-    got = {(r["batch_id"], r["corpus_id"]) for r in out.collect()}
-    # force the semi-join path: same pair set
+    # the literal path is an opt-in serving-latency mode (the key-count
+    # take() costs a driver job that batch probes should not pay)
     old = spark.conf.get("spark.qcache.minhash.probeLiteralMaxKeys", None)
     try:
-        spark.conf.set("spark.qcache.minhash.probeLiteralMaxKeys", "0")
-        want = {
-            (r["batch_id"], r["corpus_id"])
-            for r in idx.probe(batch, verify_threshold=None).collect()
-        }
+        spark.conf.set("spark.qcache.minhash.probeLiteralMaxKeys", "256")
+        out = idx.probe(batch, verify_threshold=None)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        pushed = plan.split("PushedFilters")[1][:400]
+        assert "_bucket" in pushed, pushed
+        got = {(r["batch_id"], r["corpus_id"]) for r in out.collect()}
     finally:
         if old is None:
             spark.conf.unset("spark.qcache.minhash.probeLiteralMaxKeys")
         else:
             spark.conf.set("spark.qcache.minhash.probeLiteralMaxKeys", old)
+    # default path (semi-join): same pair set
+    want = {
+        (r["batch_id"], r["corpus_id"])
+        for r in idx.probe(batch, verify_threshold=None).collect()
+    }
     assert got == want
